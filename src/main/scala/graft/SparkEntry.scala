@@ -1,13 +1,320 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin) per
+  * implemented operator from SURVEY.md §2.
+  *
+  * Determinism conventions shared by every query/oracle pair:
+  *  - money aggregates in exact integer cents (Tables.moneySum /
+  *    Tables.moneySumSql) — bit-identical in any partition order;
+  *  - every output has an explicit ORDER BY on a unique key;
+  *  - computed doubles rounded (2dp money, 6dp ratios) on both sides;
+  *  - identical arithmetic expression shapes in Scala and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): monthly
+    * revenue over the country-enriched fact table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Gold.caMonthly(Gold.buildFact(
+      Tables.orders(spark, d), Tables.customer(spark, d), Tables.nation(spark, d)))
+  }
+
+  // ---------------------------------------------------------------- helpers
+  /** gold-entry validity predicate (reference gold_transformation_spark.py:225) */
+  private val V = s"o_totalprice > 0 AND o_totalprice <= ${Gold.MaxAmount}"
+  private def ms(c: String) = Tables.moneySumSql(c)
+
+  private def fact(s: SparkSession, d: String): DataFrame =
+    Gold.buildFact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))
+
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val feats = Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
+      Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))
+    Gold.scoreClients(feats, Gold.scoreThresholds(feats))
+  }
+
+  /** Shared oracle CTE prologue: valid orders, reference date, trailing
+    * window, per-client feature blocks (mirrors Gold.clientFeatures). */
+  private val featsCte = s"""
+    WITH o AS (SELECT * FROM orders WHERE $V),
+    ref AS (SELECT max(o_orderdate) AS r FROM o),
+    win AS (SELECT * FROM o WHERE o_orderdate >= (SELECT r FROM ref) - INTERVAL 365 DAY),
+    pw AS (SELECT o_custkey AS c_custkey, count(o_orderkey) AS freq_12m,
+             ${ms("o_totalprice")} AS monetary_12m,
+             sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0/count(o_orderkey) AS monetary_avg_12m,
+             max(o_orderdate) AS last_purchase, min(o_orderdate) AS first_purchase
+           FROM win GROUP BY 1),
+    dv AS (SELECT o_custkey AS c_custkey, count(DISTINCT l_partkey) AS product_diversity_12m
+           FROM win JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1),
+    pa AS (SELECT o_custkey AS c_custkey, count(o_orderkey) AS total_orders_all,
+             ${ms("o_totalprice")} AS total_spend_all
+           FROM o GROUP BY 1),
+    feats AS (
+      SELECT b.c_custkey,
+             coalesce(pw.freq_12m, 0) AS freq_12m,
+             coalesce(pw.monetary_12m, 0.0) AS monetary_12m,
+             coalesce(pw.monetary_avg_12m, 0.0) AS monetary_avg_12m,
+             coalesce(dv.product_diversity_12m, 0) AS product_diversity_12m,
+             pw.last_purchase, pw.first_purchase,
+             CAST(CASE WHEN pw.last_purchase IS NOT NULL
+               THEN date_diff('day', CAST(pw.last_purchase AS DATE), CAST((SELECT r FROM ref) AS DATE))
+               ELSE 365 END AS BIGINT) AS recency_days,
+             CAST(CASE WHEN pw.first_purchase IS NOT NULL
+               THEN date_diff('day', CAST(pw.first_purchase AS DATE), CAST((SELECT r FROM ref) AS DATE))
+               ELSE 0 END AS BIGINT) AS tenure_days,
+             pa.total_orders_all, pa.total_spend_all,
+             CASE WHEN pa.total_orders_all > 0 THEN pa.total_spend_all / pa.total_orders_all
+               ELSE 0.0 END AS avg_order_value_all
+      FROM (SELECT DISTINCT o_custkey AS c_custkey FROM o) b
+      LEFT JOIN pw USING (c_custkey)
+      LEFT JOIN dv USING (c_custkey)
+      LEFT JOIN pa USING (c_custkey))"""
+
+  /** Oracle scoring tail over `feats` (mirrors Gold.scoreClients). */
+  private val scoredCte = s"""$featsCte,
+    th AS (SELECT quantile_cont(freq_12m, 0.75) AS f75, quantile_cont(freq_12m, 0.95) AS f95,
+             quantile_cont(monetary_12m, 0.75) AS m75, quantile_cont(monetary_12m, 0.95) AS m95,
+             quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.75) AS r75,
+             greatest(CAST(max(product_diversity_12m) AS DOUBLE), 1.0) AS maxdiv
+           FROM feats),
+    s1 AS (SELECT f.*,
+             round(0.45 * (least(CAST(f.freq_12m AS DOUBLE), t.f95) / t.f95)
+                 + 0.30 * (1.0 - least(CAST(f.recency_days AS DOUBLE), 365.0) / 365.0)
+                 + 0.15 * (least(f.monetary_12m, t.m95) / t.m95)
+                 + 0.10 * (CAST(f.product_diversity_12m AS DOUBLE) / t.maxdiv), 6) AS prob_reachat_12m,
+             least(greatest(f.tenure_days / 30.0, 1.0), 365.0 / 30.0) AS months_active,
+             t.m75 AS m75, t.r25 AS r25, t.r75 AS r75, t.f75 AS f75
+           FROM feats f, th t),
+    scored AS (
+      SELECT c_custkey, freq_12m, monetary_12m, monetary_avg_12m, product_diversity_12m,
+             recency_days, tenure_days, total_orders_all, total_spend_all,
+             prob_reachat_12m,
+             round(monetary_12m / months_active * 12.0 * prob_reachat_12m, 2) AS expected_value_12m,
+             round(monetary_12m * (1.0 - prob_reachat_12m), 2) AS value_at_risk_12m,
+             CASE WHEN prob_reachat_12m >= 0.65 AND monetary_12m >= m75 THEN 'VIP'
+                  WHEN prob_reachat_12m >= 0.55 AND recency_days <= r25 THEN 'Actifs'
+                  WHEN monetary_12m >= m75 AND recency_days > r75 THEN 'A relancer'
+                  WHEN freq_12m <= greatest(1.0, f75 * 0.5) AND recency_days > r75 THEN 'Dormants'
+                  ELSE 'A potentiel' END AS segment_label
+      FROM s1)"""
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- silver (P1-P9, F1-F5, J4) --
+    "silver_orders" -> ((s, d) =>
+      Silver.cleanOrders(Tables.orders(s, d), Tables.customer(s, d))),
+    "silver_customer" -> ((s, d) =>
+      Silver.cleanCustomers(Tables.customer(s, d))),
+    "quality_counters" -> ((s, d) =>
+      Silver.qualityCounters(Tables.orders(s, d), Tables.customer(s, d))),
+
+    // -- gold star schema (J1-J5, A1-A9, F6-F18) --
+    "fact_achats" -> ((s, d) => fact(s, d).orderBy("o_orderkey")),
+    "dim_clients" -> ((s, d) =>
+      Gold.dimClients(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).orderBy("c_custkey")),
+    "client_features" -> ((s, d) =>
+      Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
+        Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).orderBy("c_custkey")),
+    "client_scores" -> ((s, d) => scored(s, d).orderBy("c_custkey")),
+    "segment_summary" -> ((s, d) => Gold.segmentSummary(scored(s, d))),
+    "ca_monthly" -> ((s, d) => Gold.caMonthly(fact(s, d))),
+    "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
+    "ca_product" -> ((s, d) =>
+      Gold.caProduct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
+    "cohort_first_purchase" -> ((s, d) => Gold.cohort(fact(s, d))),
+
+    // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
+    "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
+    "gold_weekly" -> ((s, d) => Serving.weekly(fact(s, d))),
+    "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
+    "gold_monthly_growth" -> ((s, d) => Serving.monthlyGrowth(Gold.caMonthly(fact(s, d)))),
+    "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
+    "top_clients" -> ((s, d) => Serving.topClients(fact(s, d))),
+    "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
+    "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),
+
+    // -- events tumbling-window batch aggregate (SURVEY §2.8 extension) --
+    "events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("heure"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("heure", "event_type"))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "silver_orders" -> s"""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate, o_custkey) AS rn
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+              AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderdate >= TIMESTAMP '${Silver.MinDate} 00:00:00'
+              AND $V)
+      WHERE rn = 1 AND o_custkey IN (SELECT c_custkey FROM customer)
+      ORDER BY o_orderkey""",
+
+    "silver_customer" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             upper(substr(seg, 1, 1)) || substr(seg, 2) AS c_mktsegment
+      FROM (SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
+                   lower(trim(c_mktsegment)) AS seg,
+                   row_number() OVER (PARTITION BY c_custkey ORDER BY trim(c_name)) AS rn
+            FROM customer
+            WHERE c_custkey IS NOT NULL AND contains(trim(c_name), '#'))
+      WHERE rn = 1
+      ORDER BY c_custkey""",
+
+    "quality_counters" -> s"""
+      SELECT (SELECT count(*) FROM orders) AS initial_rows,
+             (SELECT count(*) FROM orders
+              WHERE o_orderkey IS NULL OR o_custkey IS NULL
+                 OR o_orderdate IS NULL OR o_totalprice IS NULL) AS dropped_missing,
+             (SELECT count(*) FROM orders
+              WHERE o_orderdate < TIMESTAMP '${Silver.MinDate} 00:00:00') AS dropped_invalid_date,
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice <= 0 OR o_totalprice > ${Gold.MaxAmount}) AS dropped_bad_amount,
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS dropped_orphan_client""",
+
+    "fact_achats" -> s"""
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             coalesce(n_name, 'Inconnu') AS pays,
+             CAST(o_orderdate AS DATE) AS jour,
+             strftime(o_orderdate, '%Y-%m') AS mois,
+             CAST(year(o_orderdate) AS BIGINT) AS annee
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE $V
+      ORDER BY o_orderkey""",
+
+    "dim_clients" -> s"""
+      WITH o AS (SELECT * FROM orders WHERE $V),
+      ref AS (SELECT max(o_orderdate) AS r FROM o),
+      agg AS (SELECT o_custkey AS c_custkey,
+                min(o_orderdate) AS first_purchase, max(o_orderdate) AS last_purchase,
+                count(o_orderkey) AS total_orders,
+                ${ms("o_totalprice")} AS total_spend
+              FROM o GROUP BY 1),
+      parts AS (SELECT o_custkey AS c_custkey, count(DISTINCT l_partkey) AS product_count
+                FROM o JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1)
+      SELECT c.c_custkey, c.c_name, a.first_purchase, a.last_purchase,
+             CAST(coalesce(date_diff('day', CAST(a.last_purchase AS DATE), CAST((SELECT r FROM ref) AS DATE)), 365) AS BIGINT) AS recency_days,
+             CAST(coalesce(date_diff('day', CAST(a.first_purchase AS DATE), CAST((SELECT r FROM ref) AS DATE)), 0) AS BIGINT) AS tenure_days,
+             coalesce(a.total_orders, 0) AS total_orders,
+             coalesce(a.total_spend, 0.0) AS total_spend,
+             CASE WHEN coalesce(a.total_orders, 0) > 0 THEN a.total_spend / a.total_orders ELSE 0.0 END AS avg_order_value,
+             coalesce(p.product_count, 0) AS product_count
+      FROM customer c
+      LEFT JOIN agg a USING (c_custkey)
+      LEFT JOIN parts p USING (c_custkey)
+      ORDER BY c.c_custkey""",
+
+    "client_features" -> s"""$featsCte
+      SELECT c_custkey, freq_12m, monetary_12m, monetary_avg_12m, product_diversity_12m,
+             last_purchase, first_purchase, recency_days, tenure_days,
+             total_orders_all, total_spend_all, avg_order_value_all,
+             (SELECT r FROM ref) AS reference_date
+      FROM feats ORDER BY c_custkey""",
+
+    "client_scores" -> s"""$scoredCte
+      SELECT * FROM scored ORDER BY c_custkey""",
+
+    "segment_summary" -> s"""$scoredCte
+      SELECT segment_label, count(c_custkey) AS clients,
+             round(sum(monetary_12m), 2) AS ca_12m,
+             round(sum(expected_value_12m), 2) AS expected_value_12m,
+             round(sum(value_at_risk_12m), 2) AS value_at_risk_12m,
+             quantile_cont(freq_12m, 0.5) AS freq_med,
+             quantile_cont(recency_days, 0.5) AS recency_med
+      FROM scored GROUP BY 1 ORDER BY segment_label""",
+
+    "ca_monthly" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+      FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
+
+    "ca_country" -> s"""
+      SELECT coalesce(n_name, 'Inconnu') AS pays, ${ms("o_totalprice")} AS ca
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE $V GROUP BY 1 ORDER BY ca DESC, pays""",
+
+    "ca_product" -> s"""
+      SELECT p_name AS produit, ${ms("l_extendedprice")} AS ca
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE $V GROUP BY 1 ORDER BY ca DESC, produit""",
+
+    "cohort_first_purchase" -> s"""
+      WITH o AS (SELECT * FROM orders WHERE $V),
+      fp AS (SELECT o_custkey, min(o_orderdate) AS fp FROM o GROUP BY 1)
+      SELECT strftime(fp.fp, '%Y-%m') AS first_purchase_month,
+             count(DISTINCT o.o_custkey) AS clients,
+             ${ms("o_totalprice")} AS ca
+      FROM o LEFT JOIN fp ON o.o_custkey = fp.o_custkey
+      GROUP BY 1 ORDER BY first_purchase_month""",
+
+    "gold_daily" -> s"""
+      SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca,
+             count(o_orderkey) AS achats
+      FROM orders WHERE $V GROUP BY 1 ORDER BY jour""",
+
+    "gold_weekly" -> s"""
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semaine,
+             ${ms("o_totalprice")} AS ca, count(o_orderkey) AS achats
+      FROM orders WHERE $V GROUP BY 1 ORDER BY semaine""",
+
+    "gold_distribution" -> s"""
+      WITH o AS (SELECT o_totalprice FROM orders WHERE $V),
+      mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM o)
+      SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (((SELECT mx FROM mm) - (SELECT mn FROM mm)) / 12)), 11) AS BIGINT) AS bucket,
+             count(*) AS count
+      FROM o GROUP BY 1 ORDER BY bucket""",
+
+    "gold_monthly_growth" -> s"""
+      WITH cm AS (SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+                  FROM orders WHERE $V GROUP BY 1),
+      lagged AS (SELECT mois, ca, lag(ca) OVER (ORDER BY mois) AS prev_ca FROM cm)
+      SELECT mois, ca, prev_ca,
+             round(ca - prev_ca, 2) AS growth_abs,
+             CASE WHEN prev_ca IS NULL OR prev_ca = 0 THEN NULL
+                  ELSE round((ca - prev_ca) / prev_ca, 6) END AS growth_pct
+      FROM lagged ORDER BY mois""",
+
+    "kpis" -> s"""
+      SELECT ca_total, nb_achats, nb_clients, round(ca_total / nb_achats, 2) AS panier_moyen
+      FROM (SELECT ${ms("o_totalprice")} AS ca_total, count(o_orderkey) AS nb_achats,
+                   count(DISTINCT o_custkey) AS nb_clients
+            FROM orders WHERE $V)""",
+
+    "top_clients" -> s"""
+      SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend,
+             count(o_orderkey) AS total_orders
+      FROM orders WHERE $V GROUP BY 1
+      ORDER BY total_spend DESC, c_custkey LIMIT 20""",
+
+    "top_risk_clients" -> s"""$scoredCte
+      SELECT c_custkey, value_at_risk_12m, recency_days, monetary_12m
+      FROM scored
+      ORDER BY value_at_risk_12m DESC, recency_days DESC, c_custkey LIMIT 20""",
+
+    "repeat_rate" -> s"""
+      SELECT round(avg(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END), 6) AS repeat_rate
+      FROM (SELECT o_custkey, count(o_orderkey) AS cnt FROM orders WHERE $V GROUP BY 1)""",
+
+    "events_hourly" -> """
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY heure, event_type"""
+  )
 }

@@ -1,0 +1,269 @@
+package graft
+
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer star schema + RFM feature engineering + heuristic scoring.
+  *
+  * Semantics follow the reference's Spark variant
+  * (reference: flows_spark/gold_transformation_spark.py) re-expressed over
+  * the driver test star schema: clients → `customer`, achats → `orders`
+  * (o_totalprice = montant, o_orderdate = date_achat), pays →
+  * `nation.n_name` via c_nationkey, produit → `part` via lineitem.
+  *
+  * Scale notes (100 TB posture):
+  *  - `nation` (25 rows) is explicitly broadcast; `customer` joins shuffle
+  *    on the customer key — correct for a dim that is itself large.
+  *  - All aggregations are hash aggs with map-side partial aggregation.
+  *  - The only driver-side scalars are tiny (reference date, 6 quantile
+  *    thresholds, one max) — the same two-phase constant-folding the
+  *    reference uses (flows_spark/gold_transformation_spark.py:125-143).
+  *  - Money sums use exact integer cents (see [[Tables.moneySum]]) so
+  *    results are bit-deterministic regardless of partition order.
+  */
+object Gold {
+  import Tables.{cents, moneySum}
+
+  /** Trailing purchase window, reference HORIZON_DAYS
+    * (flows_spark/gold_transformation_spark.py:16). */
+  val HorizonDays = 365
+
+  /** Amount upper bound (reference MAX_PURCHASE_AMOUNT=10_000 for the
+    * retail data, :17). The TPC-H-ish o_totalprice ranges to ~500k, so the
+    * test-schema bound is 1_000_000 — the predicate shape is the spec. */
+  val MaxAmount = 1000000.0
+
+  /** Reference date = max purchase timestamp collected to the driver
+    * (reference :226 `achats.agg(F.max("date_achat")).first()`). Returned
+    * untyped: parquet `timestamp[ms]` without a UTC flag surfaces as
+    * TIMESTAMP_NTZ in Spark 4 (java.time.LocalDateTime), as
+    * java.sql.Timestamp otherwise — `lit()` accepts both. */
+  def referenceDate(orders: DataFrame): Any = {
+    val ts = orders.agg(max("o_orderdate")).first().get(0)
+    require(ts != null, "no valid o_orderdate in orders")
+    ts
+  }
+
+  /** Gold-entry amount guard (reference :225). */
+  def validOrders(orders: DataFrame): DataFrame =
+    orders.filter(col("o_totalprice") > 0 && col("o_totalprice") <= MaxAmount)
+
+  /** fact_achats (reference build_fact, :28-46): one row per order,
+    * enriched with country, day/month/year keys. Left join keeps orphan
+    * orders with pays='Inconnu'. */
+  def buildFact(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    validOrders(orders)
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        coalesce(col("n_name"), lit("Inconnu")).as("pays"),
+        to_date(col("o_orderdate")).as("jour"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mois"),
+        year(col("o_orderdate")).cast("long").as("annee"))
+
+  /** dim_clients (reference build_dim_clients, :49-81): one row per
+    * customer with lifetime purchase stats. product_count = distinct parts
+    * bought (produit analog) via the lineitem line grain. */
+  def dimClients(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      ref: Any): DataFrame = {
+    val o = validOrders(orders)
+    val agg = o.groupBy(col("o_custkey").as("c_custkey")).agg(
+      min("o_orderdate").as("first_purchase"),
+      max("o_orderdate").as("last_purchase"),
+      count("o_orderkey").as("total_orders"),
+      moneySum(col("o_totalprice")).as("total_spend"))
+    val parts = o.join(lineitem.select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("pc_custkey"))
+      .agg(countDistinct("l_partkey").as("product_count"))
+    customer.select("c_custkey", "c_name", "c_nationkey")
+      .join(agg, Seq("c_custkey"), "left")
+      .join(parts, col("c_custkey") === col("pc_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        col("first_purchase"), col("last_purchase"),
+        coalesce(datediff(lit(ref).cast("date"), col("last_purchase").cast("date")),
+          lit(HorizonDays)).cast("long").as("recency_days"),
+        coalesce(datediff(lit(ref).cast("date"), col("first_purchase").cast("date")),
+          lit(0)).cast("long").as("tenure_days"),
+        coalesce(col("total_orders"), lit(0L)).as("total_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        // unrounded: exact-cents sum / count is bit-deterministic in both
+        // engines, while round(x, 2) can straddle a .005 boundary when the
+        // 2dp sum divides evenly (e.g. sum/2 = ….795)
+        when(coalesce(col("total_orders"), lit(0L)) > 0,
+          col("total_spend") / col("total_orders"))
+          .otherwise(lit(0.0)).as("avg_order_value"),
+        coalesce(col("product_count"), lit(0L)).as("product_count"))
+  }
+
+  /** client_features (reference build_features, :84-122): trailing-365d
+    * RFM window metrics + all-time metrics per purchasing customer. */
+  def clientFeatures(orders: DataFrame, lineitem: DataFrame, ref: Any): DataFrame = {
+    val o = validOrders(orders)
+    val winStart = lit(ref) - expr(s"INTERVAL $HorizonDays DAYS")
+    val win = o.filter(col("o_orderdate") >= winStart)
+
+    val perWindow = win.groupBy(col("o_custkey").as("c_custkey")).agg(
+      count("o_orderkey").as("freq_12m"),
+      moneySum(col("o_totalprice")).as("monetary_12m"),
+      (sum(cents(col("o_totalprice"))) / 100.0 / count("o_orderkey")).as("monetary_avg_12m"),
+      max("o_orderdate").as("last_purchase"),
+      min("o_orderdate").as("first_purchase"))
+
+    val diversity = win.join(lineitem.select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("d_custkey"))
+      .agg(countDistinct("l_partkey").as("product_diversity_12m"))
+
+    val perAll = o.groupBy(col("o_custkey").as("a_custkey")).agg(
+      count("o_orderkey").as("total_orders_all"),
+      moneySum(col("o_totalprice")).as("total_spend_all"))
+
+    o.select(col("o_custkey").as("c_custkey")).distinct()
+      .join(perWindow, Seq("c_custkey"), "left")
+      .join(diversity, col("c_custkey") === col("d_custkey"), "left")
+      .join(perAll, col("c_custkey") === col("a_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("freq_12m"), lit(0L)).as("freq_12m"),
+        coalesce(col("monetary_12m"), lit(0.0)).as("monetary_12m"),
+        coalesce(col("monetary_avg_12m"), lit(0.0)).as("monetary_avg_12m"),
+        coalesce(col("product_diversity_12m"), lit(0L)).as("product_diversity_12m"),
+        col("last_purchase"), col("first_purchase"),
+        when(col("last_purchase").isNotNull,
+          datediff(lit(ref).cast("date"), col("last_purchase").cast("date")))
+          .otherwise(lit(HorizonDays)).cast("long").as("recency_days"),
+        when(col("first_purchase").isNotNull,
+          datediff(lit(ref).cast("date"), col("first_purchase").cast("date")))
+          .otherwise(lit(0)).cast("long").as("tenure_days"),
+        col("total_orders_all"),
+        col("total_spend_all"),
+        when(col("total_orders_all") > 0,
+          col("total_spend_all") / col("total_orders_all"))
+          .otherwise(lit(0.0)).as("avg_order_value_all"),
+        lit(ref).as("reference_date"))
+  }
+
+  /** Driver-collected exact-percentile thresholds for scoring.
+    * Reference uses approxQuantile(rel.err=0.01) (:125-133); we use exact
+    * `percentile` so the DuckDB oracle (`quantile_cont`) agrees. Falsy
+    * fallbacks mirror the reference's `or` defaults (:135-140). */
+  case class ScoreThresholds(freq75: Double, freq95: Double, mon75: Double,
+      mon95: Double, rec25: Double, rec75: Double, maxDiv: Double)
+
+  def scoreThresholds(features: DataFrame): ScoreThresholds = {
+    val r = features.agg(
+      expr("percentile(freq_12m, array(0.75, 0.95))"),
+      expr("percentile(monetary_12m, array(0.75, 0.95))"),
+      expr("percentile(recency_days, array(0.25, 0.75))"),
+      max("product_diversity_12m")).first()
+    def arr(i: Int): Seq[Double] =
+      Option(r.getSeq[Double](i)).getOrElse(Seq(Double.NaN, Double.NaN))
+    def orElse(v: Double, d: Double): Double = if (v.isNaN || v == 0.0) d else v
+    val Seq(f75, f95) = arr(0)
+    val Seq(m75raw, m95raw) = arr(1)
+    val Seq(r25, r75) = arr(2)
+    val freq95 = orElse(f95, 1.0)
+    val mon95 = orElse(m95raw, 1.0)
+    ScoreThresholds(
+      freq75 = orElse(f75, freq95),
+      freq95 = freq95,
+      mon75 = orElse(m75raw, mon95),
+      mon95 = mon95,
+      rec25 = orElse(r25, HorizonDays / 4.0),
+      rec75 = orElse(r75, HorizonDays.toDouble),
+      maxDiv = if (r.isNullAt(3)) 1.0 else math.max(r.getLong(3).toDouble, 1.0))
+  }
+
+  /** client_scores (reference score_clients, :130-188): clipped-normalized
+    * RFM-weighted repurchase propensity + expected value / value at risk +
+    * 5-way segmentation. Thresholds arrive as driver-folded literals —
+    * the reference's two-phase shape. */
+  def scoreClients(features: DataFrame, t: ScoreThresholds): DataFrame = {
+    val freqNorm = if (t.freq95 > 0)
+      least(col("freq_12m"), lit(t.freq95)) / lit(t.freq95) else lit(0.0)
+    val recNorm = lit(1.0) - (least(col("recency_days"), lit(HorizonDays.toDouble)) / lit(HorizonDays.toDouble))
+    val monNorm = if (t.mon95 > 0)
+      least(col("monetary_12m"), lit(t.mon95)) / lit(t.mon95) else lit(0.0)
+    val divNorm = if (t.maxDiv > 0)
+      col("product_diversity_12m") / lit(t.maxDiv) else lit(0.0)
+    val prob = lit(0.45) * freqNorm + lit(0.30) * recNorm +
+      lit(0.15) * monNorm + lit(0.10) * divNorm
+    val monthsActive = least(greatest(col("tenure_days") / lit(30.0), lit(1.0)),
+      lit(HorizonDays / 30.0))
+    val expectedValue = col("monetary_12m") / monthsActive * lit(12.0) * col("prob_reachat_12m")
+    val valueAtRisk = col("monetary_12m") * (lit(1.0) - col("prob_reachat_12m"))
+    // first-match-wins clause order is semantics (reference :180-187)
+    val segment =
+      when(col("prob_reachat_12m") >= 0.65 && col("monetary_12m") >= t.mon75, "VIP")
+        .when(col("prob_reachat_12m") >= 0.55 && col("recency_days") <= t.rec25, "Actifs")
+        .when(col("monetary_12m") >= t.mon75 && col("recency_days") > t.rec75, "A relancer")
+        .when(col("freq_12m") <= math.max(1.0, t.freq75 * 0.5) && col("recency_days") > t.rec75, "Dormants")
+        .otherwise("A potentiel")
+    features
+      .withColumn("prob_reachat_12m", round(prob, 6))
+      .withColumn("months_active", monthsActive)
+      .withColumn("expected_value_12m", round(expectedValue, 2))
+      .withColumn("value_at_risk_12m", round(valueAtRisk, 2))
+      .withColumn("segment_label", segment)
+      .select("c_custkey", "freq_12m", "monetary_12m", "monetary_avg_12m",
+        "product_diversity_12m", "recency_days", "tenure_days",
+        "total_orders_all", "total_spend_all",
+        "prob_reachat_12m", "expected_value_12m", "value_at_risk_12m",
+        "segment_label")
+  }
+
+  /** segment_summary (reference summarize_segments, :191-203). Exact
+    * `median` (Spark ≥3.4) instead of the reference's percentile_approx so
+    * the oracle matches. */
+  def segmentSummary(scored: DataFrame): DataFrame =
+    scored.groupBy("segment_label").agg(
+      count("c_custkey").as("clients"),
+      round(sum("monetary_12m"), 2).as("ca_12m"),
+      round(sum("expected_value_12m"), 2).as("expected_value_12m"),
+      round(sum("value_at_risk_12m"), 2).as("value_at_risk_12m"),
+      median(col("freq_12m")).as("freq_med"),
+      median(col("recency_days")).as("recency_med"))
+      .orderBy("segment_label")
+
+  /** ca_monthly / ca_country / ca_product (reference aggregate_sales,
+    * :206-210). Country needs the customer→nation join; product needs the
+    * lineitem line grain (ca = extendedprice). */
+  def caMonthly(fact: DataFrame): DataFrame =
+    fact.groupBy("mois").agg(moneySum(col("o_totalprice")).as("ca")).orderBy("mois")
+
+  def caCountry(fact: DataFrame): DataFrame =
+    fact.groupBy("pays").agg(moneySum(col("o_totalprice")).as("ca"))
+      .orderBy(desc("ca"), col("pays"))
+
+  def caProduct(orders: DataFrame, lineitem: DataFrame, part: DataFrame): DataFrame =
+    validOrders(orders).select("o_orderkey")
+      .join(lineitem.select("l_orderkey", "l_partkey", "l_extendedprice"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(part.select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name").as("produit"))
+      .agg(moneySum(col("l_extendedprice")).as("ca"))
+      .orderBy(desc("ca"), col("produit"))
+
+  /** cohort_first_purchase (reference build_cohort, :213-220). Window-min
+    * instead of the reference's groupBy+self-join — same result, one
+    * shuffle fewer. */
+  def cohort(fact: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    fact.withColumn("first_purchase_month",
+        date_format(min("o_orderdate").over(w), "yyyy-MM"))
+      .groupBy("first_purchase_month")
+      .agg(countDistinct("o_custkey").as("clients"),
+        moneySum(col("o_totalprice")).as("ca"))
+      .orderBy("first_purchase_month")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-time aggregates the reference derives at Mongo-publish time plus
+  * the API/dashboard read-path queries
+  * (reference: serving_mongo/publish_gold_to_mongo.py:111-169,
+  * serving_api/repository.py:45-82, scripts/dashboard.py).
+  *
+  * All inputs are the order-grain fact; every group key is low-cardinality
+  * (days/weeks/months/buckets) so the final aggregates are tiny — partial
+  * aggregation does the heavy lifting distributed, the final shuffle moves
+  * only group subtotals.
+  */
+object Serving {
+  import Tables.moneySum
+
+  /** gold_daily (reference publish_gold_to_mongo.py:111-123). */
+  def daily(fact: DataFrame): DataFrame =
+    fact.groupBy(col("jour")).agg(
+      moneySum(col("o_totalprice")).as("ca"),
+      count("o_orderkey").as("achats"))
+      .orderBy("jour")
+
+  /** gold_weekly (reference :126-139): key = week start (Monday), matching
+    * pandas `to_period("W")` start == Spark/DuckDB `date_trunc('week')`. */
+  def weekly(fact: DataFrame): DataFrame =
+    fact.groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("semaine"))
+      .agg(moneySum(col("o_totalprice")).as("ca"),
+        count("o_orderkey").as("achats"))
+      .orderBy("semaine")
+
+  /** gold_distribution (reference :142-152): 12 equal-width amount bins.
+    * `pd.cut` semantics → bucket index 0..11, max value clamped into the
+    * last bucket. min/max are driver-folded scalars (two-phase, like the
+    * reference's scoring thresholds). */
+  def distribution(fact: DataFrame, bins: Int = 12): DataFrame = {
+    val r = fact.agg(min("o_totalprice"), max("o_totalprice")).first()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val bucket =
+      if (mx > mn)
+        least(floor((col("o_totalprice") - lit(mn)) / lit((mx - mn) / bins)),
+          lit(bins - 1L)).cast("long")
+      else lit(0L)
+    fact.groupBy(bucket.as("bucket"))
+      .agg(count("o_orderkey").as("count"))
+      .orderBy("bucket")
+  }
+
+  /** gold_monthly_growth (reference :155-169): month-over-month revenue
+    * delta via lag over the 1-partition month sequence (tiny by
+    * construction — #months rows). */
+  def monthlyGrowth(caMonthly: DataFrame): DataFrame = {
+    val w = Window.orderBy("mois")
+    caMonthly
+      .withColumn("prev_ca", lag("ca", 1).over(w))
+      .withColumn("growth_abs", round(col("ca") - col("prev_ca"), 2))
+      .withColumn("growth_pct",
+        when(col("prev_ca").isNull || col("prev_ca") === 0, lit(null))
+          .otherwise(round((col("ca") - col("prev_ca")) / col("prev_ca"), 6)))
+      .orderBy("mois")
+  }
+
+  /** KPI global aggregate (reference serving_api/repository.py:45-66):
+    * total revenue, purchase count, distinct clients, average basket.
+    * Exact countDistinct like the reference's `$addToSet` (client
+    * cardinality ≪ data size; switch to approx_count_distinct only if the
+    * key itself is ~rowcount). */
+  def kpis(fact: DataFrame): DataFrame =
+    fact.agg(
+      moneySum(col("o_totalprice")).as("ca_total"),
+      count("o_orderkey").as("nb_achats"),
+      countDistinct("o_custkey").as("nb_clients"))
+      .select(col("ca_total"), col("nb_achats"), col("nb_clients"),
+        round(col("ca_total") / col("nb_achats"), 2).as("panier_moyen"))
+
+  /** Top-K clients by lifetime spend (reference scripts/dashboard.py:165,
+    * W3/O2/O4). Global top-k = TakeOrderedAndProject — no full sort. */
+  def topClients(fact: DataFrame, k: Int = 20): DataFrame =
+    fact.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"),
+        count("o_orderkey").as("total_orders"))
+      .orderBy(desc("total_spend"), col("c_custkey"))
+      .limit(k)
+
+  /** Top-K at-risk clients: multi-key mixed-direction sort over scores
+    * (reference scripts/dashboard.py:196-197, O3). */
+  def topRiskClients(scored: DataFrame, k: Int = 20): DataFrame =
+    scored
+      .select("c_custkey", "value_at_risk_12m", "recency_days", "monetary_12m")
+      .orderBy(desc("value_at_risk_12m"), desc("recency_days"), col("c_custkey"))
+      .limit(k)
+
+  /** Repeat-purchase rate (reference scripts/train_predictor.py:321, A15):
+    * share of purchasing clients with >1 order. */
+  def repeatRate(fact: DataFrame): DataFrame =
+    fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
+      .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
+}

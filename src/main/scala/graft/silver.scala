@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Silver-layer cleaning operators (reference:
+  * flows_spark/silver_transformation_spark.py, flows/silver_transformation.py).
+  *
+  * The reference cleans `clients`/`achats`; here the same rules run over
+  * `customer`/`orders`. Each rule is a composable DataFrame => DataFrame
+  * stage. Divergences resolved per SURVEY §7: deterministic keep-first
+  * dedup via row_number (the reference's dropDuplicates keeps an arbitrary
+  * row), orphan filtering via left_semi join instead of the reference's
+  * collect-to-driver id set (flows_spark/silver_transformation_spark.py:91)
+  * — no driver round-trip, scales to any dim size.
+  */
+object Silver {
+
+  /** Reference date bound (reference MIN_VALID_DATE 2000-01-01,
+    * flows/silver_transformation.py:9 — widened to cover the 1995-epoch
+    * test data; the predicate shape is the spec). */
+  val MinDate = "1990-01-01"
+
+  /** Amount bounds (reference: 0 < montant ≤ 10_000,
+    * flows_spark/silver_transformation_spark.py:69 — bound scaled for
+    * o_totalprice's range). */
+  val MaxAmount: Double = Gold.MaxAmount
+
+  /** Cleaned orders: not-null keys/date/amount (P3), date floor (P4),
+    * amount range (P5), deterministic keep-first dedup by key (P8),
+    * referential integrity vs customer (J4 as left_semi). */
+  def cleanOrders(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(col("o_orderdate"), col("o_custkey"))
+    orders
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
+        col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .filter(col("o_orderdate") >= lit(MinDate).cast("timestamp"))
+      .filter(col("o_totalprice") > 0 && col("o_totalprice") <= MaxAmount)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .join(customer.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** Cleaned customers: trim (F1), initcap normalization (F3), string
+    * contains guard (P6 analog — c_name must contain '#'), not-null key,
+    * keep-first dedup. */
+  def cleanCustomers(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_custkey").orderBy(col("c_name"))
+    customer
+      .filter(col("c_custkey").isNotNull)
+      .withColumn("c_name", trim(col("c_name")))
+      .withColumn("c_mktsegment", initcap(lower(trim(col("c_mktsegment")))))
+      .filter(col("c_name").contains("#"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Quality counters (reference silver quality dicts,
+    * flows/silver_transformation.py:58-98): per-rule would-drop counts in a
+    * single aggregation pass — the reference runs one `df.count()` action
+    * per rule (flows_spark/silver_transformation_spark.py:28,45,50,75),
+    * i.e. re-executes the plan N times; this is one pass. Orphan count via
+    * a left_anti join, combined by a 1×1 cross join. */
+  def qualityCounters(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val base = orders.agg(
+      count(lit(1)).as("initial_rows"),
+      sum(when(col("o_orderkey").isNull || col("o_custkey").isNull ||
+        col("o_orderdate").isNull || col("o_totalprice").isNull, 1L)
+        .otherwise(0L)).as("dropped_missing"),
+      sum(when(col("o_orderdate") < lit(MinDate).cast("timestamp"), 1L)
+        .otherwise(0L)).as("dropped_invalid_date"),
+      sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > MaxAmount, 1L)
+        .otherwise(0L)).as("dropped_bad_amount"))
+    val orphans = orders.join(customer.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("dropped_orphan_client"))
+    base.crossJoin(orphans)
+  }
+}

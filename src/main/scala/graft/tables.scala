@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders + schema validation for the driver test star schema.
+  *
+  * Mirrors the reference's fail-fast `_validate_columns`
+  * (reference: flows/silver_transformation.py:25-28,
+  * flows_spark/silver_transformation_spark.py:21-24) but with the
+  * validation applied at load time against explicit required-column
+  * lists, rather than schema inference (the reference infers CSV schema,
+  * flows_spark/bronze_ingestion_spark.py:24-25 — we read typed parquet).
+  */
+object Tables {
+
+  val required: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label")
+  )
+
+  /** Fail-fast column validation (≙ reference `_validate_columns`). */
+  def requireColumns(df: DataFrame, cols: Seq[String], table: String): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"table '$table' missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy conf) and convert to a
+    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies when
+    * casting its TIMESTAMP_NS to TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer `div` (not `/`): nanos ~1.7e18 exceed double's 53-bit
+      // mantissa, a float division would wobble by microseconds
+      df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // ---- deterministic money arithmetic -------------------------------------
+  // All source money columns carry exactly 2 decimal places. Summing them as
+  // doubles is partition-order-dependent in the last ulps, which breaks
+  // bit-exact cross-engine comparison (Spark vs the DuckDB oracle) and is
+  // nondeterministic at 1000-executor scale. We aggregate exact integer
+  // cents (long) instead — deterministic in any summation order — and
+  // divide once at the end. The same `sum(round(x*100)::bigint)/100.0`
+  // shape is used in every oracle SQL.
+
+  /** Exact cents of a 2-decimal money column. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Order-independent exact money sum (returns double with 2dp value). */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** SQL twin of [[moneySum]] for DuckDB oracles. */
+  def moneySumSql(col: String): String = s"sum(CAST(round($col*100) AS BIGINT))/100.0"
+}
