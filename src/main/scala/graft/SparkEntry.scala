@@ -144,7 +144,27 @@ object SparkEntry {
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("heure"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-        .orderBy("heure", "event_type"))
+        .orderBy("heure", "event_type")),
+    // same aggregate as a Structured Streaming job (watermark + window +
+    // memory sink), checked against the same oracle
+    "events_stream" -> ((s, d) => Streams.eventsHourlyStreamed(s, d)),
+
+    // -- LLM-pipeline extension: dedup / text analysis (SURVEY §2.10) --
+    "dedup_exact" -> ((s, d) => Llm.dedupExact(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => Llm.dedupMinhash(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Llm.dedupSimhash(Tables.documents(s, d))),
+    "dedup_ngram" -> ((s, d) => Llm.dedupNgram(Tables.documents(s, d))),
+    "text_stats" -> ((s, d) => Llm.textStats(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
+
+    // -- similarity search over embeddings --
+    "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
+    "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
+
+    // -- multimodal binary-column plumbing (decode stubbed, see module) --
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -315,6 +335,94 @@ object SparkEntry {
     "events_hourly" -> """
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
-      FROM events GROUP BY 1, 2 ORDER BY heure, event_type"""
+      FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    "events_stream" -> """
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    "dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY text ORDER BY doc_id""",
+
+    "dedup_ngram" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b,
+              round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+      SELECT doc_a AS doc_id, doc_b AS best_match, jaccard
+      FROM j
+      QUALIFY row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) = 1
+      ORDER BY doc_id""",
+
+    "text_stats" -> """
+      WITH s AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords
+        FROM documents),
+      s2 AS (
+        SELECT *,
+          round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+          round(n_stopwords * 1.0 / greatest(n_words, 1), 6) AS stopword_ratio,
+          round(n_letters * 1.0 / greatest(n_words, 1), 6) AS avg_word_len
+        FROM s)
+      SELECT *,
+        (4000 * least(n_words, 100)
+         + least((1500000 * n_stopwords) // greatest(n_words, 1), 300000)
+         + (300000 - least((3000000 * n_punct) // greatest(n_chars, 1), 300000))
+        ) / CAST(1000000 AS DOUBLE) AS quality_score
+      FROM s2 ORDER BY doc_id""",
+
+    "lang_id" -> """
+      WITH h AS (
+        SELECT doc_id, lang,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|in|to)\b')) AS BIGINT) AS en_hits,
+          CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS BIGINT) AS fr_hits,
+          CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS BIGINT) AS de_hits,
+          CAST(len(regexp_extract_all(lower(text), '\b(el|los|que|una|es)\b')) AS BIGINT) AS es_hits,
+          CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS zh_hits
+        FROM documents),
+      h2 AS (
+        SELECT *,
+          CASE WHEN zh_hits > 0 THEN 'zh'
+               WHEN fr_hits > en_hits AND fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+               WHEN de_hits > en_hits AND de_hits >= es_hits THEN 'de'
+               WHEN es_hits > en_hits THEN 'es'
+               ELSE 'en' END AS lang_pred
+        FROM h)
+      SELECT *, (lang_pred = lang) AS is_correct FROM h2 ORDER BY doc_id""",
+
+    "knn_bruteforce" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 10),
+      s AS (SELECT probe_id, e.vec_id AS neighbor_id,
+              round(list_cosine_similarity(pemb, emb), 6) AS sim
+            FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT probe_id, neighbor_id, rank, sim FROM r
+      WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    "media_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming extension (SURVEY §2.8 — the reference is
+  * batch-only; the `events` table makes event-time windowed aggregation a
+  * first-class extension here).
+  *
+  * The same tumbling-hour aggregate as the batch `events_hourly` query,
+  * expressed as a streaming job: parquet file source → event-time window
+  * + watermark → stateful aggregation → sink. In production the source
+  * would be Kafka/files-arriving and the sink a table/topic; for the
+  * correctness gate we drive it with Trigger.AvailableNow over the static
+  * parquet and materialize via the memory sink, so the result is exactly
+  * comparable to the batch oracle.
+  */
+object Streams {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Raw events stream over the test parquet (nanos ts → TIMESTAMP_NTZ,
+    * same conversion as Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val static = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.readStream
+      .schema(static.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // keep TimestampType (not NTZ): watermarks require an instant-typed
+    // event time; the session runs UTC so wall-clock values are unchanged
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Tumbling 1-hour event-time aggregation with a watermark. Watermark is
+    * a no-op under complete output but defines the late-data contract the
+    * production append-mode job would have. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("heure"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Run the streaming hourly aggregate to completion over the static
+    * events parquet and return the materialized result — the streaming
+    * twin of the batch `events_hourly` query, checked against the same
+    * DuckDB oracle. */
+  def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_events_stream_${runId.incrementAndGet()}"
+    val q = hourlyAgg(eventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("heure", "event_type")
+  }
+}

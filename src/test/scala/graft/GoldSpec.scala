@@ -1,0 +1,157 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit semantics of the silver/gold/serving operators on tiny literal
+  * frames — the edge rules the reference implies (keep-first dedup, orphan
+  * filtering, null-division guards, first-match-wins segmentation, bounds).
+  */
+class GoldSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val orderSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+
+  private def ordersDf(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), orderSchema)
+
+  private val custSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def custDf(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), custSchema)
+
+  test("silver cleanOrders: drops nulls, bad dates, bad amounts, orphans; keep-first dedup") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 50.0, ts("2020-01-02 00:00:00"), "1-URGENT"),
+      Row(1L, 11L, "O", 60.0, ts("2020-01-01 00:00:00"), "1-URGENT"), // dup key, earlier date wins
+      Row(2L, 10L, "O", -5.0, ts("2020-01-03 00:00:00"), "2-HIGH"), // bad amount
+      Row(3L, 10L, "O", 10.0, ts("1980-01-01 00:00:00"), "2-HIGH"), // date < floor
+      Row(4L, null, "O", 10.0, ts("2020-01-04 00:00:00"), "2-HIGH"), // null key
+      Row(5L, 99L, "O", 10.0, ts("2020-01-05 00:00:00"), "2-HIGH"), // orphan
+      Row(6L, 10L, "O", 10.0, null, "2-HIGH"))) // null date
+    val cust = custDf(Seq(Row(10L, "Customer#10", 1, 0.0, "BUILDING"),
+      Row(11L, "Customer#11", 1, 0.0, "BUILDING")))
+    val out = Silver.cleanOrders(orders, cust).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // keep-first by (o_orderdate, o_custkey): the 2020-01-01 row survives
+    assert(out.head.getLong(1) == 11L)
+  }
+
+  test("silver cleanCustomers: trim + initcap + contains guard") {
+    val cust = custDf(Seq(
+      Row(1L, "  Customer#1  ", 1, 0.0, "  BUILDING "),
+      Row(2L, "no hash here", 1, 0.0, "AUTOMOBILE"),
+      Row(3L, null, 1, 0.0, "MACHINERY")))
+    val out = Silver.cleanCustomers(cust).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "Customer#1")
+    assert(out.head.getString(4) == "Building")
+  }
+
+  test("qualityCounters: one row, per-rule would-drop counts") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 50.0, ts("2020-01-02 00:00:00"), "1-URGENT"),
+      Row(2L, 10L, "O", -5.0, ts("2020-01-03 00:00:00"), "2-HIGH"),
+      Row(3L, 99L, "O", 10.0, ts("2020-01-05 00:00:00"), "2-HIGH"),
+      Row(4L, null, "O", 10.0, ts("2020-01-04 00:00:00"), "2-HIGH")))
+    val cust = custDf(Seq(Row(10L, "Customer#10", 1, 0.0, "BUILDING")))
+    val r = Silver.qualityCounters(orders, cust).collect().head
+    assert(r.getAs[Long]("initial_rows") == 4L)
+    assert(r.getAs[Long]("dropped_missing") == 1L)
+    assert(r.getAs[Long]("dropped_bad_amount") == 1L)
+    assert(r.getAs[Long]("dropped_orphan_client") == 2L) // orphan 99 + null key
+  }
+
+  test("buildFact: left join keeps orphans as 'Inconnu', derives jour/mois/annee") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 50.0, ts("2020-03-15 10:30:00"), "1-URGENT"),
+      Row(2L, 99L, "O", 60.0, ts("2020-04-01 00:00:00"), "1-URGENT")))
+    val cust = custDf(Seq(Row(10L, "Customer#10", 7, 0.0, "BUILDING")))
+    val nation = spark.createDataFrame(Seq((7, "FRANCE"))).toDF("n_nationkey", "n_name")
+    val out = Gold.buildFact(orders, cust, nation).orderBy("o_orderkey").collect()
+    assert(out(0).getAs[String]("pays") == "FRANCE")
+    assert(out(1).getAs[String]("pays") == "Inconnu")
+    assert(out(0).getAs[String]("mois") == "2020-03")
+    assert(out(0).getAs[Long]("annee") == 2020L)
+    assert(out(0).getAs[java.sql.Date]("jour").toString == "2020-03-15")
+  }
+
+  test("dimClients: customers without orders get zero counts and horizon recency") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 100.0, ts("2020-06-01 00:00:00"), "1-URGENT"),
+      Row(2L, 10L, "O", 50.0, ts("2020-01-01 00:00:00"), "1-URGENT")))
+    val cust = custDf(Seq(Row(10L, "A", 1, 0.0, "B"), Row(20L, "B", 1, 0.0, "B")))
+    val li = spark.createDataFrame(Seq((1L, 5L), (1L, 6L), (2L, 5L)))
+      .toDF("l_orderkey", "l_partkey")
+    val ref = Gold.referenceDate(orders)
+    val out = Gold.dimClients(cust, orders, li, ref).orderBy("c_custkey").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("total_orders") == 2L)
+    assert(a.getAs[Double]("total_spend") == 150.0)
+    assert(a.getAs[Double]("avg_order_value") == 75.0)
+    assert(a.getAs[Long]("product_count") == 2L)
+    assert(a.getAs[Long]("recency_days") == 0L)
+    assert(a.getAs[Long]("tenure_days") == 152L)
+    val b = out(1)
+    assert(b.getAs[Long]("total_orders") == 0L)
+    assert(b.getAs[Double]("total_spend") == 0.0)
+    assert(b.getAs[Double]("avg_order_value") == 0.0)
+    assert(b.getAs[Long]("recency_days") == Gold.HorizonDays.toLong)
+  }
+
+  test("scoreClients: segment clause order is first-match-wins") {
+    import spark.implicits._
+    val feats = Seq(
+      // high prob + high monetary => VIP (not Actifs, though it also matches)
+      (1L, 20L, 5000.0, 250.0, 10L, 5L, 300L, 20L, 5000.0, 250.0),
+      // low freq + stale => Dormants
+      (2L, 1L, 10.0, 10.0, 1L, 300L, 350L, 1L, 10.0, 10.0))
+      .toDF("c_custkey", "freq_12m", "monetary_12m", "monetary_avg_12m",
+        "product_diversity_12m", "recency_days", "tenure_days",
+        "total_orders_all", "total_spend_all", "avg_order_value_all")
+    val t = Gold.ScoreThresholds(freq75 = 10, freq95 = 18, mon75 = 1000,
+      mon95 = 4000, rec25 = 30, rec75 = 200, maxDiv = 10)
+    val out = Gold.scoreClients(feats, t).orderBy("c_custkey").collect()
+    assert(out(0).getAs[String]("segment_label") == "VIP")
+    assert(out(1).getAs[String]("segment_label") == "Dormants")
+    // prob weights: clipped freq 18/18=1 -> .45; rec 1-5/365 -> ~.2959;
+    // mon clipped 4000/4000 -> .15; div 10/10 -> .10
+    assert(math.abs(out(0).getAs[Double]("prob_reachat_12m") - 0.995890) < 1e-6)
+  }
+
+  test("referenceDate: fails fast on empty input (reference gold guard)") {
+    val empty = ordersDf(Seq())
+    intercept[IllegalArgumentException] { Gold.referenceDate(empty) }
+  }
+
+  test("monthlyGrowth: lag semantics with null/zero guard") {
+    import spark.implicits._
+    val cm = Seq(("2020-01", 100.0), ("2020-02", 150.0), ("2020-03", 0.0),
+      ("2020-04", 50.0)).toDF("mois", "ca")
+    val out = Serving.monthlyGrowth(cm).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("growth_pct"))) // no prev
+    assert(out(1).getAs[Double]("growth_pct") == 0.5)
+    assert(out(3).isNullAt(out(3).fieldIndex("growth_pct"))) // prev == 0
+  }
+
+  test("distribution: equal-width bins clamp max into last bucket") {
+    val orders = ordersDf((1 to 13).map(i =>
+      Row(i.toLong, 1L, "O", i * 10.0, ts("2020-01-01 00:00:00"), "X")))
+    val fact = orders // distribution only uses o_totalprice + o_orderkey
+    val out = Serving.distribution(fact).collect()
+    assert(out.map(_.getAs[Long]("count")).sum == 13L)
+    assert(out.last.getAs[Long]("bucket") == 11L)
+    assert(out.last.getAs[Long]("count") == 2L) // 120 and 130 share last bin
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the LLM-pipeline extension operators on literal docs. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("dedupExact: identical texts collapse to min doc_id with dup_count") {
+    val d = docs((1L, "hello world"), (2L, "hello world"), (3L, "other text"))
+    val out = Llm.dedupExact(d).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 1L)
+  }
+
+  test("minhash: identical docs are candidates with est_jaccard 1.0") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words make a completely different document here"))
+    val out = Llm.dedupMinhash(d).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_candidates") >= 1L)
+    assert(out(0).getAs[Double]("max_est_jaccard") == 1.0)
+    assert(out(2).getAs[Long]("n_candidates") == 0L)
+  }
+
+  test("simhash: identical docs share fingerprint; different docs differ") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight"))
+    val out = Llm.dedupSimhash(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("simhash") == out(1).getAs[Long]("simhash"))
+    assert(out(0).getAs[Long]("n_near") >= 1L)
+    assert(out(0).getAs[Long]("simhash") != out(2).getAs[Long]("simhash"))
+  }
+
+  test("dedupNgram: exact jaccard of identical docs is 1.0") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "a b c x y z"))
+    val out = Llm.dedupNgram(d).orderBy("doc_id").collect()
+    val best1 = out.find(_.getLong(0) == 1L).get
+    assert(best1.getAs[Long]("best_match") == 2L)
+    assert(best1.getAs[Double]("jaccard") == 1.0)
+    // doc3 shares exactly shingle "a b c" with 1 and 2: 1/(4+4-1)
+    val best3 = out.find(_.getLong(0) == 3L)
+    assert(best3.isEmpty || best3.get.getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("textStats: counts and integer-exact quality score") {
+    val d = docs((1L, "The cat and the dog. 42!"))
+    val r = Llm.textStats(d).collect().head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_stopwords") == 3L) // the, and, the
+    assert(r.getAs[Long]("n_punct") == 2L) // . and !
+    assert(r.getAs[Long]("n_tokens") == 8L) // 6 words + '.' + '!' ('42' is one, 'dog.'=2)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("langId: stopword heuristics pick each language; CJK wins outright") {
+    val d = Seq(
+      (1L, "the cat is in the house and of course", "en"),
+      (2L, "le chat et la maison des gens une fois", "fr"),
+      (3L, "der hund und die katze ist ein tier", "de"),
+      (4L, "el perro y los gatos que una casa es", "es"),
+      (5L, "这 是 中文 文本", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Llm.langId(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("lang_pred")).toSeq == Seq("en", "fr", "de", "es", "zh"))
+    assert(out.forall(_.getAs[Boolean]("is_correct")))
+  }
+
+  test("knnBruteforce: self excluded, k respected, identical vector ranks first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), // identical to probe 0
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Llm.knnBruteforce(e, nProbes = 1, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("probe_id") == 0L))
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
+    assert(out(0).getAs[Long]("neighbor_id") == 1L)
+    assert(out(0).getAs[Double]("sim") == 1.0)
+  }
+
+  test("knnLsh: identical vectors land in the same bucket and match") {
+    val e = (0L to 20L).map { i =>
+      val v = if (i <= 1) Array(1.0f, 2.0f, 3.0f, 4.0f)
+        else Array(i.toFloat, -i.toFloat, 1.0f + i, -2.0f * i)
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Llm.knnLsh(e, nProbes = 1, k = 5).collect()
+    assert(out.exists(r => r.getAs[Long]("probe_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("sim") == 1.0))
+  }
+
+  test("docFingerprint: identical docs produce identical fingerprint sets") {
+    val d = docs((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
+      (3L, "zyxwvutsrqponmlkjihgfedcba"))
+    val out = Llm.docFingerprint(d).collect()
+    assert(out(0).getAs[Long]("min_fp") == out(1).getAs[Long]("min_fp"))
+    assert(out(0).getAs[Int]("n_fingerprints") == out(1).getAs[Int]("n_fingerprints"))
+  }
+}

@@ -37,6 +37,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return r.sort_values(by=list(r.columns), kind="mergesort").reset_index(drop=True)
 
 fails = 0
+# spark-only outputs (no oracle SQL): the driver applies a weaker
+# rows-only check — mirror that here
+for d in sorted(os.listdir(out_dir)):
+    pdir = os.path.join(out_dir, d)
+    if not os.path.isdir(pdir) or d in oracle or (only and d not in only):
+        continue
+    try:
+        n = pq.read_table(pdir).num_rows
+        print(f"{'ok  ' if n > 0 else 'FAIL'} {d}: rows-only, {n} rows")
+        fails += 0 if n > 0 else 1
+    except Exception as e:
+        print(f"FAIL {d}: rows-only read error: {e}"); fails += 1
+
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
