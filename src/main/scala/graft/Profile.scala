@@ -22,12 +22,21 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.documents(spark, d)
-    time("signatures")(mat(Llm.minhashSignatures(docs)))
-    time("candidates")(mat(Llm.minhashCandidates(docs)))
-    time("dedupMinhash")(mat(Llm.dedupMinhash(docs)))
-    time("simhashDocs")(mat(Llm.simhashDocs(docs)))
-    time("dedupSimhash")(mat(Llm.dedupSimhash(docs)))
-    spark.stop()
+    args.drop(1) match {
+      case Array("explain", names @ _*) =>
+        names.foreach { n =>
+          println(s"========== $n ==========")
+          println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      case _ =>
+        val docs = Tables.documents(spark, d)
+        time("signatures")(mat(Llm.minhashSignatures(docs)))
+        time("candidates")(mat(Llm.minhashCandidates(docs)))
+        time("dedupMinhash")(mat(Llm.dedupMinhash(docs)))
+        time("simhashDocs")(mat(Llm.simhashDocs(docs)))
+        time("dedupSimhash")(mat(Llm.dedupSimhash(docs)))
+        spark.stop()
+    }
   }
 }

@@ -105,32 +105,36 @@ object Gold {
   }
 
   /** client_features (reference build_features, :84-122): trailing-365d
-    * RFM window metrics + all-time metrics per purchasing customer. */
+    * RFM window metrics + all-time metrics per purchasing customer.
+    *
+    * One conditional-aggregation pass computes both the windowed and the
+    * all-time metrics (the reference — and a naive port — runs two
+    * groupBys plus a distinct plus two joins over the same fact; this is
+    * a single shuffle on the customer key). Only the product-diversity
+    * metric needs a second shuffle, via the lineitem line grain. */
   def clientFeatures(orders: DataFrame, lineitem: DataFrame, ref: Any): DataFrame = {
     val o = validOrders(orders)
     val winStart = lit(ref) - expr(s"INTERVAL $HorizonDays DAYS")
-    val win = o.filter(col("o_orderdate") >= winStart)
+    val inWin = col("o_orderdate") >= winStart
 
-    val perWindow = win.groupBy(col("o_custkey").as("c_custkey")).agg(
-      count("o_orderkey").as("freq_12m"),
-      moneySum(col("o_totalprice")).as("monetary_12m"),
-      (sum(cents(col("o_totalprice"))) / 100.0 / count("o_orderkey")).as("monetary_avg_12m"),
-      max("o_orderdate").as("last_purchase"),
-      min("o_orderdate").as("first_purchase"))
+    val perCust = o.groupBy(col("o_custkey").as("c_custkey")).agg(
+      count(when(inWin, lit(1))).as("freq_12m"),
+      (sum(when(inWin, cents(col("o_totalprice")))) / 100.0).as("monetary_12m"),
+      (sum(when(inWin, cents(col("o_totalprice")))) / 100.0 /
+        count(when(inWin, lit(1)))).as("monetary_avg_12m"),
+      max(when(inWin, col("o_orderdate"))).as("last_purchase"),
+      min(when(inWin, col("o_orderdate"))).as("first_purchase"),
+      count("o_orderkey").as("total_orders_all"),
+      moneySum(col("o_totalprice")).as("total_spend_all"))
 
-    val diversity = win.join(lineitem.select("l_orderkey", "l_partkey"),
+    val diversity = o.filter(inWin)
+      .join(lineitem.select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("d_custkey"))
       .agg(countDistinct("l_partkey").as("product_diversity_12m"))
 
-    val perAll = o.groupBy(col("o_custkey").as("a_custkey")).agg(
-      count("o_orderkey").as("total_orders_all"),
-      moneySum(col("o_totalprice")).as("total_spend_all"))
-
-    o.select(col("o_custkey").as("c_custkey")).distinct()
-      .join(perWindow, Seq("c_custkey"), "left")
+    perCust
       .join(diversity, col("c_custkey") === col("d_custkey"), "left")
-      .join(perAll, col("c_custkey") === col("a_custkey"), "left")
       .select(
         col("c_custkey"),
         coalesce(col("freq_12m"), lit(0L)).as("freq_12m"),
