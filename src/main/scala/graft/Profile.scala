@@ -23,6 +23,26 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1) match {
+      case Array("sessions") =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val batch = Serving.eventSessions(Tables.events(spark, d))
+        val w = Window.partitionBy("user_id")
+        val closed = batch.withColumn("mx", max("session_seq").over(w))
+          .filter(col("session_seq") < col("mx"))
+        val streamed = Streams.eventSessionsStreamed(spark, d)
+        val b = closed.groupBy("user_id").count().withColumnRenamed("count", "nb")
+        val s = streamed.groupBy("user_id").count().withColumnRenamed("count", "ns")
+        val cmp = b.join(s, Seq("user_id"), "full").filter(
+          coalesce(col("nb"), lit(-1)) =!= coalesce(col("ns"), lit(-1)))
+        cmp.orderBy("user_id").show(30)
+        val u = cmp.select("user_id").collect().headOption.map(_.getLong(0))
+        u.foreach { uid =>
+          println(s"--- user $uid batch closed:")
+          closed.filter(col("user_id") === uid).orderBy("session_start").show(50, false)
+          println(s"--- user $uid streamed:")
+          streamed.filter(col("user_id") === uid).orderBy("session_start").show(50, false)
+        }
       case Array("explain", names @ _*) =>
         names.foreach { n =>
           println(s"========== $n ==========")

@@ -170,7 +170,16 @@ object SparkEntry {
 
     // -- multimodal binary-column plumbing (decode stubbed, see module) --
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
-    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(Tables.documents(s, d)))
+    "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(Tables.documents(s, d))),
+
+    // -- grouping sets / sessionization / export / ml extensions --
+    "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
+    "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
+    "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
+    "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
+    "kmeans_segments" -> ((s, d) => Ml.kmeansSegments(
+      Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
+        Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -429,6 +438,32 @@ object SparkEntry {
              WHEN doc_id % 3 = 1 THEN 'audio'
              ELSE 'video' END AS kind,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "ca_rollup" -> s"""
+      WITH f AS (
+        SELECT coalesce(n_name, 'Inconnu') AS pays,
+               strftime(o_orderdate, '%Y-%m') AS mois, o_totalprice
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE $V)
+      SELECT coalesce(pays, 'ALL') AS pays, coalesce(mois, 'ALL') AS mois,
+             ${ms("o_totalprice")} AS ca
+      FROM f GROUP BY ROLLUP(pays, mois) ORDER BY pays, mois""",
+
+    "event_sessions" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT user_id, ts, value,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM x),
+      z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y)
+      SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq"""
   )
 }

@@ -98,4 +98,59 @@ object Serving {
   def repeatRate(fact: DataFrame): DataFrame =
     fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
       .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
+
+  /** Country × month revenue with ROLLUP subtotals (grouping-sets
+    * extension — the reference computes the marginals as separate
+    * queries; one rollup pass yields all three grains). */
+  def caRollup(fact: DataFrame): DataFrame =
+    fact.rollup(col("pays"), col("mois"))
+      .agg(Tables.moneySum(col("o_totalprice")).as("ca"))
+      .select(coalesce(col("pays"), lit("ALL")).as("pays"),
+        coalesce(col("mois"), lit("ALL")).as("mois"), col("ca"))
+      .orderBy("pays", "mois")
+
+  /** JSON records export (reference S7,
+    * serving_mongo/publish_gold_to_mongo.py:76-81): one JSON object per
+    * row via the codegen'd to_json. */
+  def toJsonRecords(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("json"))
+
+  /** Dynamic sort-spec parsing (reference O5,
+    * serving_api/repository.py:15-23): "field:desc,other:asc" → sort
+    * columns; unknown direction falls back to asc like the reference. */
+  def parseSortSpec(spec: String): Seq[org.apache.spark.sql.Column] =
+    spec.split(",").toSeq.filter(_.nonEmpty).map { part =>
+      part.split(":") match {
+        case Array(f, "desc") => desc(f.trim)
+        case Array(f, _*) => asc(f.trim)
+      }
+    }
+
+  /** Batch event sessionization (streaming-adjacent extension): sessions
+    * split on >30 min inactivity per user. Two windows over the same
+    * (user_id, ts) partitioning — one shuffle total — then a hash
+    * aggregate on the derived session key. */
+  def eventSessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // gap test in exact microseconds: Spark's timestampdiff(SECOND)
+    // truncates the interval while DuckDB's date_diff counts boundary
+    // crossings — they disagree on sub-second-aligned gaps
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(CAST(session_end AS TIMESTAMP)) - unix_micros(CAST(session_start AS TIMESTAMP))) div 1000000"))
+      .select("user_id", "session_seq", "session_start", "session_end",
+        "duration_sec", "n_events", "total_value")
+      .orderBy("user_id", "session_seq")
+  }
 }

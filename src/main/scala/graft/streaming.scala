@@ -49,6 +49,72 @@ object Streams {
       .select(col("window.start").cast("timestamp_ntz").as("heure"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  // ------------------------------------------------- stateful sessionization
+
+  case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, duration_sec: Long, n_events: Long,
+      total_value: Double)
+
+  /** Custom streaming state machine via flatMapGroupsWithState: per-user
+    * 30-min-gap sessionization. Emits a session when the NEXT event opens
+    * a new one — i.e. only closed sessions; each user's final session
+    * stays in state (would emit on watermark timeout in a production
+    * append job). Events are sorted within each micro-batch before
+    * folding into state. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"), col("value"))
+      .as[SessionEvent]
+
+    def fold(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val evs = it.toSeq.sortBy(_.tsMicros)
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[ClosedSession]
+      for (e <- evs) {
+        if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+        else if (e.tsMicros - st.last > gapSeconds * 1000000L) {
+          out += close(userId, st)
+          st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+        } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  private def close(userId: Long, st: SessionState): ClosedSession =
+    ClosedSession(userId,
+      java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(st.start * 1000)),
+      java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(st.last * 1000)),
+      (st.last - st.start) / 1000000L, st.n,
+      math.round(st.sum * 100.0) / 100.0)
+
+  /** Run the streaming sessionizer over the static events parquet; returns
+    * the closed sessions. */
+  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_sessions_stream_${runId.incrementAndGet()}"
+    val q = sessionizeStream(eventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   /** Run the streaming hourly aggregate to completion over the static
     * events parquet and return the materialized result — the streaming
     * twin of the batch `events_hourly` query, checked against the same

@@ -39,6 +39,46 @@ class StreamsSpec extends SparkSpec {
     assert(again.map(_.mkString("|")).toSeq == rows.map(_.mkString("|")).toSeq)
   }
 
+  test("streamed sessionization emits exactly the batch sessions minus each user's open last session") {
+    import org.apache.spark.sql.Row
+    val batch = Serving.eventSessions(Tables.events(spark, sf))
+    // closed sessions = all but the max session_seq per user
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    // normalize timestamp rendering: batch carries TIMESTAMP_NTZ
+    // (LocalDateTime, 'T' separator), streamed java.sql.Timestamp
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("e"),
+        col("duration_sec"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "s")
+      .collect()
+    val closedBatch = canon(batch
+      .withColumn("max_seq", max("session_seq").over(w))
+      .filter(col("session_seq") < col("max_seq")))
+    def key(r: Row) = (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))
+    val streamed = canon(Streams.eventSessionsStreamed(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed.map(key).toSeq == closedBatch.map(key).toSeq)
+  }
+
+  test("parseSortSpec: desc/asc/garbage directions") {
+    val cols = Serving.parseSortSpec("a:desc,b:asc,c:bogus,d")
+    assert(cols.map(_.toString) == Seq("a DESC NULLS LAST", "b ASC NULLS FIRST",
+      "c ASC NULLS FIRST", "d ASC NULLS FIRST"))
+  }
+
+  test("kmeans segmentation: k clusters, deterministic under a fixed seed") {
+    val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))
+    val a = Ml.kmeansSegments(feats).collect()
+    val b = Ml.kmeansSegments(feats).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.getAs[Long]("cluster")).distinct.length <= 5)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("media catalog kinds are assigned deterministically by doc_id") {
     val kinds = Multimodal.mediaCatalog(Tables.documents(spark, sf))
       .collect().map(r => r.doc_id % 3 match {
