@@ -267,11 +267,19 @@ object Llm {
 
   // ----------------------------------------------------- similarity search
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def cosine(a: Column, b: Column): Column =
+  /** Built-in-composed cosine (kept as the reference formulation; the
+    * native expression below is bit-identical — see LlmSpec). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Hot-path cosine: fused codegen'd loop (graft.functions.CosineSimilarity)
+    * — same accumulation order as the HOF form, ~one array traversal
+    * instead of three interpreted folds. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: every probe scored against every vector.
     * Correctness baseline — O(P·N); the scale path is [[knnLsh]].

@@ -109,6 +109,20 @@ class LlmSpec extends SparkSpec {
       r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("sim") == 1.0))
   }
 
+  test("native CosineSimilarity is bit-identical to the HOF composition") {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val paired = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+      .select(cosine_sim(col("a.emb"), col("b.emb")).as("native"),
+        Llm.cosineHof(col("a.emb"), col("b.emb")).as("hof"))
+    assert(paired.filter(col("native") =!= col("hof")).count() == 0L)
+    // and through the SQL/codegen path end-to-end
+    val r = paired.agg(min("native"), max("native")).first()
+    assert(r.getDouble(0) >= -1.0000001 && r.getDouble(1) <= 1.0000001)
+  }
+
   test("docFingerprint: identical docs produce identical fingerprint sets") {
     val d = docs((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
       (3L, "zyxwvutsrqponmlkjihgfedcba"))
