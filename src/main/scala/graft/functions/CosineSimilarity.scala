@@ -88,4 +88,9 @@ object CosineSimilarity {
   /** Column wrapper: `cosine_sim(a, b)`. */
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Make `cosine_sim` callable from SQL text. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -35,6 +35,21 @@ object Tables {
     df
   }
 
+  /** CSV scan with an explicit schema (S1) — the reference infers
+    * (flows_spark/bronze_ingestion_spark.py:24-25); we declare, which is
+    * both the fail-fast and the at-scale choice (schema inference reads
+    * the data twice). PERMISSIVE mode nulls malformed fields, matching
+    * the silver layer's `errors="coerce"` semantics (P2). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, table: String): DataFrame = {
+    val df = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    requireColumns(df, schema.fieldNames.toSeq, table)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     required.get(name).map(requireColumns(df, _, name)).getOrElse(df)

@@ -31,6 +31,29 @@ class GoldSpec extends SparkSpec {
   private def custDf(rows: Seq[Row]): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows), custSchema)
 
+  test("csv source: explicit schema, header, malformed fields coerced to null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "orders.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("o_orderkey,o_custkey,o_totalprice,o_orderdate")
+    w.println("1,10,99.5,2020-01-02 00:00:00")
+    w.println("2,11,not_a_number,2020-01-03 00:00:00")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("o_orderdate", TimestampType)))
+    val df = Tables.readCsv(spark, f.getAbsolutePath, schema, "orders_csv")
+    val rows = df.orderBy("o_orderkey").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 99.5)
+    assert(rows(1).isNullAt(2)) // "not_a_number" coerced to null, row kept
+    // missing-column validation fails fast
+    val bad = StructType(schema.fields :+ StructField("nope", LongType))
+    intercept[IllegalArgumentException] {
+      Tables.requireColumns(df, Seq("nope"), "orders_csv")
+    }
+  }
+
   test("silver cleanOrders: drops nulls, bad dates, bad amounts, orphans; keep-first dedup") {
     val orders = ordersDf(Seq(
       Row(1L, 10L, "O", 50.0, ts("2020-01-02 00:00:00"), "1-URGENT"),

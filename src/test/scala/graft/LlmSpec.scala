@@ -109,6 +109,13 @@ class LlmSpec extends SparkSpec {
       r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("sim") == 1.0))
   }
 
+  test("cosine_sim registered as a SQL function") {
+    graft.functions.CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s").first()
+    assert(r.getDouble(0) == 1.0)
+  }
+
   test("native CosineSimilarity is bit-identical to the HOF composition") {
     import graft.functions.CosineSimilarity.cosine_sim
     val e = Tables.embeddings(spark, sf)
