@@ -168,6 +168,19 @@ class GoldSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("growth_pct"))) // prev == 0
   }
 
+  test("pipeline: full medallion flow writes silver + 13 gold tables, invariants hold") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val res = Pipeline.run(spark, sf, out)
+    assert(res.rows.size == 13)
+    assert(res.rows.values.forall(_ > 0))
+    assert(res.quality("initial_rows") == 1500L)
+    Pipeline.checkGold(spark, out)
+    // fact sink is partitioned by year → directory per annee
+    val factDirs = new java.io.File(s"$out/gold/fact_achats").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(factDirs.nonEmpty && factDirs.forall(_.startsWith("annee=")))
+  }
+
   test("distribution: equal-width bins clamp max into last bucket") {
     val orders = ordersDf((1 to 13).map(i =>
       Row(i.toLong, 1L, "O", i * 10.0, ts("2020-01-01 00:00:00"), "X")))
