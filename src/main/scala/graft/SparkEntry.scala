@@ -141,6 +141,7 @@ object SparkEntry {
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
     "gold_monthly_growth" -> ((s, d) => Serving.monthlyGrowth(Gold.caMonthly(fact(s, d)))),
     "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
+    "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
     "top_clients" -> ((s, d) => Serving.topClients(fact(s, d))),
     "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
     "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),

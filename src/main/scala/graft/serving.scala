@@ -76,6 +76,19 @@ object Serving {
       .select(col("ca_total"), col("nb_achats"), col("nb_clients"),
         round(col("ca_total") / col("nb_achats"), 2).as("panier_moyen"))
 
+  /** 100 TB variant of [[kpis]]: HyperLogLog++ distinct clients instead
+    * of exact countDistinct. Exact distinct shuffles every distinct key;
+    * the sketch is fixed-size per partition — the right trade once the
+    * key cardinality approaches the row count. Gated rows-only (approx
+    * values aren't oracle-reproducible). */
+  def kpisApprox(fact: DataFrame, rsd: Double = 0.01): DataFrame =
+    fact.agg(
+      moneySum(col("o_totalprice")).as("ca_total"),
+      count("o_orderkey").as("nb_achats"),
+      approx_count_distinct("o_custkey", rsd).as("nb_clients_approx"))
+      .select(col("ca_total"), col("nb_achats"), col("nb_clients_approx"),
+        round(col("ca_total") / col("nb_achats"), 2).as("panier_moyen"))
+
   /** Top-K clients by lifetime spend (reference scripts/dashboard.py:165,
     * W3/O2/O4). Global top-k = TakeOrderedAndProject — no full sort. */
   def topClients(fact: DataFrame, k: Int = 20): DataFrame =
