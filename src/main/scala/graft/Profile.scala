@@ -23,6 +23,9 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1) match {
+      case Array("sql", query @ _*) =>
+        Catalog.registerTables(spark, d)
+        spark.sql(query.mkString(" ")).show(20, false)
       case Array("sessions") =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL surface (reference serving read path, SURVEY §3 entry point 3: the
+  * Flask/Mongo layer collapses to views + ORDER BY/LIMIT queries).
+  * Registers the test tables and, optionally, a Pipeline output's gold
+  * tables as temp views so every engine capability is reachable from
+  * `spark.sql(...)` text. */
+object Catalog {
+
+  /** Register the raw test tables (region…embeddings) as temp views.
+    * Goes through the typed accessors — `events` needs its nanos→micros
+    * conversion, a raw load fails on TIMESTAMP(NANOS). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+      "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    loaders.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(name)
+    }
+  }
+
+  /** Register every gold table written by [[Pipeline.run]] as a
+    * `gold_<name>` view. */
+  def registerGold(spark: SparkSession, outDir: String): Unit = {
+    val goldDir = new java.io.File(s"$outDir/gold")
+    require(goldDir.isDirectory, s"no gold dir at $goldDir — run Pipeline first")
+    goldDir.listFiles().filter(_.isDirectory).foreach { d =>
+      spark.read.parquet(d.getAbsolutePath)
+        .createOrReplaceTempView(s"gold_${d.getName.stripPrefix("gold_")}")
+    }
+    graft.functions.CosineSimilarity.register(spark)
+  }
+
+  /** The reference API's `fetch_collection` shape
+    * (serving_api/repository.py:26-42): view + dynamic sort + limit; fails
+    * like the API's 503 when the collection is empty. */
+  def fetchCollection(spark: SparkSession, view: String, sortSpec: String = "",
+      limit: Int = 5000): DataFrame = {
+    val df = spark.table(view)
+    require(!df.isEmpty, s"collection '$view' is empty")
+    val sorted = if (sortSpec.isEmpty) df else df.orderBy(Serving.parseSortSpec(sortSpec): _*)
+    sorted.limit(limit)
+  }
+}

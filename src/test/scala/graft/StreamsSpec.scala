@@ -79,6 +79,32 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("catalog: tables as views, SQL text end-to-end, fetchCollection contract") {
+    Catalog.registerTables(spark, sf)
+    val top = spark.sql(
+      """SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS spend
+        |FROM orders GROUP BY 1 ORDER BY spend DESC LIMIT 5""".stripMargin).collect()
+    assert(top.length == 5)
+    val fetched = Catalog.fetchCollection(spark, "customer", "c_acctbal:desc", 10).collect()
+    assert(fetched.length == 10)
+    assert(fetched(0).getAs[Double]("c_acctbal") >= fetched(9).getAs[Double]("c_acctbal"))
+    spark.emptyDataFrame.createOrReplaceTempView("empty_view")
+    intercept[IllegalArgumentException] {
+      Catalog.fetchCollection(spark, "empty_view")
+    }
+  }
+
+  test("catalog: gold views over a pipeline output + SQL cosine_sim") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    Pipeline.run(spark, sf, out)
+    Catalog.registerGold(spark, out)
+    val months = spark.sql("SELECT mois, ca FROM gold_ca_monthly ORDER BY mois").collect()
+    assert(months.nonEmpty)
+    val sim = spark.sql(
+      "SELECT cosine_sim(array(1.0d,2.0d), array(2.0d,4.0d)) AS s").first().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
   test("media catalog kinds are assigned deterministically by doc_id") {
     val kinds = Multimodal.mediaCatalog(Tables.documents(spark, sf))
       .collect().map(r => r.doc_id % 3 match {
