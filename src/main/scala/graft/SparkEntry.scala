@@ -168,6 +168,9 @@ object SparkEntry {
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
+    "knn_ivf" -> ((s, d) => Ml.knnIvf(Tables.embeddings(s, d))),
+    // streaming exact dedup over a deliberately doubled stream
+    "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
 
     // -- multimodal binary-column plumbing (decode stubbed, see module) --
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),

@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
   * this is gated rows-only + by ScalaTest determinism checks (same
   * session ⇒ same assignment), not by the DuckDB oracle. */
 object Ml {
+  import org.apache.spark.sql.expressions.Window
+
+  /** IVF-style approximate nearest neighbor (the third ANN tier next to
+    * Llm.knnBruteforce / Llm.knnLsh): KMeans coarse quantizer → vectors
+    * bucketed by nearest centroid → probes scored only inside their
+    * `nprobe` nearest cells. The centroid list is a driver-folded literal
+    * (same two-phase shape as the scoring thresholds); cell assignment
+    * and probing are fully distributed. */
+  def knnIvf(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 2, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("fv", array_to_vector(col("emb")))
+    val model = new MlKMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("emb"), col("cell"))
+
+    val centroids = typedlit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    // nprobe nearest cells per probe: squared-L2 to each centroid, sort
+    val cellDists = transform(sequence(lit(0), lit(nlist - 1)), ci =>
+      struct(
+        aggregate(zip_with(col("emb"), element_at(centroids, ci + 1),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (a, v) => a + v).as("d"),
+        ci.as("idx")))
+    val probeCells = transform(slice(array_sort(cellDists), 1, nprobe), s => s("idx"))
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+        explode(probeCells).as("cell"))
+
+    probes.join(assigned, Seq("cell")).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarity.cosine_sim(col("pemb"), col("emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
 
   def kmeansSegments(features: DataFrame, k: Int = 5, seed: Long = 42): DataFrame = {
     val assembler = new VectorAssembler()

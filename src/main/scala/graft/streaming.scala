@@ -100,6 +100,32 @@ object Streams {
       (st.last - st.start) / 1000000L, st.n,
       math.round(st.sum * 100.0) / 100.0)
 
+  /** Streaming exact dedup by event_id with watermark-bounded state
+    * (dropDuplicatesWithinWatermark): late duplicates beyond the
+    * watermark age out of state instead of growing it forever — the
+    * streaming twin of the batch exact-dedup operator. */
+  def eventsDedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run the streaming dedup over a doubled event stream (every file read
+    * twice) and return the surviving rows — proves duplicate suppression
+    * across the stream. */
+  def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_dedup_stream_${runId.incrementAndGet()}"
+    val src = eventsStream(spark, dir)
+    val q = eventsDedupStream(src.union(src))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_id")
+  }
+
   /** Run the streaming sessionizer over the static events parquet; returns
     * the closed sessions. */
   def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {

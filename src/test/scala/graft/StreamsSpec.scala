@@ -79,6 +79,29 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("streaming dedup suppresses duplicates from a doubled stream") {
+    val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    val streamed = Streams.eventsDedupStreamed(spark, sf)
+    assert(streamed.count() == batchDistinct)
+    assert(streamed.select("event_id").distinct().count() == batchDistinct)
+  }
+
+  test("knn_ivf: probes return ranked neighbors from probed cells; deterministic per session") {
+    val e = Tables.embeddings(spark, sf)
+    val a = Ml.knnIvf(e).collect()
+    val b = Ml.knnIvf(e).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Long]("rank") <= 5L))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // ivf recall sanity vs brute force: top-1 neighbors should overlap
+    val bf = Llm.knnBruteforce(e).filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf1 = a.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val overlap = ivf1.count { case (p, n) => bf.get(p).contains(n) }
+    assert(overlap >= 1) // approximate: some top-1 agreement expected
+  }
+
   test("catalog: tables as views, SQL text end-to-end, fetchCollection contract") {
     Catalog.registerTables(spark, sf)
     val top = spark.sql(
