@@ -40,7 +40,9 @@ object SparkEntry {
     // second, and three queries share the chain
     val feats = Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
       Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).cache()
-    Gold.scoreClients(feats, Gold.scoreThresholds(feats))
+    // scored is consumed by client_scores, segment_summary and
+    // top_risk_clients — same canonical plan, one cached copy
+    Gold.scoreClients(feats, Gold.scoreThresholds(feats)).cache()
   }
 
   /** Shared oracle CTE prologue: valid orders, reference date, trailing
