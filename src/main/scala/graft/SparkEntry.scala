@@ -145,6 +145,7 @@ object SparkEntry {
     "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
     "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
     "top_clients" -> ((s, d) => Serving.topClients(fact(s, d))),
+    "client_deciles" -> ((s, d) => Serving.clientDeciles(fact(s, d))),
     "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
     "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),
 
@@ -343,6 +344,15 @@ object SparkEntry {
              count(o_orderkey) AS total_orders
       FROM orders WHERE $V GROUP BY 1
       ORDER BY total_spend DESC, c_custkey LIMIT 20""",
+
+    "client_deciles" -> s"""
+      WITH pc AS (SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend
+                  FROM orders WHERE $V GROUP BY 1),
+      d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS decile
+            FROM pc)
+      SELECT decile, count(*) AS clients, round(sum(total_spend), 2) AS ca,
+             min(total_spend) AS min_spend, max(total_spend) AS max_spend
+      FROM d GROUP BY 1 ORDER BY decile""",
 
     "top_risk_clients" -> s"""$scoredCte
       SELECT c_custkey, value_at_risk_12m, recency_days, monetary_12m

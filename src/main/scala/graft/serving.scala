@@ -112,6 +112,27 @@ object Serving {
     fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
       .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
 
+  /** Client value deciles (ranking-window family): ntile(10) over
+    * lifetime spend with a unique tiebreaker, then per-decile rollup.
+    * A global ntile needs a single-partition window — acceptable because
+    * its input is the already-aggregated per-client frame, not the fact
+    * table; at extreme client counts the percentile-threshold approach
+    * (A9) replaces it. */
+  def clientDeciles(fact: DataFrame): DataFrame = {
+    val perClient = fact.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    perClient
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("total_spend"), col("c_custkey")))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("clients"),
+        round(sum("total_spend"), 2).as("ca"),
+        min("total_spend").as("min_spend"),
+        max("total_spend").as("max_spend"))
+      .orderBy("decile")
+  }
+
   /** Country × month revenue with ROLLUP subtotals (grouping-sets
     * extension — the reference computes the marginals as separate
     * queries; one rollup pass yields all three grains). */
