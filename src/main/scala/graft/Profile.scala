@@ -26,6 +26,18 @@ object Profile {
       case Array("sql", query @ _*) =>
         Catalog.registerTables(spark, d)
         spark.sql(query.mkString(" ")).show(20, false)
+      case Array("skew") =>
+        import org.apache.spark.sql.functions._
+        // hot-key demo over real data: salted vs direct revenue by country
+        val fact = Gold.buildFact(Tables.orders(spark, d),
+          Tables.customer(spark, d), Tables.nation(spark, d))
+        val direct = fact.groupBy("pays")
+          .agg(sum(Tables.cents(col("o_totalprice"))).as("sum"),
+            count(lit(1)).as("sum_count"))
+        val salted = Skew.saltedSum(fact, "pays", Tables.cents(col("o_totalprice")))
+        val diff = direct.join(salted, Seq("pays"))
+          .filter(direct("sum") =!= salted("sum")).count()
+        println(s"[profile] salted-vs-direct mismatches: $diff (rows ${salted.count()})")
       case Array("sessions") =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._

@@ -182,6 +182,7 @@ object SparkEntry {
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
+    "event_sessions_native" -> ((s, d) => Serving.eventSessionsNative(Tables.events(s, d))),
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
     "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
     "kmeans_segments" -> ((s, d) => Ml.kmeansSegments(
@@ -480,6 +481,22 @@ object SparkEntry {
       SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
              CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
              count(*) AS n_events, round(sum(value), 2) AS total_value
-      FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq"""
+      FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    // session_window starts a new session when the gap >= 30 min (vs the
+    // lag variant's strict >); the oracle mirrors that with >=
+    "event_sessions_native" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT user_id, ts, value,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM x),
+      z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM z GROUP BY user_id, session_seq ORDER BY user_id, session_start"""
   )
 }

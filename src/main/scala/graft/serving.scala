@@ -112,6 +112,22 @@ object Serving {
     fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
       .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
 
+  /** Native gap-based sessionization via Spark's session_window — same
+    * sessions as [[eventSessions]] (boundary differs only when a gap
+    * equals exactly 30:00.000000), expressed as a groupBy instead of two
+    * windows: partial session merging happens map-side, so this is the
+    * shape that scales past the window-function variant. */
+  def eventSessionsNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(CAST(session_end AS TIMESTAMP)) - unix_micros(CAST(session_start AS TIMESTAMP))) div 1000000"))
+      .select("user_id", "session_start", "session_end", "duration_sec",
+        "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+
   /** Client value deciles (ranking-window family): ntile(10) over
     * lifetime spend with a unique tiebreaker, then per-decile rollup.
     * A global ntile needs a single-partition window — acceptable because
