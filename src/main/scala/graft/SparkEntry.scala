@@ -136,6 +136,11 @@ object SparkEntry {
     "ca_product" -> ((s, d) =>
       Gold.caProduct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
     "cohort_first_purchase" -> ((s, d) => Gold.cohort(fact(s, d))),
+    "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
+    "ca_region" -> ((s, d) => Gold.caRegion(Tables.orders(s, d), Tables.customer(s, d),
+      Tables.nation(s, d), Tables.region(s, d))),
+    "ca_supplier_nation" -> ((s, d) => Gold.caSupplierNation(Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d))),
 
     // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
@@ -306,6 +311,34 @@ object SparkEntry {
              ${ms("o_totalprice")} AS ca
       FROM o LEFT JOIN fp ON o.o_custkey = fp.o_custkey
       GROUP BY 1 ORDER BY first_purchase_month""",
+
+    "pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS sum_disc_price,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT))/1000000.0 AS sum_charge,
+             sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*) AS avg_qty,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+
+    "ca_region" -> s"""
+      SELECT coalesce(r_name, 'Inconnu') AS region, ${ms("o_totalprice")} AS ca
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      WHERE $V GROUP BY 1 ORDER BY ca DESC, region""",
+
+    "ca_supplier_nation" -> s"""
+      SELECT n_name AS supplier_nation, ${ms("l_extendedprice")} AS ca
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY ca DESC, supplier_nation""",
 
     "gold_daily" -> s"""
       SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca,

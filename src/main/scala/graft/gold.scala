@@ -257,6 +257,54 @@ object Gold {
       .agg(moneySum(col("l_extendedprice")).as("ca"))
       .orderBy(desc("ca"), col("produit"))
 
+  /** Line-grain pricing summary (TPC-H Q1 shape over the lineitem table):
+    * multi-aggregate scan with derived-expression sums. Derived money
+    * products are aggregated in exact scaled integers (4dp for
+    * price×(1−disc), 6dp with tax) — same determinism discipline as
+    * [[Tables.moneySum]]. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 1000000).cast("long")) / 1000000.0).as("sum_charge"),
+        (sum(cents(col("l_quantity"))) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by region — the full dimension chain
+    * orders ⟕ customer ⟕ nation ⟕ region (broadcast snowflake). */
+  def caRegion(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    validOrders(orders)
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy(coalesce(col("r_name"), lit("Inconnu")).as("region"))
+      .agg(moneySum(col("o_totalprice")).as("ca"))
+      .orderBy(desc("ca"), col("region"))
+
+  /** Revenue by supplier nation — line grain through the supplier dim. */
+  def caSupplierNation(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame =
+    lineitem.select("l_suppkey", "l_extendedprice")
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("supplier_nation"))
+      .agg(moneySum(col("l_extendedprice")).as("ca"))
+      .orderBy(desc("ca"), col("supplier_nation"))
+
   /** cohort_first_purchase (reference build_cohort, :213-220). Window-min
     * instead of the reference's groupBy+self-join — same result, one
     * shuffle fewer. */
