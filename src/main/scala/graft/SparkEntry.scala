@@ -177,6 +177,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => Ml.knnIvf(Tables.embeddings(s, d))),
+    "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
 
@@ -471,6 +472,19 @@ object SparkEntry {
       SELECT *, (lang_pred = lang) AS is_correct FROM h2 ORDER BY doc_id""",
 
     "knn_bruteforce" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 10),
+      s AS (SELECT probe_id, e.vec_id AS neighbor_id,
+              round(list_cosine_similarity(pemb, emb), 6) AS sim
+            FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT probe_id, neighbor_id, rank, sim FROM r
+      WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // same selection contract as knn_bruteforce — shared oracle shape
+    "knn_topk_agg" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 10),
       s AS (SELECT probe_id, e.vec_id AS neighbor_id,

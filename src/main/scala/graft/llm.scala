@@ -312,6 +312,31 @@ object Llm {
       if ((splitmix(j.toLong * 4096 + kk) & 1L) == 1L) 1.0 else -1.0))
   }
 
+  /** knnBruteforce with a typed top-k Aggregator instead of the
+    * row_number window: partial aggregation keeps k candidates per map
+    * task and merges — no per-probe full sort, the selection contract is
+    * identical (oracle-checked against the same SQL). */
+  def knnTopkAgg(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopKNeighbors}
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    val pairs = probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pemb"), col("emb")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+    pairs.groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(new TopKNeighbors(k).toColumn.name("top"))
+      .flatMap { case (p, ns) =>
+        ns.iterator.zipWithIndex.map { case (n, i) => (p, n.id, (i + 1).toLong, n.sim) }
+      }
+      .toDF("probe_id", "neighbor_id", "rank", "sim")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Random-hyperplane LSH bucketed ANN (the 100 TB path): 8 deterministic
     * ±1 hyperplanes, vectors bucketed by their 8-bit sign pattern, probes
     * scored only within their bucket. */

@@ -130,6 +130,13 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(0) >= -1.0000001 && r.getDouble(1) <= 1.0000001)
   }
 
+  test("top-k Aggregator selects exactly what the window formulation selects") {
+    val e = Tables.embeddings(spark, sf)
+    val win = Llm.knnBruteforce(e).collect().map(_.toString).toSeq
+    val agg = Llm.knnTopkAgg(e).collect().map(_.toString).toSeq
+    assert(agg.nonEmpty && agg == win)
+  }
+
   test("docFingerprint: identical docs produce identical fingerprint sets") {
     val d = docs((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
       (3L, "zyxwvutsrqponmlkjihgfedcba"))
