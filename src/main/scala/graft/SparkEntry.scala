@@ -133,6 +133,7 @@ object SparkEntry {
     "segment_summary" -> ((s, d) => Gold.segmentSummary(scored(s, d))),
     "ca_monthly" -> ((s, d) => Gold.caMonthly(fact(s, d))),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
+    "ca_country_share" -> ((s, d) => Serving.caCountryShare(Gold.caCountry(fact(s, d)))),
     "ca_product" -> ((s, d) =>
       Gold.caProduct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
     "cohort_first_purchase" -> ((s, d) => Gold.cohort(fact(s, d))),
@@ -296,6 +297,16 @@ object SparkEntry {
       LEFT JOIN customer ON o_custkey = c_custkey
       LEFT JOIN nation ON c_nationkey = n_nationkey
       WHERE $V GROUP BY 1 ORDER BY ca DESC, pays""",
+
+    "ca_country_share" -> s"""
+      WITH cc AS (
+        SELECT coalesce(n_name, 'Inconnu') AS pays, ${ms("o_totalprice")} AS ca
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE $V GROUP BY 1)
+      SELECT pays, ca, round(ca / sum(ca) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS share
+      FROM cc ORDER BY ca DESC, pays""",
 
     "ca_product" -> s"""
       SELECT p_name AS produit, ${ms("l_extendedprice")} AS ca

@@ -112,6 +112,16 @@ object Serving {
     fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
       .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
 
+  /** Revenue share by country: global-frame window sum over the tiny
+    * post-aggregation frame (25 rows — the single-partition window is on
+    * subtotals, never on the fact table). */
+  def caCountryShare(caCountry: DataFrame): DataFrame =
+    caCountry
+      .withColumn("share", round(col("ca") /
+        sum("ca").over(Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)), 6))
+      .orderBy(desc("ca"), col("pays"))
+
   /** Native gap-based sessionization via Spark's session_window — same
     * sessions as [[eventSessions]] (boundary differs only when a gap
     * equals exactly 30:00.000000), expressed as a groupBy instead of two
