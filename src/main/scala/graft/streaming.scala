@@ -100,6 +100,48 @@ object Streams {
       (st.last - st.start) / 1000000L, st.n,
       math.round(st.sum * 100.0) / 100.0)
 
+  /** Keyed upsert parquet sink via foreachBatch (the Spark analog of the
+    * reference's Mongo ReplaceOne-upsert publisher,
+    * serving_mongo/publish_gold_to_mongo.py:91-100 — SURVEY S5): each
+    * micro-batch replaces rows sharing its keys (batch wins), others
+    * survive. Without a transactional table format this stages the merge
+    * and swaps directories — atomic enough for a local serving copy;
+    * production would target Delta/Iceberg MERGE with the same batch fn. */
+  def upsertByKey(spark: SparkSession, sinkDir: String, key: String)(
+      batch: DataFrame): Unit = {
+    val target = new java.io.File(sinkDir, "current")
+    val merged =
+      if (target.isDirectory) {
+        val existing = spark.read.parquet(target.getAbsolutePath)
+        existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(batch)
+      } else batch
+    val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
+    merged.write.mode("overwrite").parquet(staging.getAbsolutePath)
+    // swap: rename old out, staging in
+    val old = new java.io.File(sinkDir, s"old_${System.nanoTime()}")
+    if (target.isDirectory) target.renameTo(old)
+    staging.renameTo(target)
+    if (old.isDirectory) old.listFiles().foreach(_.delete())
+    old.delete()
+  }
+
+  /** Streaming job publishing per-user running aggregates with
+    * upsert-by-key semantics (update output mode → foreachBatch sink). */
+  def userTotalsUpserted(spark: SparkSession, dir: String, sinkDir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertByKey(spark, sinkDir, "user_id")(batch.toDF()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$sinkDir/current").orderBy("user_id")
+  }
+
   /** Streaming exact dedup by event_id with watermark-bounded state
     * (dropDuplicatesWithinWatermark): late duplicates beyond the
     * watermark age out of state instead of growing it forever — the

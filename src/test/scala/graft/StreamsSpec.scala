@@ -79,6 +79,20 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("foreachBatch upsert sink: keyed replace, idempotent re-publish, batch equivalence") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val once = Streams.userTotalsUpserted(spark, sf, sink).collect()
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id").collect()
+    assert(once.length == batch.length)
+    assert(once.map(_.getAs[Long]("n_events")).sum == batch.map(_.getAs[Long]("n_events")).sum)
+    // re-running the same publish must not duplicate keys (ReplaceOne semantics)
+    val twice = Streams.userTotalsUpserted(spark, sf, sink).collect()
+    assert(twice.length == once.length)
+    assert(twice.map(_.getLong(0)).distinct.length == twice.length)
+  }
+
   test("streaming dedup suppresses duplicates from a doubled stream") {
     val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
     val streamed = Streams.eventsDedupStreamed(spark, sf)
