@@ -194,6 +194,8 @@ object SparkEntry {
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
+    "events_asof_price" -> ((s, d) =>
+      Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
     "event_sessions_native" -> ((s, d) => Serving.eventSessionsNative(Tables.events(s, d))),
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
     "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
@@ -557,6 +559,20 @@ object SparkEntry {
              CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    "events_asof_price" -> """
+      WITH u AS (
+        SELECT o_custkey AS key, o_orderdate AS t, o_orderkey AS rid,
+               o_totalprice AS price, 1 AS is_order, CAST(NULL AS BIGINT) AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), event_id, CAST(NULL AS DOUBLE), 0, event_id
+        FROM events),
+      x AS (SELECT *, last_value(price IGNORE NULLS) OVER (
+              PARTITION BY key ORDER BY t, is_order DESC, rid
+              ROWS UNBOUNDED PRECEDING) AS last_order_price FROM u)
+      SELECT event_id, key AS user_id, t AS ts, last_order_price
+      FROM x WHERE is_order = 0 ORDER BY event_id""",
 
     // session_window starts a new session when the gap >= 30 min (vs the
     // lag variant's strict >); the oracle mirrors that with >=

@@ -112,6 +112,34 @@ object Serving {
     fact.groupBy("o_custkey").agg(count("o_orderkey").as("cnt"))
       .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6).as("repeat_rate"))
 
+  /** As-of join (extension): each event gets the issuing user's most
+    * recent order price at event time. Composed Spark-first — union both
+    * sides, one (key, time) window with a running last(ignoreNulls) —
+    * instead of an inequality join (which Spark plans as a broadcast
+    * nested loop: O(n·m) per key) or a custom SparkPlan (unnecessary:
+    * this shape is one shuffle + one sort, exactly what a native as-of
+    * operator would do). Inclusive match (order at ts == event ts wins)
+    * via the is_order DESC sort tiebreaker; rid makes the order total. */
+  def eventsAsofOrderPrice(events: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      col("o_custkey").as("key"), col("o_orderdate").as("t"),
+      col("o_orderkey").as("rid"), col("o_totalprice").as("price"),
+      lit(1).as("is_order"), lit(null).cast("long").as("event_id"))
+    val e = events.select(
+      col("user_id").as("key"), col("ts").as("t"),
+      col("event_id").as("rid"), lit(null).cast("double").as("price"),
+      lit(0).as("is_order"), col("event_id"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), desc("is_order"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.unionByName(e)
+      .withColumn("last_order_price", last("price", ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("last_order_price"))
+      .orderBy("event_id")
+  }
+
   /** Revenue share by country: global-frame window sum over the tiny
     * post-aggregation frame (25 rows — the single-partition window is on
     * subtotals, never on the fact table). */
