@@ -193,6 +193,8 @@ object SparkEntry {
 
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
+    "ca_cube" -> ((s, d) => Serving.caCube(fact(s, d))),
+    "vocab_top" -> ((s, d) => Llm.vocabTop(Tables.documents(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
@@ -545,6 +547,25 @@ object SparkEntry {
       SELECT coalesce(pays, 'ALL') AS pays, coalesce(mois, 'ALL') AS mois,
              ${ms("o_totalprice")} AS ca
       FROM f GROUP BY ROLLUP(pays, mois) ORDER BY pays, mois""",
+
+    "ca_cube" -> s"""
+      WITH f AS (
+        SELECT coalesce(n_name, 'Inconnu') AS pays,
+               CAST(year(o_orderdate) AS BIGINT) AS annee, o_totalprice
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE $V)
+      SELECT coalesce(pays, 'ALL') AS pays, coalesce(annee, -1) AS annee,
+             ${ms("o_totalprice")} AS ca
+      FROM f GROUP BY CUBE(pays, annee) ORDER BY pays, annee""",
+
+    "vocab_top" -> """
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS docs
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
 
     "event_sessions" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

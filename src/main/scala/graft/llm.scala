@@ -246,6 +246,18 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary: top-k word unigrams by document frequency and
+    * total count — the explode → groupBy shape; at 100 TB the same plan
+    * with a count threshold is how stopword/spam-token lists get built. */
+  def vocabTop(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
+      .orderBy(desc("n"), col("word"))
+      .limit(k)
+
   /** Winnowing document fingerprints: 8-char shingle rolling hashes,
     * window-4 minima, distinct. Explode positions → hash once per shingle
     * → sliding minimum as a window function (a nested array formulation

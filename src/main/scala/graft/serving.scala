@@ -197,6 +197,15 @@ object Serving {
         coalesce(col("mois"), lit("ALL")).as("mois"), col("ca"))
       .orderBy("pays", "mois")
 
+  /** Country × year revenue CUBE: all four grains (both, country-only,
+    * year-only, grand total) in one grouping-sets pass. */
+  def caCube(fact: DataFrame): DataFrame =
+    fact.cube(col("pays"), col("annee"))
+      .agg(Tables.moneySum(col("o_totalprice")).as("ca"))
+      .select(coalesce(col("pays"), lit("ALL")).as("pays"),
+        coalesce(col("annee"), lit(-1L)).as("annee"), col("ca"))
+      .orderBy("pays", "annee")
+
   /** JSON records export (reference S7,
     * serving_mongo/publish_gold_to_mongo.py:76-81): one JSON object per
     * row via the codegen'd to_json. */

@@ -181,6 +181,35 @@ class GoldSpec extends SparkSpec {
     assert(factDirs.nonEmpty && factDirs.forall(_.startsWith("annee=")))
   }
 
+  test("caCube yields all four grains; rollup three") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 100.0, ts("2020-01-01 00:00:00"), "X"),
+      Row(2L, 10L, "O", 50.0, ts("2021-01-01 00:00:00"), "X")))
+    val cust = custDf(Seq(Row(10L, "A", 7, 0.0, "B")))
+    val nation = spark.createDataFrame(Seq((7, "FRANCE"))).toDF("n_nationkey", "n_name")
+    val fact = Gold.buildFact(orders, cust, nation)
+    val cube = Serving.caCube(fact).collect()
+    // grains: (FRANCE,2020) (FRANCE,2021) (FRANCE,ALL) (ALL,2020) (ALL,2021) (ALL,-1 total)
+    assert(cube.length == 6)
+    val total = cube.filter(r => r.getString(0) == "ALL" && r.getLong(1) == -1L)
+    assert(total.head.getDouble(2) == 150.0)
+    val rollup = Serving.caRollup(fact).collect()
+    assert(rollup.length == 4) // 2 months + country subtotal + grand total
+  }
+
+  test("weekly groups to Monday starts; daily to calendar days") {
+    val orders = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.0, ts("2024-01-10 05:00:00"), "X"), // Wed
+      Row(2L, 1L, "O", 20.0, ts("2024-01-12 23:00:00"), "X"), // Fri same ISO week
+      Row(3L, 1L, "O", 30.0, ts("2024-01-15 00:00:00"), "X"))) // next Mon
+    val weekly = Serving.weekly(orders).collect()
+    assert(weekly.length == 2)
+    assert(weekly(0).getAs[java.sql.Date]("semaine").toString == "2024-01-08")
+    assert(weekly(0).getAs[Double]("ca") == 30.0)
+    val daily = Serving.daily(orders.withColumn("jour", to_date(col("o_orderdate")))).collect()
+    assert(daily.length == 3)
+  }
+
   test("distribution: equal-width bins clamp max into last bucket") {
     val orders = ordersDf((1 to 13).map(i =>
       Row(i.toLong, 1L, "O", i * 10.0, ts("2020-01-01 00:00:00"), "X")))
