@@ -353,16 +353,23 @@ object Llm {
     * ±1 hyperplanes, vectors bucketed by their 8-bit sign pattern, probes
     * scored only within their bucket. */
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val planes = typedlit(hyperplanes(8, 256))
-    val emb = col("emb")
-    val bucketExpr = aggregate(sequence(lit(0), lit(7)), lit(0), (acc, j) => {
-      val dotJ = aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
-        (s, kk) => s + element_at(emb, kk + 1) * element_at(element_at(planes, j + 1), kk + 1))
-      acc * 2 + when(dotJ >= 0, 1).otherwise(0)
-    })
+    val planes = hyperplanes(8, 256)
+    // sign dots via posexplode → one groupBy with 8 aggregate columns
+    // (same shape rationale as minhash/simhash: no nested-HOF re-eval)
+    val exploded = embeddings
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
+    val planeCols = (0 until 8).map { j =>
+      val w = typedlit(planes(j))
+      sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
+    }
+    val buckets = exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
+      .select(col("vec_id"),
+        (0 until 8).map(j => when(col(s"dot_$j") >= 0, 1 << j).otherwise(0))
+          .reduce(_ + _).as("bucket"))
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("bucket", bucketExpr)
+      .join(buckets, Seq("vec_id"))
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"), col("bucket"))
     probes.join(e, Seq("bucket")).filter(col("vec_id") =!= col("probe_id"))
