@@ -181,6 +181,27 @@ class GoldSpec extends SparkSpec {
     assert(factDirs.nonEmpty && factDirs.forall(_.startsWith("annee=")))
   }
 
+  test("kpis: exact global aggregate with derived basket average") {
+    val orders = ordersDf(Seq(
+      Row(1L, 10L, "O", 100.0, ts("2020-01-01 00:00:00"), "X"),
+      Row(2L, 10L, "O", 50.0, ts("2020-01-02 00:00:00"), "X"),
+      Row(3L, 11L, "O", 30.0, ts("2020-01-03 00:00:00"), "X")))
+    val r = Serving.kpis(orders).collect().head
+    assert(r.getAs[Double]("ca_total") == 180.0)
+    assert(r.getAs[Long]("nb_achats") == 3L)
+    assert(r.getAs[Long]("nb_clients") == 2L)
+    assert(r.getAs[Double]("panier_moyen") == 60.0)
+  }
+
+  test("topClients: spend ties broken by customer key ascending") {
+    val orders = ordersDf(Seq(
+      Row(1L, 30L, "O", 100.0, ts("2020-01-01 00:00:00"), "X"),
+      Row(2L, 20L, "O", 100.0, ts("2020-01-02 00:00:00"), "X"),
+      Row(3L, 10L, "O", 200.0, ts("2020-01-03 00:00:00"), "X")))
+    val out = Serving.topClients(orders, k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("caCube yields all four grains; rollup three") {
     val orders = ordersDf(Seq(
       Row(1L, 10L, "O", 100.0, ts("2020-01-01 00:00:00"), "X"),

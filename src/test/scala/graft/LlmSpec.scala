@@ -137,6 +137,23 @@ class LlmSpec extends SparkSpec {
     assert(agg.nonEmpty && agg == win)
   }
 
+  test("textStats: empty and whitespace-only docs don't divide by zero") {
+    val d = docs((1L, ""), (2L, "   "), (3L, "x"))
+    val out = Llm.textStats(d).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_words") == 0L)
+    assert(out(0).getAs[Double]("punct_ratio") == 0.0)
+    val q = out.map(_.getAs[Double]("quality_score"))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("dedupExact on all-unique corpus is the identity set") {
+    val d = docs((1L, "aa"), (2L, "bb"), (3L, "cc"))
+    val out = Llm.dedupExact(d).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
   test("docFingerprint: identical docs produce identical fingerprint sets") {
     val d = docs((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "abcdefghijklmnopqrstuvwxyz"),
       (3L, "zyxwvutsrqponmlkjihgfedcba"))
