@@ -9,7 +9,18 @@ import org.apache.spark.sql.SparkSession
   * populates the deliberate caches (fact, features), so the timed pass
   * measures steady-state operator cost rather than first-touch setup, the
   * same way the reference's serving refresh is measured on a warm process
-  * (reference scripts/benchmark.py runs pipelines in-process). */
+  * (reference scripts/benchmark.py runs pipelines in-process).
+  *
+  * Timing materializes EVERY output row through the noop DataSourceV2 sink
+  * (full projection + row production, no I/O) — `count()` would let
+  * Catalyst prune wide projections and under-measure projection-heavy
+  * queries. Failures are loud: per-query status goes to stderr and an
+  * `errors` map into the JSON line; a failed query reports value -1, never
+  * a silently-tiny wall time.
+  *
+  * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run — a dev
+  * convenience for timing one operator without the whole suite.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,23 +28,52 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE's parallelism-first coalescing floors partitions at 1 MB —
+      // CPU-heavy-but-small-bytes stages (interpreted HOF pipelines over
+      // text) collapse to 1-2 tasks at test scale. A 16 KB floor keeps
+      // them on all cores; at production scale partitions are >= 64 MB so
+      // this floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries
-    qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def materialize(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n')
+        System.err.println(s"[bench] $name FAILED: $msg")
+        Some(msg)
+      }
+
+    qs.foreach { case (name, fn) => materialize(name, fn) } // warmup, untimed
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val err = materialize(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -1.0, err)
+    }.toSeq
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qJson = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val errJson = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
 }

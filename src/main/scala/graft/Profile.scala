@@ -17,8 +17,11 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,6 +61,95 @@ object Profile {
           println(s"--- user $uid streamed:")
           streamed.filter(col("user_id") === uid).orderBy("session_start").show(50, false)
         }
+      case Array("ngram") =>
+        import org.apache.spark.sql.functions._
+        def noop(df: DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val docs = Tables.documents(spark, d)
+        // old round-1 formulation (shingle self-join) for comparison
+        def oldNgram(): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          val sh0 = docs
+            .withColumn("ws", split(lower(col("text")), "\\s+"))
+            .filter(size(col("ws")) >= 3)
+            .select(col("doc_id"), explode(
+              array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+                i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))))).as("shingle"))
+            .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+          val sizes0 = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          val inter0 = sh0.select(col("doc_id").as("doc_a"), col("shingle"))
+            .join(sh0.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+            .filter(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          val jac0 = inter0
+            .join(sizes0.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+            .join(sizes0.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+            .withColumn("jaccard",
+              round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
+          jac0.withColumn("rn", row_number().over(
+              Window.partitionBy("doc_a").orderBy(desc("jaccard"), col("doc_b"))))
+            .filter(col("rn") === 1)
+            .select(col("doc_a").as("doc_id"), col("doc_b").as("best_match"), col("jaccard"))
+            .orderBy("doc_id")
+        }
+        val base0 = docs.repartition(32)
+          .withColumn("ws", split(lower(col("text")), "\\s+"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+        val sizes0 = base0.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+        val exh = base0.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+          .filter(col("shingle").isNotNull)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        val grouped0 = exh.groupBy("shingle")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        val pairs0 = grouped0.filter(size(col("ds")) <= 256)
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), greatest(size(col("ds")) - i - 1, lit(0))),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        val inter0 = pairs0.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val jac0 = inter0
+          .join(sizes0.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes0.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
+        noop(jac0) // warm
+        time("1 sizes")(noop(sizes0))
+        time("2 exh")(noop(exh))
+        time("3 grouped")(noop(grouped0))
+        time("4 pairs")(noop(pairs0))
+        time("5 inter")(noop(inter0))
+        time("6 jac")(noop(jac0))
+        for (i <- 1 to 6) time(s"full $i")(noop(Llm.dedupNgram(docs)))
+        val base = docs
+          .withColumn("ws", split(lower(col("text")), "\\s+"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+              i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+        time("warmup-scan")(docs.count())
+        time("base sizes")(mat(base.select(col("doc_id"), size(col("sh")).as("n"))))
+        time("base sizes warm")(mat(base.select(col("doc_id"), size(col("sh")).as("n"))))
+        val grouped = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+          .groupBy("shingle")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+        time("grouped")(mat(grouped.select(col("shingle"), size(col("ds")).as("k"))))
+        time("grouped warm")(mat(grouped.select(col("shingle"), size(col("ds")).as("k"))))
+        val pairs = grouped
+          .select(explode(flatten(transform(col("ds"), (x, i) =>
+            transform(slice(col("ds"), i + lit(2), greatest(size(col("ds")) - i - 1, lit(0))),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        time("pairs")(mat(pairs.groupBy("doc_a", "doc_b").count()))
+        time("pairs warm")(mat(pairs.groupBy("doc_a", "doc_b").count()))
+        time("full dedupNgram")(mat(Llm.dedupNgram(docs)))
+        time("full dedupNgram warm")(mat(Llm.dedupNgram(docs)))
       case Array("explain", names @ _*) =>
         names.foreach { n =>
           println(s"========== $n ==========")

@@ -21,6 +21,30 @@ object Llm {
 
   // --------------------------------------------------------------- helpers
 
+  /** CPU-heavy per-row stages need every core: a test-scale single
+    * row-group parquet arrives as ONE input partition, which would
+    * serialize the whole regex/HOF pipeline on one core. Fan small inputs
+    * out to the default parallelism; a no-op at real scale where the scan
+    * already has >= parallelism splits (never reshuffle a 100 TB corpus
+    * just in case). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** explode() over an EXPENSIVE computed array is a trap:
+    * InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)` below
+    * the Generate, predicate pushdown inlines the array expression into
+    * that filter, and higher-order functions are CodegenFallback — so the
+    * whole interpreted pipeline evaluates 3x per row (measured 3x wall
+    * time on the shingle pipeline). explode_outer is exempt from the rule;
+    * a cheap null-guard on the OUTPUT attribute restores inner semantics
+    * for arrays whose elements are never null (all of ours). */
+  private def explodeOnce(df: DataFrame, arr: Column, as: String,
+      keep: Column*): DataFrame =
+    df.select(keep :+ explode_outer(arr).as(as): _*)
+      .filter(col(as).isNotNull)
+
   /** Lower-cased whitespace words. */
   private def words(text: Column): Column = split(lower(text), "\\s+")
 
@@ -36,7 +60,7 @@ object Llm {
   /** Exact dedup: group on sha2(text) (shuffles a 32-byte key, not the
     * document body), keep the smallest doc_id per group. */
   def dedupExact(documents: DataFrame): DataFrame =
-    documents
+    spread(documents)
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
@@ -56,14 +80,13 @@ object Llm {
     * shingle array — gets inlined by projection collapse and re-evaluates
     * the whole shingle pipeline per reference: measured 70× slower.) */
   def minhashSignatures(documents: DataFrame): DataFrame = {
-    val base = documents
+    val base = spread(documents)
       .withColumn("ws", words(col("text")))
       .withColumn("sh", shingles(col("ws")))
       .select(col("doc_id"),
         when(size(col("sh")) > 0, col("sh"))
           .otherwise(array(concat_ws(" ", col("ws")))).as("sh")) // short docs: whole text
-    val hashed = base
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashed = explodeOnce(base, col("sh"), "s", col("doc_id"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     // seeded minhash family: re-hash the 64-bit shingle hash with seed i
     val sigAggs = (0 until MinhashHashes).map(i =>
@@ -122,8 +145,7 @@ object Llm {
     * 64 per-bit sign sums as aggregate columns (map-side partial agg),
     * the fingerprint assembled from the aggregated attributes. */
   def simhashDocs(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tok = explodeOnce(spread(documents), words(col("text")), "w", col("doc_id"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val bitAggs = (0 until 64).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -157,38 +179,78 @@ object Llm {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** Exact 3-gram Jaccard best-match per document: explode distinct
-    * shingles, self-join, intersection/union arithmetic. The DuckDB twin
-    * reproduces this exactly (string shingle join). At scale the join key
-    * would be xxhash64(shingle) — kept as the raw string here so the
-    * oracle can reproduce it byte-for-byte. */
-  def dedupNgram(documents: DataFrame): DataFrame = {
-    // self-join on xxhash64(shingle), not the shingle string: the shuffle
-    // moves 8-byte keys instead of ~20-char text. A 64-bit collision would
-    // inflate one intersection count; at 2^32 distinct shingles the
-    // expected collision count is still < 1, so the string-joining oracle
-    // agrees.
-    val sh = documents
+  /** Exact 3-gram Jaccard best-match per document.
+    *
+    * Shuffle discipline (the 100 TB shape):
+    *  1. Shingles are joined on xxhash64(shingle) — the shuffle moves
+    *     8-byte keys, never shingle text. The DuckDB oracle joins raw
+    *     strings; parity rests on 64-bit collisions being absent (at 2^32
+    *     distinct shingles the expected collision count is still < 1).
+    *  2. Per-doc shingle counts come straight from the distinct-shingle
+    *     ARRAY (`size`), not a groupBy — zero extra shuffles and no second
+    *     pass over the text.
+    *  3. Pair generation groups docs by shingle ONCE (single shuffle) and
+    *     expands each sorted doc-id list combinatorially in-task with
+    *     array HOFs (sorted ⇒ `doc_a < doc_b` holds by construction).
+    *     A df=1 shingle cannot form a pair, so those groups are dropped
+    *     before expansion — semantics-preserving (sizes above still count
+    *     every shingle), and it prunes the long unique-shingle tail.
+    *  4. Zipf safety valve: shingle groups larger than `hotDf` (ubiquitous
+    *     n-grams — "of the and" at web scale) skip the in-task expansion
+    *     and go through a salted self-join that spreads each hot shingle's
+    *     quadratic pair output over `salts` reducers instead of melting
+    *     one. Pair (a,b) meets exactly once, at salt = pmod(doc_a, salts).
+    *     At test scale max df ≈ 25 so the hot tier is empty; LlmSpec
+    *     forces every shingle through it and asserts bit-equality.
+    */
+  def dedupNgram(documents: DataFrame, hotDf: Int = 256, salts: Int = 32): DataFrame = {
+    // one pass over the text: each shingle row carries its doc's TOTAL
+    // distinct-shingle count n inside a (doc_id, n) struct, so the union
+    // sizes for Jaccard ride along to the pair — no size-lookup joins and
+    // no second scan later
+    val withN = spread(documents)
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("ws"))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .select(col("doc_id"), shingles(col("ws")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), col("sh"))
+    val sh = explodeOnce(withN, col("sh"), "shingle", col("doc_id"), col("n"))
+      .select(struct(col("doc_id"), col("n")).as("doc"), xxhash64(col("shingle")).as("shingle"))
+    // struct comparison is lexicographic and doc_id is unique, so
+    // sort_array orders by doc_id — pair expansion below yields
+    // doc_a < doc_b by construction
+    val grouped = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) >= 2) // df=1 prune
+    val smallPairs = grouped.filter(size(col("ds")) <= hotDf)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), greatest(size(col("ds")) - i - 1, lit(0))),
+          y => struct(x("doc_id").as("doc_a"), x("n").as("na"),
+            y("doc_id").as("doc_b"), y("n").as("nb")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.na").as("na"),
+        col("p.doc_b").as("doc_b"), col("p.nb").as("nb"))
+    val hotRows = grouped.filter(size(col("ds")) > hotDf)
+      .select(col("shingle"), explode(col("ds")).as("doc"))
+    val hotPairs = hotRows
+      .select(col("shingle"), col("doc.doc_id").as("doc_a"), col("doc.n").as("na"),
+        pmod(col("doc.doc_id"), lit(salts.toLong)).as("salt"))
+      .join(hotRows.select(col("shingle"), col("doc.doc_id").as("doc_b"), col("doc.n").as("nb"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1)))),
+        Seq("shingle", "salt"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    // no broadcast hint on sizes: it's one row per document (unbounded at
-    // scale) — AQE auto-broadcasts when it actually fits
-    val jac = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
-    jac.withColumn("rn", row_number().over(
-        Window.partitionBy("doc_a").orderBy(desc("jaccard"), col("doc_b"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("best_match"), col("jaccard"))
+      .select("doc_a", "na", "doc_b", "nb")
+    val inter = smallPairs.union(hotPairs)
+      .groupBy("doc_a", "na", "doc_b", "nb").agg(count(lit(1)).as("inter"))
+    val jac = inter.select(
+      col("doc_a"), col("doc_b"),
+      round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+    // best match per doc via max(struct): (jaccard DESC, doc_b ASC)
+    // selection identical to a row_number window, but map-side combine
+    // collapses each partition to <= one row per doc_a before the shuffle
+    // — no full sort of the pair set
+    jac.groupBy("doc_a")
+      .agg(max(struct(col("jaccard"), (-col("doc_b")).as("negb"), col("doc_b").as("doc_b"))).as("m"))
+      .select(col("doc_a").as("doc_id"), col("m.doc_b").as("best_match"),
+        col("m.jaccard").as("jaccard"))
       .orderBy("doc_id")
   }
 
@@ -198,7 +260,7 @@ object Llm {
     * the DuckDB oracle), ratios, and a deterministic quality score. */
   def textStats(documents: DataFrame): DataFrame = {
     val t = col("text")
-    documents.select(
+    spread(documents).select(
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
       regexp_count(t, lit("\\S+")).cast("long").as("n_words"),
@@ -228,7 +290,7 @@ object Llm {
     * class check; deterministic tie-break order. */
   def langId(documents: DataFrame): DataFrame = {
     val lt = lower(col("text"))
-    documents.select(
+    spread(documents).select(
       col("doc_id"), col("lang"),
       regexp_count(lt, lit("\\b(the|and|of|is|in|to)\\b")).cast("long").as("en_hits"),
       regexp_count(lt, lit("\\b(le|la|les|et|des|une)\\b")).cast("long").as("fr_hits"),
@@ -250,8 +312,7 @@ object Llm {
     * total count — the explode → groupBy shape; at 100 TB the same plan
     * with a count threshold is how stopword/spam-token lists get built. */
   def vocabTop(documents: DataFrame, k: Int = 50): DataFrame =
-    documents
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    explodeOnce(spread(documents), words(col("text")), "word", col("doc_id"))
       .filter(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
@@ -264,10 +325,10 @@ object Llm {
     * re-evaluates the hash array per window: O(n²) per doc). */
   def docFingerprint(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    documents
-      .filter(length(col("text")) >= 11) // k=8 + w=4 - 1
-      .select(col("doc_id"), (length(col("text")) - 7).as("n"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"), col("text"))
+    explodeOnce(
+      spread(documents).filter(length(col("text")) >= 11), // k=8 + w=4 - 1
+      sequence(lit(1), length(col("text")) - 7), "i",
+      col("doc_id"), (length(col("text")) - 7).as("n"), col("text"))
       .select(col("doc_id"), col("n"), col("i"),
         xxhash64(expr("substring(text, i, 8)")).as("h"))
       .withColumn("wmin", min("h").over(w))
@@ -298,7 +359,8 @@ object Llm {
     * Ranking uses the 6dp-rounded similarity (bit-stable across engines)
     * with vec_id tie-break. */
   def knnBruteforce(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val e = spread(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
     probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
@@ -332,7 +394,8 @@ object Llm {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.functions.{Scored, TopKNeighbors}
-    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val e = spread(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
     val pairs = probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
@@ -354,11 +417,15 @@ object Llm {
     * scored only within their bucket. */
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
     val planes = hyperplanes(8, 256)
+    val emb = spread(embeddings)
     // sign dots via posexplode → one groupBy with 8 aggregate columns
-    // (same shape rationale as minhash/simhash: no nested-HOF re-eval)
-    val exploded = embeddings
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+    // (same shape rationale as minhash/simhash: no nested-HOF re-eval);
+    // outer variant for the same InferFiltersFromGenerate reason as
+    // explodeOnce — the cast would otherwise re-run 3x per row
+    val exploded = emb
+      .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
       .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
+      .filter(col("x").isNotNull)
     val planeCols = (0 until 8).map { j =>
       val w = typedlit(planes(j))
       sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
@@ -367,7 +434,7 @@ object Llm {
       .select(col("vec_id"),
         (0 until 8).map(j => when(col(s"dot_$j") >= 0, 1 << j).otherwise(0))
           .reduce(_ + _).as("bucket"))
-    val e = embeddings
+    val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .join(buckets, Seq("vec_id"))
     val probes = e.filter(col("vec_id") < nProbes)

@@ -57,6 +57,20 @@ class LlmSpec extends SparkSpec {
     assert(best3.isEmpty || best3.get.getAs[Double]("jaccard") < 0.2)
   }
 
+  test("dedupNgram: salted hot-shingle tier is bit-identical to in-task expansion") {
+    // hotDf=1 forces every surviving (df>=2) shingle through the salted
+    // self-join path; the default run keeps them all in the HOF expansion
+    val d = docs(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d x y z"),
+      (3L, "a b c q r s t"),
+      (4L, "m n o p a b c"),
+      (5L, "entirely unrelated words appear here only"))
+    val plain = Llm.dedupNgram(d).collect().map(_.toString).toSeq
+    val forced = Llm.dedupNgram(d, hotDf = 1, salts = 4).collect().map(_.toString).toSeq
+    assert(plain.nonEmpty && plain == forced)
+  }
+
   test("textStats: counts and integer-exact quality score") {
     val d = docs((1L, "The cat and the dog. 42!"))
     val r = Llm.textStats(d).collect().head
