@@ -150,6 +150,30 @@ object Profile {
         time("pairs warm")(mat(pairs.groupBy("doc_a", "doc_b").count()))
         time("full dedupNgram")(mat(Llm.dedupNgram(docs)))
         time("full dedupNgram warm")(mat(Llm.dedupNgram(docs)))
+      case Array("recall") =>
+        import org.apache.spark.sql.functions._
+        val e = Tables.embeddings(spark, d)
+        val bf = Llm.knnBruteforce(e).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recall(df: DataFrame, label: String): Unit = {
+          val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          println(f"[profile] $label recall@5 = ${(bf & got).size.toDouble / bf.size}%.3f (${got.size} returned)")
+        }
+        for (p <- Seq(2, 3, 4, 6, 8)) recall(Llm.knnLsh(e, nPlanes = p), s"lsh planes=$p")
+        for (np <- Seq(1, 2, 4, 8)) recall(Ml.knnIvf(e, nprobe = np), s"ivf nprobe=$np")
+      case Array("ssread") =>
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_probe").toString
+        val q = Streams.sessionizeStream(Streams.eventsStream(spark, d))
+          .writeStream.outputMode("append").format("memory").queryName("ss_probe")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        println(s"closed sessions: ${spark.table("ss_probe").count()}")
+        val st = spark.read.format("statestore").load(ckpt)
+        st.printSchema()
+        st.show(5, false)
+        println(s"state rows: ${st.count()}  ckpt: $ckpt")
       case Array("explain", names @ _*) =>
         names.foreach { n =>
           println(s"========== $n ==========")

@@ -183,9 +183,15 @@ object SparkEntry {
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
     // update-mode streaming aggregate published through the keyed
-    // foreachBatch upsert sink (reference Mongo ReplaceOne analog)
+    // foreachBatch upsert sink (reference Mongo ReplaceOne analog);
+    // one sink dir per (session, dataset) — re-upserting into it is
+    // idempotent, and the hook removes it on JVM exit
     "events_upsert_publish" -> ((s, d) => Streams.userTotalsUpserted(s, d,
-      java.nio.file.Files.createTempDirectory("graft_upsert_q").toString)),
+      upsertSinkMemo.getOrElseUpdate((s.hashCode, d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_upsert_q")
+        sys.addShutdownHook(Streams.deleteRec(p.toFile))
+        p.toString
+      }))),
 
     // -- multimodal binary-column plumbing (decode stubbed, see module) --
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
@@ -213,6 +219,9 @@ object SparkEntry {
     * eager (happens at plan construction, not execution). */
   private val mlMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+
+  private val upsertSinkMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -249,7 +258,15 @@ object SparkEntry {
              (SELECT count(*) FROM orders
               WHERE o_totalprice <= 0 OR o_totalprice > ${Gold.MaxAmount}) AS dropped_bad_amount,
              (SELECT count(*) FROM orders o
-              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS dropped_orphan_client""",
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS dropped_orphan_client,
+             (SELECT count(*) FROM customer) AS cust_initial_rows,
+             (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS cust_dropped_invalid_id,
+             (SELECT count(*) FROM customer
+              WHERE c_custkey IS NOT NULL
+                AND NOT coalesce(contains(trim(c_name), '#'), false)) AS cust_dropped_invalid_name,
+             (SELECT count(*) - count(DISTINCT c_custkey) FROM customer
+              WHERE c_custkey IS NOT NULL
+                AND coalesce(contains(trim(c_name), '#'), false)) AS cust_dropped_duplicates""",
 
     "fact_achats" -> s"""
       SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
@@ -594,6 +611,23 @@ object SparkEntry {
               ROWS UNBOUNDED PRECEDING) AS last_order_price FROM u)
       SELECT event_id, key AS user_id, t AS ts, last_order_price
       FROM x WHERE is_order = 0 ORDER BY event_id""",
+
+    // the streaming sessionizer (EventTimeTimeout + end-of-stream state
+    // flush) emits the SAME session set as the batch lag variant — same
+    // oracle minus the session_seq column
+    "event_sessions_stream" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT user_id, ts, value,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM x),
+      z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM z GROUP BY user_id, session_seq ORDER BY user_id, session_start""",
 
     // session_window starts a new session when the gap >= 30 min (vs the
     // lag variant's strict >); the oracle mirrors that with >=

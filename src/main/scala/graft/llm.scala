@@ -412,27 +412,30 @@ object Llm {
       .orderBy("probe_id", "rank")
   }
 
-  /** Random-hyperplane LSH bucketed ANN (the 100 TB path): 8 deterministic
-    * ±1 hyperplanes, vectors bucketed by their 8-bit sign pattern, probes
-    * scored only within their bucket. */
-  def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val planes = hyperplanes(8, 256)
+  /** Random-hyperplane LSH bucketed ANN (the 100 TB path): `nPlanes`
+    * deterministic ±1 hyperplanes, vectors bucketed by their sign
+    * pattern, probes scored only within their bucket. Bucket count is
+    * 2^nPlanes — size it so the expected bucket population stays large
+    * enough for recall (LlmSpec asserts a measured recall@5 floor). */
+  def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 256)
     val emb = spread(embeddings)
-    // sign dots via posexplode → one groupBy with 8 aggregate columns
-    // (same shape rationale as minhash/simhash: no nested-HOF re-eval);
-    // outer variant for the same InferFiltersFromGenerate reason as
-    // explodeOnce — the cast would otherwise re-run 3x per row
+    // sign dots via posexplode → one groupBy with nPlanes aggregate
+    // columns (same shape rationale as minhash/simhash: no nested-HOF
+    // re-eval); outer variant for the same InferFiltersFromGenerate
+    // reason as explodeOnce — the cast would otherwise re-run 3x per row
     val exploded = emb
       .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
       .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
       .filter(col("x").isNotNull)
-    val planeCols = (0 until 8).map { j =>
+    val planeCols = (0 until nPlanes).map { j =>
       val w = typedlit(planes(j))
       sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
     }
     val buckets = exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
       .select(col("vec_id"),
-        (0 until 8).map(j => when(col(s"dot_$j") >= 0, 1 << j).otherwise(0))
+        (0 until nPlanes).map(j => when(col(s"dot_$j") >= 0, 1 << j).otherwise(0))
           .reduce(_ + _).as("bucket"))
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -66,11 +66,17 @@ object Silver {
   }
 
   /** Quality counters (reference silver quality dicts,
-    * flows/silver_transformation.py:58-98): per-rule would-drop counts in a
-    * single aggregation pass — the reference runs one `df.count()` action
-    * per rule (flows_spark/silver_transformation_spark.py:28,45,50,75),
-    * i.e. re-executes the plan N times; this is one pass. Orphan count via
-    * a left_anti join, combined by a 1×1 cross join. */
+    * flows/silver_transformation.py:58-98 clients, :103-139 achats):
+    * per-rule would-drop counts for BOTH tables in one aggregation pass
+    * each — the reference runs one `df.count()` action per rule
+    * (flows_spark/silver_transformation_spark.py:28,45,50,75), i.e.
+    * re-executes the plan N times; this is one pass per table. Orphan
+    * count via a left_anti join; the three 1-row frames combine with 1×1
+    * cross joins.
+    *
+    * Customer-side rules mirror [[cleanCustomers]] sequentially, like the
+    * reference's clients dict (invalid id first, then the name guard —
+    * the email-format analog — then duplicates among survivors). */
   def qualityCounters(orders: DataFrame, customer: DataFrame): DataFrame = {
     val base = orders.agg(
       count(lit(1)).as("initial_rows"),
@@ -84,6 +90,15 @@ object Silver {
     val orphans = orders.join(customer.select("c_custkey"),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("dropped_orphan_client"))
-    base.crossJoin(orphans)
+    val idOk = col("c_custkey").isNotNull
+    val nameOk = coalesce(trim(col("c_name")).contains("#"), lit(false))
+    val cust = customer.agg(
+      count(lit(1)).as("cust_initial_rows"),
+      sum(when(!idOk, 1L).otherwise(0L)).as("cust_dropped_invalid_id"),
+      sum(when(idOk && !nameOk, 1L).otherwise(0L)).as("cust_dropped_invalid_name"),
+      (sum(when(idOk && nameOk, 1L).otherwise(0L)) -
+        countDistinct(when(idOk && nameOk, col("c_custkey"))))
+        .as("cust_dropped_duplicates"))
+    base.crossJoin(orphans).crossJoin(cust)
   }
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.Trigger
   * parquet and materialize via the memory sink, so the result is exactly
   * comparable to the batch oracle.
   */
-object Streams {
+object Streams extends Serializable {
 
   private val runId = new AtomicInteger(0)
 
@@ -51,45 +51,62 @@ object Streams {
 
   // ------------------------------------------------- stateful sessionization
 
-  case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, tsMicros: Long,
+      value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, duration_sec: Long, n_events: Long,
       total_value: Double)
 
   /** Custom streaming state machine via flatMapGroupsWithState: per-user
-    * 30-min-gap sessionization. Emits a session when the NEXT event opens
-    * a new one — i.e. only closed sessions; each user's final session
-    * stays in state (would emit on watermark timeout in a production
-    * append job). Events are sorted within each micro-batch before
-    * folding into state. */
+    * 30-min-gap sessionization. A session is emitted either when the NEXT
+    * event opens a new one, or — via EventTimeTimeout — when the watermark
+    * passes session_end + gap, so a user's last session doesn't sit in
+    * state forever. The zero watermark delay matches the deterministic
+    * test stream; a production job would set it to its late-data
+    * tolerance. Events are sorted within each micro-batch before folding
+    * into state. */
   def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
-      .select(col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("tsMicros"), col("value"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[SessionEvent]
 
     def fold(userId: Long, it: Iterator[SessionEvent],
-        state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val evs = it.toSeq.sortBy(_.tsMicros)
-      var st = state.getOption.orNull
-      val out = Seq.newBuilder[ClosedSession]
-      for (e <- evs) {
-        if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-        else if (e.tsMicros - st.last > gapSeconds * 1000000L) {
-          out += close(userId, st)
-          st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
-        } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+        state: GroupState[SessionState]): Iterator[ClosedSession] =
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator(close(userId, st))
+      } else {
+        val evs = it.toSeq.sortBy(_.tsMicros)
+        var st = state.getOption.orNull
+        val out = Seq.newBuilder[ClosedSession]
+        for (e <- evs) {
+          if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+          else if (e.tsMicros - st.last > gapSeconds * 1000000L) {
+            out += close(userId, st)
+            st = SessionState(e.tsMicros, e.tsMicros, 1, e.value)
+          } else st = SessionState(st.start, e.tsMicros, st.n + 1, st.sum + e.value)
+        }
+        if (st != null) {
+          state.update(st)
+          // fire once no in-gap event can still arrive: ceil(last)ms + gap.
+          // A late event can set this below the current watermark (Spark
+          // rejects that) — clamp to watermark + 1ms: times out next batch.
+          val fireAt = (st.last + 999L) / 1000L + gapSeconds * 1000L
+          state.setTimeoutTimestamp(math.max(fireAt, state.getCurrentWatermarkMs + 1L))
+        }
+        out.result().iterator
       }
-      if (st != null) state.update(st)
-      out.result().iterator
-    }
 
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
       .toDF()
   }
 
@@ -104,26 +121,50 @@ object Streams {
     * reference's Mongo ReplaceOne-upsert publisher,
     * serving_mongo/publish_gold_to_mongo.py:91-100 — SURVEY S5): each
     * micro-batch replaces rows sharing its keys (batch wins), others
-    * survive. Without a transactional table format this stages the merge
-    * and swaps directories — atomic enough for a local serving copy;
-    * production would target Delta/Iceberg MERGE with the same batch fn. */
-  def upsertByKey(spark: SparkSession, sinkDir: String, key: String)(
-      batch: DataFrame): Unit = {
+    * survive.
+    *
+    * The key space is hash-bucketed into `current/_bucket=N` partitions
+    * and each merge touches ONLY the buckets the batch's keys hash into —
+    * the merge scan and rewrite are proportional to the batch's key
+    * spread, not the table (a continuously-running upsert over a large
+    * table rewrites a few buckets per trigger). Staged per-bucket
+    * directory swaps with checked renames; production would target
+    * Delta/Iceberg MERGE with the same batch fn. */
+  def upsertByKey(spark: SparkSession, sinkDir: String, key: String,
+      buckets: Int = 16)(batch: DataFrame): Unit = {
     val target = new java.io.File(sinkDir, "current")
+    val b = batch.withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    // driver-side list of touched buckets: bounded by `buckets`, not keys
+    val touched = b.select("_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val onDisk = touched
+      .filter(i => new java.io.File(target, s"_bucket=$i").isDirectory)
     val merged =
-      if (target.isDirectory) {
-        val existing = spark.read.parquet(target.getAbsolutePath)
-        existing.join(batch.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(batch)
-      } else batch
+      if (onDisk.isEmpty) b
+      else {
+        val existing = spark.read
+          .option("basePath", target.getAbsolutePath)
+          .parquet(onDisk.map(i => s"${target.getAbsolutePath}/_bucket=$i"): _*)
+          .drop("_bucket")
+        existing.join(b.select(key).distinct(), Seq(key), "left_anti")
+          .withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
+          .unionByName(b)
+      }
     val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
-    merged.write.mode("overwrite").parquet(staging.getAbsolutePath)
-    // swap: rename old out, staging in
-    val old = new java.io.File(sinkDir, s"old_${System.nanoTime()}")
-    if (target.isDirectory) target.renameTo(old)
-    staging.renameTo(target)
-    if (old.isDirectory) old.listFiles().foreach(_.delete())
-    old.delete()
+    merged.write.partitionBy("_bucket").mode("overwrite")
+      .parquet(staging.getAbsolutePath)
+    target.mkdirs()
+    for (i <- touched) {
+      val src = new java.io.File(staging, s"_bucket=$i")
+      val dst = new java.io.File(target, s"_bucket=$i")
+      val old = new java.io.File(sinkDir, s"old_${i}_${System.nanoTime()}")
+      if (dst.isDirectory)
+        require(dst.renameTo(old), s"upsert swap failed: $dst -> $old")
+      if (src.isDirectory) // a touched bucket can be empty after the merge
+        require(src.renameTo(dst), s"upsert swap failed: $src -> $dst")
+      deleteRec(old)
+    }
+    deleteRec(staging)
   }
 
   /** Streaming job publishing per-user running aggregates with
@@ -139,7 +180,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$sinkDir/current").orderBy("user_id")
+    spark.read.parquet(s"$sinkDir/current").drop("_bucket").orderBy("user_id")
   }
 
   /** Streaming exact dedup by event_id with watermark-bounded state
@@ -168,19 +209,51 @@ object Streams {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Recursive delete for staged sink/checkpoint directories. */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
   /** Run the streaming sessionizer over the static events parquet; returns
-    * the closed sessions. */
+    * every session. EventTimeTimeout emits sessions the watermark has
+    * passed; a FINITE stream then still ends with the tail sessions open
+    * (the watermark stops at the last event, short of their last+gap
+    * timeout), so they are flushed from the state store afterwards via the
+    * statestore read source — making the result equal to the batch
+    * sessionizer's. The flush collects only still-open sessions (bounded
+    * by active users in the final gap window), not the output. */
   def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val name = s"graft_sessions_stream_${runId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessions_ckpt")
     val q = sessionizeStream(eventsStream(spark, dir))
       .writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("user_id", "session_start")
+    val emitted = spark.table(name)
+    val leftover = spark.read.format("statestore").load(ckpt.toString)
+      .select(col("key.value").as("u"), col("value.groupState.start"),
+        col("value.groupState.last"), col("value.groupState.n"),
+        col("value.groupState.sum"))
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .map { case (u, s, l, n, sm) => close(u, SessionState(s, l, n, sm)) }
+      .toSeq.toDF()
+    deleteRec(ckpt.toFile)
+    emitted.unionByName(leftover)
+      // instant → NTZ under the UTC session: same wall clock, and the
+      // dumped parquet compares 1:1 with the oracle's naive TIMESTAMP
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("duration_sec"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Run the streaming hourly aggregate to completion over the static

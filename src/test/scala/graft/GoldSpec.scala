@@ -88,12 +88,22 @@ class GoldSpec extends SparkSpec {
       Row(2L, 10L, "O", -5.0, ts("2020-01-03 00:00:00"), "2-HIGH"),
       Row(3L, 99L, "O", 10.0, ts("2020-01-05 00:00:00"), "2-HIGH"),
       Row(4L, null, "O", 10.0, ts("2020-01-04 00:00:00"), "2-HIGH")))
-    val cust = custDf(Seq(Row(10L, "Customer#10", 1, 0.0, "BUILDING")))
+    val cust = custDf(Seq(
+      Row(10L, "Customer#10", 1, 0.0, "BUILDING"),
+      Row(null, "Customer#null", 1, 0.0, "BUILDING"), // invalid id
+      Row(11L, "no hash", 1, 0.0, "BUILDING"), // fails the name guard
+      Row(12L, null, 1, 0.0, "BUILDING"), // null name also fails the guard
+      Row(13L, "Customer#13", 1, 0.0, "BUILDING"),
+      Row(13L, "Customer#13b", 1, 0.0, "BUILDING"))) // duplicate of 13
     val r = Silver.qualityCounters(orders, cust).collect().head
     assert(r.getAs[Long]("initial_rows") == 4L)
     assert(r.getAs[Long]("dropped_missing") == 1L)
     assert(r.getAs[Long]("dropped_bad_amount") == 1L)
     assert(r.getAs[Long]("dropped_orphan_client") == 2L) // orphan 99 + null key
+    assert(r.getAs[Long]("cust_initial_rows") == 6L)
+    assert(r.getAs[Long]("cust_dropped_invalid_id") == 1L)
+    assert(r.getAs[Long]("cust_dropped_invalid_name") == 2L)
+    assert(r.getAs[Long]("cust_dropped_duplicates") == 1L)
   }
 
   test("buildFact: left join keeps orphans as 'Inconnu', derives jour/mois/annee") {

@@ -39,11 +39,9 @@ class StreamsSpec extends SparkSpec {
     assert(again.map(_.mkString("|")).toSeq == rows.map(_.mkString("|")).toSeq)
   }
 
-  test("streamed sessionization emits exactly the batch sessions minus each user's open last session") {
+  test("streamed sessionization emits exactly the batch session set (timeout + end-of-stream flush)") {
     import org.apache.spark.sql.Row
     val batch = Serving.eventSessions(Tables.events(spark, sf))
-    // closed sessions = all but the max session_seq per user
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
     // normalize timestamp rendering: batch carries TIMESTAMP_NTZ
     // (LocalDateTime, 'T' separator), streamed java.sql.Timestamp
     def canon(df: org.apache.spark.sql.DataFrame) = df
@@ -53,14 +51,11 @@ class StreamsSpec extends SparkSpec {
         col("duration_sec"), col("n_events"), col("total_value"))
       .orderBy("user_id", "s")
       .collect()
-    val closedBatch = canon(batch
-      .withColumn("max_seq", max("session_seq").over(w))
-      .filter(col("session_seq") < col("max_seq")))
     def key(r: Row) = (r.getLong(0), r.getString(1), r.getString(2),
       r.getLong(3), r.getLong(4), r.getDouble(5))
     val streamed = canon(Streams.eventSessionsStreamed(spark, sf))
     assert(streamed.nonEmpty)
-    assert(streamed.map(key).toSeq == closedBatch.map(key).toSeq)
+    assert(streamed.map(key).toSeq == canon(batch).map(key).toSeq)
   }
 
   test("parseSortSpec: desc/asc/garbage directions") {
@@ -91,6 +86,30 @@ class StreamsSpec extends SparkSpec {
     val twice = Streams.userTotalsUpserted(spark, sf, sink).collect()
     assert(twice.length == once.length)
     assert(twice.map(_.getLong(0)).distinct.length == twice.length)
+  }
+
+  test("upsertByKey rewrites only the buckets the batch touches") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert_scoped").toString
+    val init = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (100L, 1.0), (7L, 7.0))
+      .toDF("user_id", "v")
+    Streams.upsertByKey(spark, sink, "user_id")(init)
+    def listing = new java.io.File(sink, "current").listFiles()
+      .filter(_.getName.startsWith("_bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = listing
+    val touchedBucket = Seq(1L).toDF("user_id")
+      .select(pmod(xxhash64(col("user_id")), lit(16L))).first().getLong(0)
+    Streams.upsertByKey(spark, sink, "user_id")(Seq((1L, 99.0)).toDF("user_id", "v"))
+    val after = listing
+    // untouched buckets keep their exact files; the touched one is rewritten
+    (before.keySet - s"_bucket=$touchedBucket").foreach(bk => assert(before(bk) == after(bk)))
+    assert(before(s"_bucket=$touchedBucket") != after(s"_bucket=$touchedBucket"))
+    // replace-by-key semantics intact across the scoped merge
+    val cur = spark.read.parquet(s"$sink/current").drop("_bucket")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur == Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0, 100L -> 1.0, 7L -> 7.0))
+    Streams.deleteRec(new java.io.File(sink))
   }
 
   test("streaming dedup suppresses duplicates from a doubled stream") {
