@@ -159,7 +159,8 @@ object Profile {
           val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           println(f"[profile] $label recall@5 = ${(bf & got).size.toDouble / bf.size}%.3f (${got.size} returned)")
         }
-        for (p <- Seq(2, 3, 4, 6, 8)) recall(Llm.knnLsh(e, nPlanes = p), s"lsh planes=$p")
+        for ((b, l) <- Seq((2, 4), (3, 8), (4, 12), (4, 16), (4, 24), (6, 32)))
+          recall(Llm.knnLsh(e, nPlanes = b, nTables = l), s"lsh b=$b L=$l")
         for (np <- Seq(1, 2, 4, 8)) recall(Ml.knnIvf(e, nprobe = np), s"ivf nprobe=$np")
       case Array("ssread") =>
         import org.apache.spark.sql.streaming.Trigger

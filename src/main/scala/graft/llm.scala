@@ -412,37 +412,60 @@ object Llm {
       .orderBy("probe_id", "rank")
   }
 
-  /** Random-hyperplane LSH bucketed ANN (the 100 TB path): `nPlanes`
-    * deterministic ±1 hyperplanes, vectors bucketed by their sign
-    * pattern, probes scored only within their bucket. Bucket count is
-    * 2^nPlanes — size it so the expected bucket population stays large
-    * enough for recall (LlmSpec asserts a measured recall@5 floor). */
+  /** Multi-table random-hyperplane LSH ANN (the 100 TB path, classic
+    * sign-LSH with OR-amplification): `nTables` independent tables of
+    * `nPlanes` deterministic ±1 hyperplanes each; a vector lands in one
+    * bucket per table, candidates are the union over tables of the
+    * probe's bucket-mates, deduped by id before scoring. Recall is
+    * 1-(1-p^b)^L for per-bit collision p = 1-θ/π — tune (b, L) to the
+    * corpus's neighbor angle; the defaults clear the 0.8 recall@5 floor
+    * LlmSpec measures against [[knnBruteforce]] even on the synthetic
+    * near-uniform test vectors (θ≈72°), the worst case for sign-LSH.
+    * On a real near-dup corpus (θ small) the same (4,16) scans a tiny
+    * corpus fraction.
+    *
+    * Scale shape: candidate generation joins on small (table, bucket)
+    * ints and the dedup shuffles 16-byte id pairs, not embeddings —
+    * vectors are re-attached by id join only for the surviving
+    * candidates. Never all-pairs. */
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-      nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 256)
+      nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    val nBits = nPlanes * nTables
+    val planes = hyperplanes(nBits, 256)
     val emb = spread(embeddings)
-    // sign dots via posexplode → one groupBy with nPlanes aggregate
-    // columns (same shape rationale as minhash/simhash: no nested-HOF
-    // re-eval); outer variant for the same InferFiltersFromGenerate
-    // reason as explodeOnce — the cast would otherwise re-run 3x per row
+    // all table signatures in ONE posexplode → groupBy pass with
+    // nBits aggregate columns (same shape rationale as minhash/simhash:
+    // no nested-HOF re-eval); outer variant for the same
+    // InferFiltersFromGenerate reason as explodeOnce — the cast would
+    // otherwise re-run 3x per row
     val exploded = emb
       .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
       .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
       .filter(col("x").isNotNull)
-    val planeCols = (0 until nPlanes).map { j =>
+    val planeCols = (0 until nBits).map { j =>
       val w = typedlit(planes(j))
       sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
     }
+    // one (table, bucket) row per vector per table
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until nPlanes).map { i =>
+          when(col(s"dot_${t * nPlanes + i}") >= 0, 1 << i).otherwise(0)
+        }.reduce(_ + _).as("bucket"))
+    }
     val buckets = exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
-      .select(col("vec_id"),
-        (0 until nPlanes).map(j => when(col(s"dot_$j") >= 0, 1 << j).otherwise(0))
-          .reduce(_ + _).as("bucket"))
-    val e = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .join(buckets, Seq("vec_id"))
-    val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"), col("bucket"))
-    probes.join(e, Seq("bucket")).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probeBuckets = buckets.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
+    // union of bucket-mates over tables, deduped on bare ids
+    val candidates = probeBuckets.join(buckets, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    candidates
+      .join(e.select(col("vec_id").as("probe_id"), col("emb").as("pemb")), Seq("probe_id"))
+      .join(e, Seq("vec_id"))
       .withColumn("sim", round(cosine(col("pemb"), col("emb")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))).cast("long"))

@@ -23,9 +23,15 @@ object Ml {
     * bucketed by nearest centroid → probes scored only inside their
     * `nprobe` nearest cells. The centroid list is a driver-folded literal
     * (same two-phase shape as the scoring thresholds); cell assignment
-    * and probing are fully distributed. */
+    * and probing are fully distributed.
+    *
+    * Default nprobe=8 of nlist=16 cells clears the 0.8 recall@5 floor on
+    * the synthetic near-uniform test vectors (neighbors at cos≈0.3, the
+    * adversarial case for a coarse quantizer); a real corpus with
+    * clustered neighbors runs nprobe≪nlist (e.g. 8 of 1024) for the
+    * same recall. */
   def knnIvf(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 2, seed: Long = 42): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
     import org.apache.spark.ml.functions.array_to_vector
     val e = embeddings.select(col("vec_id"),
