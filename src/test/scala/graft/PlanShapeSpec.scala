@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape regression gates for the headline queries: a future edit
+  * that reintroduces a shuffle, loses a broadcast, or duplicates the
+  * grouping-sets Expand fails here, before it shows up in the bench.
+  * Counts are against the pre-execution executedPlan string (AQE's
+  * initial plan — the conservative shape; AQE only improves on it at
+  * runtime).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("ca_cube: one Expand, one aggregation shuffle, dims broadcast") {
+    val p = plan("ca_cube")
+    // grouping sets expand once over the cached fact; a second Expand
+    // would mean the cube is computed per-grain
+    assert(count(p, "Expand") == 1, p)
+    // one hash exchange for the cube aggregation — the final
+    // rangepartitioning is the deterministic ORDER BY contract
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("client_features: one agg shuffle + two-phase distinct, no extra join exchange") {
+    val p = plan("client_features")
+    // custkey agg (1) + exact countDistinct's (custkey, partkey) dedupe
+    // and per-custkey count (2) — the orders x lineitem diversity join
+    // itself must stay broadcast, adding no exchange
+    assert(count(p, "Exchange hashpartitioning") == 3, p)
+    assert(count(p, "BroadcastHashJoin") == 1, p)
+    // the only sort-merge join is between the two already-partitioned
+    // aggregated sides
+    assert(count(p, "SortMergeJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fact_achats: dims broadcast, no shuffle, no join sort") {
+    val p = plan("fact_achats")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
