@@ -545,13 +545,20 @@ object SparkEntry {
       SELECT probe_id, neighbor_id, rank, sim FROM r
       WHERE rank <= 5 ORDER BY probe_id, rank""",
 
+    // container sizes are closed-form in the text length: BMP 54 + 3wh
+    // (w = 4*(2 + len%15), h = 2 + len%11), WAV 44 + 2*len, y4m
+    // 32 + (1 + len%4)*774 — see Multimodal.MediaGen
     "media_meta" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio'
              ELSE 'video' END AS kind,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents ORDER BY doc_id""",
+        CAST(CASE WHEN doc_id % 3 = 0
+               THEN 54 + 3 * (4 * (2 + len % 15)) * (2 + len % 11)
+             WHEN doc_id % 3 = 1 THEN 44 + 2 * len
+             ELSE 32 + (1 + len % 4) * 774 END AS BIGINT) AS n_bytes
+      FROM d ORDER BY doc_id""",
 
     "ca_rollup" -> s"""
       WITH f AS (

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.10): image/audio/video treated as
@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * batches via typed `Dataset.mapPartitions` (the Scala analog of
   * mapInPandas batch UDFs).
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake decoder, but the Spark-side
-  * plumbing (schema, binary payloads, partition-batched processing,
-  * output schema) is real and tested. A production deployment swaps
-  * [[MultimodalStub.decode]] for a real codec; nothing else changes.
+  * The payloads are REAL container formats — 24bpp BMP images, PCM16 WAV
+  * audio, YUV4MPEG2 (y4m) video — synthesized deterministically from each
+  * document's bytes (the container genuinely has no image/audio
+  * libraries, so the fixtures are written header-correct by [[MediaGen]]),
+  * and [[MediaCodec.decode]] parses the actual headers: BMP dimensions
+  * from the LE32 fields at offsets 18/22, WAV sample count by walking
+  * RIFF chunks to `data`, y4m geometry from the plain-text header and
+  * frame count by walking FRAME markers. Container sizes are closed-form
+  * in the text length, so `media_meta` stays fully oracle-checkable.
   */
 object Multimodal {
 
@@ -24,43 +28,181 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int, frame_idx: Int,
       feature: Array[Double])
 
-  /** Build a media catalog from the documents table: payload = UTF-8
-    * bytes of the text (stand-in for real image/audio/video bytes), kind
-    * assigned deterministically. */
-  def mediaCatalog(documents: DataFrame): Dataset[MediaRow] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      col("text").cast("binary").as("payload"))
-      .as[MediaRow]
-  }
-
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * Replace with e.g. javax.imageio / ffmpeg bindings in production. */
-  object MultimodalStub {
-    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-      val n = payload.length
-      kind match {
-        case "image" => (64 + n % 64, 64 + (n / 64) % 64, 1)
-        case "audio" => (0, 0, 1 + n % 8) // "frames" = sample windows
-        case _ => (32 + n % 32, 32 + (n / 32) % 32, 1 + n % 4)
-      }
+  /** Deterministic fixture writers for real container formats. Content
+    * bytes cycle the source text so payloads vary per document. */
+  object MediaGen {
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    private def fill(b: Array[Byte], off: Int, n: Int, src: Array[Byte]): Unit = {
+      val s = if (src.isEmpty) Array[Byte](0) else src
+      var i = 0
+      while (i < n) { b(off + i) = s(i % s.length); i += 1 }
     }
 
-    /** Fake per-frame feature: 8-bin byte histogram, L1-normalized. */
-    def features(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Double] = {
+    /** BMP dimensions from the text length; width stays a multiple of 4
+      * so the 24bpp row stride needs no padding (3w ≡ 0 mod 4). */
+    def bmpDims(textLen: Int): (Int, Int) =
+      (4 * (2 + textLen % 15), 2 + textLen % 11)
+
+    /** 24bpp bottom-up BMP: 14-byte file header + 40-byte info header +
+      * 3wh pixel bytes. Total size 54 + 3wh. */
+    def bmp(text: Array[Byte]): Array[Byte] = {
+      val (w, h) = bmpDims(text.length)
+      val data = 3 * w * h
+      val b = new Array[Byte](54 + data)
+      b(0) = 'B'; b(1) = 'M'
+      le32(b, 2, b.length); le32(b, 10, 54)
+      le32(b, 14, 40); le32(b, 18, w); le32(b, 22, h)
+      le16(b, 26, 1); le16(b, 28, 24)
+      le32(b, 34, data)
+      fill(b, 54, data, text)
+      b
+    }
+
+    /** Canonical 44-byte PCM WAV, mono 16-bit 8 kHz, one sample per text
+      * byte. Total size 44 + 2·len. */
+    def wav(text: Array[Byte]): Array[Byte] = {
+      val data = 2 * text.length
+      val b = new Array[Byte](44 + data)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      le32(b, 4, b.length - 8)
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      le32(b, 16, 16); le16(b, 20, 1); le16(b, 22, 1)
+      le32(b, 24, 8000); le32(b, 28, 16000); le16(b, 32, 2); le16(b, 34, 16)
+      b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+      le32(b, 40, data)
+      var i = 0
+      while (i < text.length) {
+        le16(b, 44 + 2 * i, ((text(i) & 0xff) - 128) << 8); i += 1
+      }
+      b
+    }
+
+    val Y4mWidth = 32
+    val Y4mHeight = 16
+    /** 4:2:0 frame payload bytes: wh luma + wh/2 chroma. */
+    val Y4mFrameBytes: Int = Y4mWidth * Y4mHeight * 3 / 2
+    private val y4mHeader = s"YUV4MPEG2 W$Y4mWidth H$Y4mHeight F25:1 Ip A1:1\n"
+
+    /** YUV4MPEG2 stream: 32-byte text header, then per frame a FRAME
+      * marker line + 768 raw 4:2:0 bytes. 1 + len%4 frames; total size
+      * 32 + frames·774. */
+    def y4m(text: Array[Byte]): Array[Byte] = {
+      val frames = 1 + text.length % 4
+      val head = y4mHeader.getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val b = new Array[Byte](head.length + frames * (marker.length + Y4mFrameBytes))
+      System.arraycopy(head, 0, b, 0, head.length)
+      var off = head.length
+      for (_ <- 0 until frames) {
+        System.arraycopy(marker, 0, b, off, marker.length)
+        fill(b, off + marker.length, Y4mFrameBytes, text)
+        off += marker.length + Y4mFrameBytes
+      }
+      b
+    }
+  }
+
+  /** Real header-parsing decoder. Throws on malformed payloads — an
+    * engine must surface corrupt media, not fabricate metadata. */
+  object MediaCodec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Samples per audio feature window. */
+    val WavWindow = 2000
+
+    /** (width, height, n_frames) parsed from the container bytes. */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = kind match {
+      case "image" =>
+        require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+          s"not a BMP (${payload.length} bytes)")
+        (le32(payload, 18), le32(payload, 22), 1)
+      case "audio" =>
+        (0, 0, 1 + wavDataRange(payload)._2 / (2 * WavWindow))
+      case _ =>
+        val header = y4mHeaderString(payload)
+        val dims = header.split(" ").toSeq
+        def num(prefix: String): Int = dims.collectFirst {
+          case t if t.startsWith(prefix) => t.drop(1).toInt
+        }.getOrElse(throw new IllegalArgumentException(s"y4m header missing $prefix"))
+        val (w, h) = (num("W"), num("H"))
+        // walk FRAME markers, skipping each frame's raw 4:2:0 bytes
+        val frameBytes = w * h * 3 / 2
+        var off = header.length + 1
+        var frames = 0
+        while (off < payload.length) {
+          require(tag(payload, off) == "FRAM", s"bad y4m frame marker at $off")
+          while (payload(off) != '\n') off += 1
+          off += 1 + frameBytes
+          frames += 1
+        }
+        (w, h, frames)
+    }
+
+    /** (offset, byteLength) of the WAV data chunk, walking RIFF chunks. */
+    private[graft] def wavDataRange(payload: Array[Byte]): (Int, Int) = {
+      require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", s"not a WAV (${payload.length} bytes)")
+      var off = 12
+      while (tag(payload, off) != "data") off += 8 + le32(payload, off + 4)
+      (off + 8, le32(payload, off + 4))
+    }
+
+    /** Per-frame feature: 8-bin byte histogram over the frame's OWN data
+      * region (pixels / sample window / frame plane), L1-normalized. */
+    def features(kind: String, payload: Array[Byte], frameIdx: Int,
+        nFrames: Int): Array[Double] = {
+      val (start, end) = kind match {
+        case "image" => (54, payload.length)
+        case "audio" =>
+          val (d0, dn) = wavDataRange(payload)
+          (d0 + 2 * WavWindow * frameIdx,
+            math.min(d0 + 2 * WavWindow * (frameIdx + 1), d0 + dn))
+        case _ =>
+          val headerLen = y4mHeaderString(payload).length + 1
+          val stride = 6 + MediaGen.Y4mFrameBytes
+          (headerLen + stride * frameIdx + 6, headerLen + stride * (frameIdx + 1))
+      }
       val bins = new Array[Double](8)
-      val start = (payload.length.toLong * frameIdx / nFrames).toInt
-      val end = (payload.length.toLong * (frameIdx + 1) / nFrames).toInt
       var i = start
       while (i < end) { bins((payload(i) & 0xff) / 32) += 1.0; i += 1 }
       val total = math.max(end - start, 1).toDouble
       bins.map(_ / total)
     }
+
+    private def y4mHeaderString(payload: Array[Byte]): String = {
+      require(payload.length >= 10 &&
+        new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2",
+        s"not a y4m stream (${payload.length} bytes)")
+      new String(payload.takeWhile(_ != '\n'), "US-ASCII")
+    }
+  }
+
+  /** Build a media catalog from the documents table: each text becomes a
+    * real container payload (BMP / WAV / y4m round-robin by doc_id),
+    * synthesized per-partition with no driver round-trip. */
+  def mediaCatalog(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        id % 3 match {
+          case 0 => MediaRow(id, "image", MediaGen.bmp(bytes))
+          case 1 => MediaRow(id, "audio", MediaGen.wav(bytes))
+          case _ => MediaRow(id, "video", MediaGen.y4m(bytes))
+        }
+      })
   }
 
   /** Distributed decode + frame-sample + feature-extract: one partition =
@@ -70,17 +212,17 @@ object Multimodal {
     import spark.implicits._
     catalog.mapPartitions { rows =>
       rows.flatMap { r =>
-        val (w, h, frames) = MultimodalStub.decode(r.kind, r.payload)
+        val (w, h, frames) = MediaCodec.decode(r.kind, r.payload)
         (0 until frames).iterator.map { f =>
           MediaFeature(r.doc_id, r.kind, r.payload.length.toLong, w, h,
-            frames, f, MultimodalStub.features(r.payload, f, frames))
+            frames, f, MediaCodec.features(r.kind, r.payload, f, frames))
         }
       }
     }
   }
 
-  /** Oracle-checkable metadata projection (byte lengths are real even
-    * though the codec is stubbed). */
+  /** Oracle-checkable metadata projection: container sizes are closed-form
+    * in the text length (BMP 54+3wh, WAV 44+2n, y4m 32+frames·774). */
   def mediaMeta(documents: DataFrame): DataFrame =
     mediaCatalog(documents).toDF()
       .select(col("doc_id"), col("kind"),
