@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** SQL surface (reference serving read path, SURVEY §3 entry point 3: the
   * Flask/Mongo layer collapses to views + ORDER BY/LIMIT queries).
@@ -37,13 +38,20 @@ object Catalog {
   }
 
   /** The reference API's `fetch_collection` shape
-    * (serving_api/repository.py:26-42): view + dynamic sort + limit; fails
-    * like the API's 503 when the collection is empty. */
+    * (serving_api/repository.py:26-42): view + column projection + dynamic
+    * sort + limit; fails like the API's 503 when the collection is empty.
+    * `fields` mirrors the Mongo projection dict (the `{_id: false}` /
+    * field-select layer) — empty means all columns; unknown fields fail
+    * analysis like the API's 400. Projection is applied before the sort
+    * so the scan only reads the requested columns (sort keys must be in
+    * the projection, as in the reference API). */
   def fetchCollection(spark: SparkSession, view: String, sortSpec: String = "",
-      limit: Int = 5000): DataFrame = {
+      limit: Int = 5000, fields: Seq[String] = Nil): DataFrame = {
     val df = spark.table(view)
     require(!df.isEmpty, s"collection '$view' is empty")
-    val sorted = if (sortSpec.isEmpty) df else df.orderBy(Serving.parseSortSpec(sortSpec): _*)
+    val projected = if (fields.isEmpty) df else df.select(fields.map(col): _*)
+    val sorted = if (sortSpec.isEmpty) projected
+      else projected.orderBy(Serving.parseSortSpec(sortSpec): _*)
     sorted.limit(limit)
   }
 }
