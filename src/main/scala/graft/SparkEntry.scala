@@ -82,13 +82,30 @@ object SparkEntry {
       LEFT JOIN dv USING (c_custkey)
       LEFT JOIN pa USING (c_custkey))"""
 
-  /** Oracle scoring tail over `feats` (mirrors Gold.scoreClients). */
+  /** Oracle scoring tail over `feats` (mirrors Gold.scoreClients,
+    * including ScoreThresholds' falsy fallbacks: a NULL/zero percentile —
+    * e.g. no orders in the trailing window — falls back exactly as
+    * Gold.scoreThresholds.orElse does, so Spark and the oracle can never
+    * diverge on degenerate data). */
   private val scoredCte = s"""$featsCte,
-    th AS (SELECT quantile_cont(freq_12m, 0.75) AS f75, quantile_cont(freq_12m, 0.95) AS f95,
+    th0 AS (SELECT quantile_cont(freq_12m, 0.75) AS f75, quantile_cont(freq_12m, 0.95) AS f95,
              quantile_cont(monetary_12m, 0.75) AS m75, quantile_cont(monetary_12m, 0.95) AS m95,
              quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.75) AS r75,
              greatest(CAST(max(product_diversity_12m) AS DOUBLE), 1.0) AS maxdiv
            FROM feats),
+    th AS (SELECT
+             CASE WHEN coalesce(f75, 0) = 0
+               THEN CASE WHEN coalesce(f95, 0) = 0 THEN 1.0 ELSE f95 END
+               ELSE f75 END AS f75,
+             CASE WHEN coalesce(f95, 0) = 0 THEN 1.0 ELSE f95 END AS f95,
+             CASE WHEN coalesce(m75, 0) = 0
+               THEN CASE WHEN coalesce(m95, 0) = 0 THEN 1.0 ELSE m95 END
+               ELSE m75 END AS m75,
+             CASE WHEN coalesce(m95, 0) = 0 THEN 1.0 ELSE m95 END AS m95,
+             CASE WHEN coalesce(r25, 0) = 0 THEN 91.25 ELSE r25 END AS r25,
+             CASE WHEN coalesce(r75, 0) = 0 THEN 365.0 ELSE r75 END AS r75,
+             maxdiv
+           FROM th0),
     s1 AS (SELECT f.*,
              round(0.45 * (least(CAST(f.freq_12m AS DOUBLE), t.f95) / t.f95)
                  + 0.30 * (1.0 - least(CAST(f.recency_days AS DOUBLE), 365.0) / 365.0)

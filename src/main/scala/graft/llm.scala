@@ -106,9 +106,12 @@ object Llm {
     * signature-estimated Jaccard. The self-join shuffles on the 64-bit
     * band key only; pair dedup happens on (doc_a, doc_b) before touching
     * signatures (per-doc signatures are unique, so dropDuplicates is
-    * deterministic). */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents).cache()
+    * deterministic). Standalone wrapper — caches nothing; the self-join's
+    * two sides share the signature aggregation's shuffle output. */
+  def minhashCandidates(documents: DataFrame): DataFrame =
+    candidatesFromSignatures(minhashSignatures(documents))
+
+  private[graft] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
     val ex = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
     val a = ex.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
     val b = ex.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
@@ -122,15 +125,22 @@ object Llm {
   }
 
   /** Per-document near-dup summary (total rows == #documents, so the
-    * result is non-degenerate even with zero near-dups). */
+    * result is non-degenerate even with zero near-dups).
+    *
+    * ONE cached signatures frame is threaded through both consumers (the
+    * candidate join and the per-doc summary) — no reliance on the cache
+    * manager's canonical-plan matching, and repeated invocations over the
+    * same input re-use this single cache entry instead of accumulating
+    * new ones. */
   def dedupMinhash(documents: DataFrame): DataFrame = {
-    val cand = minhashCandidates(documents)
+    val sigs = minhashSignatures(documents).cache()
+    val cand = candidatesFromSignatures(sigs)
     val perDoc = cand.select(col("doc_a").as("doc_id"), col("est_jaccard"))
       .union(cand.select(col("doc_b").as("doc_id"), col("est_jaccard")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"),
         round(max("est_jaccard"), 4).as("max_est_jaccard"))
-    minhashSignatures(documents).select("doc_id", "n_shingles")
+    sigs.select("doc_id", "n_shingles")
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_candidates"))
       .orderBy("doc_id")

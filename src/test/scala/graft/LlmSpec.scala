@@ -156,6 +156,12 @@ class LlmSpec extends SparkSpec {
     // and through the SQL/codegen path end-to-end
     val r = paired.agg(min("native"), max("native")).first()
     assert(r.getDouble(0) >= -1.0000001 && r.getDouble(1) <= 1.0000001)
+    // mismatched lengths are null in BOTH forms (zip_with null padding
+    // poisons the HOF aggregate; the native expression mirrors it)
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b")).as("native"),
+        Llm.cosineHof(col("a"), col("b")).as("hof")).first()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
   test("top-k Aggregator selects exactly what the window formulation selects") {

@@ -145,6 +145,21 @@ class StreamsSpec extends SparkSpec {
     val fetched = Catalog.fetchCollection(spark, "customer", "c_acctbal:desc", 10).collect()
     assert(fetched.length == 10)
     assert(fetched(0).getAs[Double]("c_acctbal") >= fetched(9).getAs[Double]("c_acctbal"))
+    // projection + sort + limit together: only the requested columns come
+    // back, in the requested order, and the scan is pruned to them
+    val proj = Catalog.fetchCollection(spark, "customer", "c_acctbal:desc", 10,
+      fields = Seq("c_custkey", "c_acctbal"))
+    assert(proj.columns.toSeq == Seq("c_custkey", "c_acctbal"))
+    assert(proj.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double>"))
+    val pr = proj.collect()
+    assert(pr.length == 10)
+    assert(pr.map(_.getAs[Double]("c_acctbal")).toSeq ==
+      fetched.map(_.getAs[Double]("c_acctbal")).toSeq)
+    // unknown field fails analysis like the API's 400
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Catalog.fetchCollection(spark, "customer", fields = Seq("nope")).collect()
+    }
     spark.emptyDataFrame.createOrReplaceTempView("empty_view")
     intercept[IllegalArgumentException] {
       Catalog.fetchCollection(spark, "empty_view")
