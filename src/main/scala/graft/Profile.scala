@@ -150,6 +150,27 @@ object Profile {
         time("pairs warm")(mat(pairs.groupBy("doc_a", "doc_b").count()))
         time("full dedupNgram")(mat(Llm.dedupNgram(docs)))
         time("full dedupNgram warm")(mat(Llm.dedupNgram(docs)))
+      case Array("simhash") =>
+        import org.apache.spark.sql.functions._
+        def noop(df: DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val docs = Tables.documents(spark, d)
+        val sh = Llm.simhashDocs(docs)
+        noop(Llm.dedupSimhash(docs)) // warm
+        time("simhashDocs")(noop(sh))
+        val banded = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("transform(sequence(0, 3), j -> " +
+            "concat(CAST(j AS STRING), ':', CAST(shiftright(simhash, j * 16) & 65535 AS STRING)))")).as("band"))
+        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"))
+        val joined = a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+        time("banded join")(noop(joined))
+        println(s"[profile] joined pairs: ${joined.count()}")
+        val pairs = joined.select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+        time("pairs distinct")(noop(pairs))
+        println(s"[profile] distinct pairs: ${pairs.count()}")
+        for (i <- 1 to 3) time(s"full $i")(noop(Llm.dedupSimhash(docs)))
       case Array("recall") =>
         import org.apache.spark.sql.functions._
         val e = Tables.embeddings(spark, d)

@@ -187,6 +187,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Llm.dedupMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Llm.dedupSimhash(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Llm.dedupNgram(Tables.documents(s, d))),
+    // fifth dedup tier: embedding-cosine near-dup — exact O(N²) baseline
+    // (oracle-checked) + the LSH-bucketed scale path (rows-only, pair
+    // recall floor in LlmSpec)
+    "dedup_embedding" -> ((s, d) => Llm.dedupEmbedding(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Llm.dedupEmbeddingLsh(Tables.embeddings(s, d))),
     "text_stats" -> ((s, d) => Llm.textStats(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
@@ -477,6 +482,20 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS dup_count
       FROM documents GROUP BY text ORDER BY doc_id""",
+
+    // same 6dp-rounded cosine recipe as knn_bruteforce; a vector with no
+    // near-dup keeps n_near 0 and a NULL max_cos on both sides
+    "dedup_embedding" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      q AS (SELECT * FROM p WHERE sim >= 0.35),
+      u AS (SELECT vec_a AS vec_id, sim FROM q
+            UNION ALL SELECT vec_b, sim FROM q),
+      g AS (SELECT vec_id, count(*) AS n_near, max(sim) AS max_cos FROM u GROUP BY 1)
+      SELECT e.vec_id, coalesce(g.n_near, 0) AS n_near, g.max_cos
+      FROM e LEFT JOIN g USING (vec_id) ORDER BY e.vec_id""",
 
     "dedup_ngram" -> """
       WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),

@@ -167,7 +167,10 @@ object Llm {
   }
 
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val sh = simhashDocs(documents)
+    // one cached fingerprint frame feeds both self-join sides and the
+    // final per-doc join-back — without it the 64-aggregate fingerprint
+    // pass re-runs up to three times (measured 3.4s -> ~2.3s at sf0.1)
+    val sh = simhashDocs(documents).cache()
     // block on 4 x 16-bit bands: any pair within hamming<=12 of 64 bits
     // shares at least one exact band far more often than random pairs
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -438,16 +441,15 @@ object Llm {
     * ints and the dedup shuffles 16-byte id pairs, not embeddings —
     * vectors are re-attached by id join only for the surviving
     * candidates. Never all-pairs. */
-  def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-      nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+  /** One (vec_id, tbl, bucket) row per vector per LSH table: all
+    * nPlanes·nTables sign dots in ONE posexplode → groupBy pass (same
+    * shape rationale as minhash/simhash: no nested-HOF re-eval); outer
+    * variant for the same InferFiltersFromGenerate reason as explodeOnce
+    * — the cast would otherwise re-run 3x per row. */
+  private[graft] def lshTableBuckets(emb: DataFrame, nPlanes: Int,
+      nTables: Int): DataFrame = {
     val nBits = nPlanes * nTables
     val planes = hyperplanes(nBits, 256)
-    val emb = spread(embeddings)
-    // all table signatures in ONE posexplode → groupBy pass with
-    // nBits aggregate columns (same shape rationale as minhash/simhash:
-    // no nested-HOF re-eval); outer variant for the same
-    // InferFiltersFromGenerate reason as explodeOnce — the cast would
-    // otherwise re-run 3x per row
     val exploded = emb
       .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
       .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
@@ -456,16 +458,21 @@ object Llm {
       val w = typedlit(planes(j))
       sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
     }
-    // one (table, bucket) row per vector per table
     val tableBuckets = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         (0 until nPlanes).map { i =>
           when(col(s"dot_${t * nPlanes + i}") >= 0, 1 << i).otherwise(0)
         }.reduce(_ + _).as("bucket"))
     }
-    val buckets = exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
+    exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+      nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    val emb = spread(embeddings)
+    val buckets = lshTableBuckets(emb, nPlanes, nTables)
     val probeBuckets = buckets.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
     // union of bucket-mates over tables, deduped on bare ids
@@ -482,5 +489,62 @@ object Llm {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
       .orderBy("probe_id", "rank")
+  }
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Per-vector summary of near-duplicate flags from a (vec_a, vec_b,
+    * sim) pair frame: every vector keeps a row (n_near 0, max_cos null
+    * when nothing is close). */
+  private def nearDupSummary(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val perVec = pairs.select(col("vec_a").as("vec_id"), col("sim"))
+      .union(pairs.select(col("vec_b").as("vec_id"), col("sim")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near"), max("sim").as("max_cos"))
+    e.select("vec_id").join(perVec, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact embedding-cosine near-dup (the fifth dedup tier next to
+    * exact/minhash/simhash/ngram): all pairs with rounded cosine ≥
+    * threshold, summarized per vector. O(N²) correctness baseline —
+    * oracle-checked against DuckDB's list_cosine_similarity with the
+    * same 6dp rounding; the scale path is [[dedupEmbeddingLsh]]. */
+  def dedupEmbedding(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val e = spread(embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pairs = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= threshold)
+    nearDupSummary(e, pairs)
+  }
+
+  /** LSH-bucketed embedding near-dup (the 100 TB path): candidate pairs
+    * come from the same multi-table sign-LSH as [[knnLsh]] — two vectors
+    * are compared only if they share a bucket in ≥1 table — so candidate
+    * generation is never all-pairs and the bucket join shuffles small
+    * (table, bucket) ints; embeddings are re-attached by id only for the
+    * surviving candidate pairs. Approximate (a pair can miss every
+    * table): rows-only gated, with a measured pair-recall floor vs
+    * [[dedupEmbedding]] in LlmSpec. */
+  def dedupEmbeddingLsh(embeddings: DataFrame, threshold: Double = 0.35,
+      nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    val emb = spread(embeddings)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val buckets = lshTableBuckets(emb, nPlanes, nTables)
+    val cand = buckets.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= threshold)
+    nearDupSummary(e, pairs)
   }
 }

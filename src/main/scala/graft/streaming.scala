@@ -151,7 +151,10 @@ object Streams extends Serializable {
           .unionByName(b)
       }
     val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
-    merged.write.partitionBy("_bucket").mode("overwrite")
+    // one task -> one file per bucket: the bucket is the rewrite unit,
+    // so fan-out beyond it only multiplies small files
+    merged.repartition(buckets, col("_bucket"))
+      .write.partitionBy("_bucket").mode("overwrite")
       .parquet(staging.getAbsolutePath)
     target.mkdirs()
     for (i <- touched) {

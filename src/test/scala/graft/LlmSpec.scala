@@ -123,6 +123,21 @@ class LlmSpec extends SparkSpec {
       r.getAs[Long]("neighbor_id") == 1L && r.getAs[Double]("sim") == 1.0))
   }
 
+  test("dedupEmbedding: LSH tier flags a subset of the exact tier, recall >= 0.8") {
+    val e = Tables.embeddings(spark, sf)
+    def flagged(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("n_near") > 0).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("max_cos")).toMap
+    val exact = flagged(Llm.dedupEmbedding(e))
+    val lsh = flagged(Llm.dedupEmbeddingLsh(e))
+    assert(exact.nonEmpty)
+    // the LSH tier verifies candidates with the same exact cosine, so it
+    // can only miss pairs, never invent them
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    assert(lsh.forall { case (id, mc) => mc <= exact(id) })
+    assert(lsh.size.toDouble / exact.size >= 0.8)
+  }
+
   test("knnLsh: measured recall@5 vs brute force clears the 0.8 floor at default (b, L)") {
     // fully deterministic (fixed hyperplanes, fixed test vectors): the
     // assertion is a regression gate on the (nPlanes, nTables) tuning,
