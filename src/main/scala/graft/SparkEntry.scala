@@ -226,6 +226,19 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
+    // same as-of semantics through the custom whole-operator plan
+    // (AsOfJoinNode -> AsOfJoinStrategy -> sort-merge AsOfJoinExec) —
+    // hash-checked against the SAME oracle as the composed version
+    "events_asof_custom" -> ((s, d) =>
+      graft.plans.AsOf.joinAsOf(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_totalprice"), rightTie = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_totalprice").as("last_order_price"))
+        .orderBy("event_id")),
     "event_sessions_native" -> ((s, d) => Serving.eventSessionsNative(Tables.events(s, d))),
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
     "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
@@ -642,6 +655,22 @@ object SparkEntry {
       FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""",
 
     "events_asof_price" -> """
+      WITH u AS (
+        SELECT o_custkey AS key, o_orderdate AS t, o_orderkey AS rid,
+               o_totalprice AS price, 1 AS is_order, CAST(NULL AS BIGINT) AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), event_id, CAST(NULL AS DOUBLE), 0, event_id
+        FROM events),
+      x AS (SELECT *, last_value(price IGNORE NULLS) OVER (
+              PARTITION BY key ORDER BY t, is_order DESC, rid
+              ROWS UNBOUNDED PRECEDING) AS last_order_price FROM u)
+      SELECT event_id, key AS user_id, t AS ts, last_order_price
+      FROM x WHERE is_order = 0 ORDER BY event_id""",
+
+    // the custom-operator as-of join answers to the same oracle as the
+    // composed formulation — identical semantics, different physical plan
+    "events_asof_custom" -> """
       WITH u AS (
         SELECT o_custkey AS key, o_orderdate AS t, o_orderkey AS rid,
                o_totalprice AS price, 1 AS is_order, CAST(NULL AS BIGINT) AS event_id
