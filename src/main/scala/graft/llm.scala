@@ -472,7 +472,11 @@ object Llm {
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
       nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
     val emb = spread(embeddings)
-    val buckets = lshTableBuckets(emb, nPlanes, nTables)
+    // the bucket frame is (vec_id, tbl, bucket) — nTables ints per vector,
+    // tiny next to the embeddings — and feeds BOTH sides of the candidate
+    // join; cache it so the posexplode + nBits-aggregate signature pass
+    // runs once
+    val buckets = lshTableBuckets(emb, nPlanes, nTables).cache()
     val probeBuckets = buckets.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
     // union of bucket-mates over tables, deduped on bare ids
@@ -534,7 +538,8 @@ object Llm {
       nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
     val emb = spread(embeddings)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val buckets = lshTableBuckets(emb, nPlanes, nTables)
+    // same cache rationale as knnLsh: one signature pass, two consumers
+    val buckets = lshTableBuckets(emb, nPlanes, nTables).cache()
     val cand = buckets.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
