@@ -204,6 +204,9 @@ object SparkEntry {
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
+    // stream-static broadcast join: event stream enriched with the
+    // customer->nation dim, hourly revenue by country
+    "events_stream_enriched" -> ((s, d) => Streams.enrichedHourlyStreamed(s, d)),
     // update-mode streaming aggregate published through the keyed
     // foreachBatch upsert sink (reference Mongo ReplaceOne analog);
     // one sink dir per (session, dataset) — re-upserting into it is
@@ -667,6 +670,17 @@ object SparkEntry {
               ROWS UNBOUNDED PRECEDING) AS last_order_price FROM u)
       SELECT event_id, key AS user_id, t AS ts, last_order_price
       FROM x WHERE is_order = 0 ORDER BY event_id""",
+
+    // the stream-static join materialized to completion equals the batch
+    // join — same hourly-window + dim-enrich semantics
+    "events_stream_enriched" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      j AS (SELECT date_trunc('hour', e.ts) AS heure,
+              coalesce(n.n_name, 'Inconnu') AS pays, e.value
+            FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      SELECT heure, pays, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the custom-operator as-of join answers to the same oracle as the
     // composed formulation — identical semantics, different physical plan

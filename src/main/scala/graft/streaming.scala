@@ -275,4 +275,34 @@ object Streams extends Serializable {
     q.awaitTermination()
     spark.table(name).orderBy("heure", "event_type")
   }
+
+  /** Stream-static enrichment (the standard production shape for joining
+    * a fact stream to slowly-changing dims): the event stream left-joins
+    * the broadcast customer→nation dim — stateless, re-resolved per
+    * micro-batch, no stream-stream state — then aggregates hourly revenue
+    * by country. Materialized to completion and checked against the same
+    * batch-join oracle. */
+  def enrichedHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n_name"), lit("Inconnu")).as("pays"))
+    val name = s"graft_enriched_stream_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
+      .withColumn("pays", coalesce(col("pays"), lit("Inconnu")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("pays"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("heure"), col("pays"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("heure", "pays")
+  }
 }

@@ -112,6 +112,24 @@ class StreamsSpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  test("stream-static broadcast join: enriched hourly agg equals the batch join") {
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .join(Tables.nation(spark, sf),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_name"), lit("Inconnu")).as("pays"))),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("pays", coalesce(col("pays"), lit("Inconnu")))
+      .groupBy(date_trunc("hour", col("ts")).as("heure"), col("pays"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("heure", date_format(col("heure"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("heure", "pays").collect().map(_.mkString("|")).toSeq
+    val streamed = Streams.enrichedHourlyStreamed(spark, sf)
+    assert(canon(streamed).nonEmpty)
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming dedup suppresses duplicates from a doubled stream") {
     val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
     val streamed = Streams.eventsDedupStreamed(spark, sf)
