@@ -134,7 +134,9 @@ object Llm {
     * new ones. */
   def dedupMinhash(documents: DataFrame): DataFrame = {
     val sigs = minhashSignatures(documents).cache()
-    val cand = candidatesFromSignatures(sigs)
+    // the candidate frame feeds the union twice below — cache the small
+    // post-dedup pair set so the band join runs once
+    val cand = candidatesFromSignatures(sigs).cache()
     val perDoc = cand.select(col("doc_a").as("doc_id"), col("est_jaccard"))
       .union(cand.select(col("doc_b").as("doc_id"), col("est_jaccard")))
       .groupBy("doc_id")
@@ -178,10 +180,13 @@ object Llm {
         "concat(CAST(j AS STRING), ':', CAST(shiftright(simhash, j * 16) & 65535 AS STRING)))")).as("band"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"))
+    // verified pair set is consumed twice by the per-doc union — cache
+    // the small post-hamming frame so the banded join runs once
     val pairs = a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
+      .cache()
     val perDoc = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
@@ -501,8 +506,12 @@ object Llm {
     * sim) pair frame: every vector keeps a row (n_near 0, max_cos null
     * when nothing is close). */
   private def nearDupSummary(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val perVec = pairs.select(col("vec_a").as("vec_id"), col("sim"))
-      .union(pairs.select(col("vec_b").as("vec_id"), col("sim")))
+    // the union below consumes the pair frame twice; without the cache the
+    // whole pair-generation subtree (for the exact tier, the O(N²) cosine
+    // pass) re-runs per branch
+    val cached = pairs.cache()
+    val perVec = cached.select(col("vec_a").as("vec_id"), col("sim"))
+      .union(cached.select(col("vec_b").as("vec_id"), col("sim")))
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_near"), max("sim").as("max_cos"))
     e.select("vec_id").join(perVec, Seq("vec_id"), "left")
