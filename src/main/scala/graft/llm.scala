@@ -236,9 +236,13 @@ object Llm {
     // struct comparison is lexicographic and doc_id is unique, so
     // sort_array orders by doc_id — pair expansion below yields
     // doc_a < doc_b by construction
+    // both tiers (in-task expansion / salted hot join) filter this frame,
+    // so without the cache the shingle explode + groupBy — the one big
+    // shuffle — runs twice; spills to disk if it outgrows memory
     val grouped = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")) >= 2) // df=1 prune
+      .cache()
     val smallPairs = grouped.filter(size(col("ds")) <= hotDf)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + lit(2), greatest(size(col("ds")) - i - 1, lit(0))),
