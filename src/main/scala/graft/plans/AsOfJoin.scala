@@ -144,11 +144,39 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
+/** Optimizer rule: Catalyst's own PushDownPredicates cannot see through
+  * an unknown node, so a user's `filter` above [[AsOfJoinNode]] would scan
+  * everything. Left-only conjuncts are safe to push: the as-of join emits
+  * exactly one row per left row and its payload depends only on that
+  * row's own (key, ts), so filtering left rows before the join equals
+  * filtering the joined result on left attributes. Conjuncts touching
+  * payload columns stay above. */
+object AsOfFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), j.left))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** `spark.sql.extensions`-style injection for sessions built from config:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfFilterPushdown)
+  }
 }
 
 /** DataFrame-level API over the custom operator. */
@@ -164,6 +192,7 @@ object AsOf {
       payload: Seq[String], rightTie: Seq[String] = Nil): DataFrame = {
     val spark: SparkSession = left.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
+    Bridge.addOptimizerRule(spark, AsOfFilterPushdown)
     val rightPruned = right.selectExpr(
       (Seq(rightKey, rightTs) ++ rightTie ++ payload).distinct: _*)
     val lPlan = Bridge.analyzed(left)

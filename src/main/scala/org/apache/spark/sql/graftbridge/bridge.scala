@@ -38,6 +38,15 @@ object Bridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
 
+  /** Idempotently add an optimizer rule to an existing session (post-hoc
+    * form of SparkSessionExtensions.injectOptimizerRule). */
+  def addOptimizerRule(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+  }
+
   /** Natural ascending ordering for an atomic column type. */
   def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)

@@ -72,4 +72,27 @@ class AsOfJoinSpec extends SparkSpec {
     // pruned right side: only key/ts/tie/payload columns reach the exchange
     assert(!plan.contains("o_comment"), plan)
   }
+
+  test("optimizer rule pushes left-only filters below the as-of node into the scan") {
+    val events = Tables.events(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    def asof = graft.plans.AsOf.joinAsOf(
+      events.select(col("event_id"), col("user_id"), col("ts")), orders,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      payload = Seq("o_totalprice"), rightTie = Seq("o_orderkey"))
+    val filtered = asof.filter(col("user_id") === 7L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate must reach the events parquet scan, not sit above the join
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"), plan)
+    // a payload predicate must NOT be pushed (it needs the join's result)
+    val mixed = asof.filter(col("user_id") === 7L && col("o_totalprice") > 50.0)
+    val mixedPlan = mixed.queryExecution.optimizedPlan.toString
+    assert(mixedPlan.contains("AsOfJoinNode") || mixedPlan.contains("as-of") ||
+      mixedPlan.contains("AsOfJoin"), mixedPlan)
+    // and results agree with filtering the unoptimized-shape output
+    val expect = asof.collect().filter(r => r.getLong(1) == 7L)
+    val got = filtered.collect()
+    assert(got.map(_.mkString("|")).sorted.toSeq ==
+      expect.map(_.mkString("|")).sorted.toSeq)
+  }
 }
