@@ -45,4 +45,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 0, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("bucketed scale tiers never degenerate to all-pairs") {
+    // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
+    // design; every bucketed/banded tier must keep candidate generation
+    // join-based — a cross/nested-loop join here is a silent 100 TB
+    // regression
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram",
+        "dedup_embedding_lsh", "knn_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
 }
