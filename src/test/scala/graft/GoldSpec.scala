@@ -250,4 +250,28 @@ class GoldSpec extends SparkSpec {
     assert(out.last.getAs[Long]("bucket") == 11L)
     assert(out.last.getAs[Long]("count") == 2L) // 120 and 130 share last bin
   }
+
+  test("kpisApprox: HLL++ client count within 5% of exact, other KPIs identical") {
+    val fact = Gold.buildFact(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf))
+    val exact = Serving.kpis(fact).collect().head
+    val approx = Serving.kpisApprox(fact).collect().head
+    assert(approx.getAs[Double]("ca_total") == exact.getAs[Double]("ca_total"))
+    assert(approx.getAs[Long]("nb_achats") == exact.getAs[Long]("nb_achats"))
+    assert(approx.getAs[Double]("panier_moyen") == exact.getAs[Double]("panier_moyen"))
+    val e = exact.getAs[Long]("nb_clients").toDouble
+    val a = approx.getAs[Long]("nb_clients_approx").toDouble
+    assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+  }
+
+  test("toJsonRecords: one valid JSON object per row, values round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "v")
+    val out = Serving.toJsonRecords(df).collect().map(_.getString(0))
+    assert(out.length == 2)
+    // parse back with Spark's own JSON reader: schema and values survive
+    val parsed = spark.read.json(out.toSeq.toDS()).orderBy("id").collect()
+    assert(parsed.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+      r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
+  }
 }
