@@ -80,7 +80,7 @@ object Bench {
     val errJson = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"timing":"noop-materialize min-of-2 (r1 was count() single-pass)","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }
