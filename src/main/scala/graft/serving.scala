@@ -166,19 +166,45 @@ object Serving {
         "n_events", "total_value")
       .orderBy("user_id", "session_start")
 
-  /** Client value deciles (ranking-window family): ntile(10) over
-    * lifetime spend with a unique tiebreaker, then per-decile rollup.
-    * A global ntile needs a single-partition window — acceptable because
-    * its input is the already-aggregated per-client frame, not the fact
-    * table; at extreme client counts the percentile-threshold approach
-    * (A9) replaces it. */
+  /** Client value deciles (ranking-window family), DISTRIBUTED exact
+    * ntile: a bare `ntile(10) OVER (ORDER BY …)` funnels every row
+    * through one partition — the classic global-ranking bottleneck at
+    * 10⁹ clients. Instead: range-repartition on the total sort key
+    * (contiguous sorted partitions), collect ONE count per partition
+    * (bounded by the partition count, not rows), and assign each row its
+    * global rank = partition offset + local index, bucketed by the exact
+    * ntile size formula (first n%10 buckets get one extra row). The
+    * result is bit-identical to SQL ntile — the DuckDB oracle still
+    * hash-checks it — while every stage stays distributed. */
   def clientDeciles(fact: DataFrame): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
     val perClient = fact.groupBy(col("o_custkey").as("c_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spend"))
-    perClient
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(desc("total_spend"), col("c_custkey")))
-          .cast("long"))
+    val sorted = perClient
+      .repartitionByRange(desc("total_spend"), col("c_custkey"))
+      .sortWithinPartitions(desc("total_spend"), col("c_custkey"))
+      .select(col("c_custkey"), col("total_spend")).as[(Long, Double)]
+      .cache()
+    val sizes = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = sizes.sum
+    val base = n / 10
+    val extra = n % 10 // ntile: buckets 1..extra hold base+1 rows
+    val cut = extra * (base + 1)
+    val deciled = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = offsets(pid)
+      it.map { case (key, spend) =>
+        val d = if (r < cut) r / (base + 1) + 1
+          else extra + (r - cut) / math.max(base, 1L) + 1
+        r += 1
+        (key, spend, d)
+      }
+    }.toDF("c_custkey", "total_spend", "decile")
+    deciled
       .groupBy("decile")
       .agg(count(lit(1)).as("clients"),
         round(sum("total_spend"), 2).as("ca"),

@@ -251,6 +251,19 @@ class GoldSpec extends SparkSpec {
     assert(out.last.getAs[Long]("count") == 2L) // 120 and 130 share last bin
   }
 
+  test("clientDeciles: distributed ntile matches SQL ntile when clients < buckets") {
+    // 7 clients, 10 buckets: SQL ntile puts one client in each of deciles
+    // 1..7, ordered by spend desc with key tiebreak
+    val orders = ordersDf((1 to 7).map(i =>
+      Row(i.toLong, i.toLong, "O", i * 100.0, ts("2020-01-01 00:00:00"), "X")))
+    val out = Serving.clientDeciles(orders.withColumn("pays", lit("X"))).collect()
+    assert(out.length == 7)
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 7L))
+    assert(out.forall(_.getAs[Long]("clients") == 1L))
+    // decile 1 = the top spender (client 7, 700.0)
+    assert(out.head.getAs[Double]("ca") == 700.0)
+  }
+
   test("kpisApprox: HLL++ client count within 5% of exact, other KPIs identical") {
     val fact = Gold.buildFact(Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf))
