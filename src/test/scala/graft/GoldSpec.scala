@@ -264,6 +264,27 @@ class GoldSpec extends SparkSpec {
     assert(out.head.getAs[Double]("ca") == 700.0)
   }
 
+  test("clientDeciles: distributed ntile equals window ntile across sizes") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 9, 10, 11, 25, 100, 997)) {
+      val orders = ordersDf((1 to n).map(i =>
+        Row(i.toLong, i.toLong, "O", (rnd.nextInt(500) + 1) * 1.0,
+          ts("2020-01-01 00:00:00"), "X")))
+      val dist = Serving.clientDeciles(orders.withColumn("pays", lit("X")))
+        .collect().map(_.mkString("|")).toSeq
+      val ref = orders.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(Tables.moneySum(col("o_totalprice")).as("total_spend"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(desc("total_spend"), col("c_custkey"))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("clients"), round(sum("total_spend"), 2).as("ca"),
+          min("total_spend").as("min_spend"), max("total_spend").as("max_spend"))
+        .orderBy("decile").collect().map(_.mkString("|")).toSeq
+      assert(dist == ref, s"n=$n")
+    }
+  }
+
   test("kpisApprox: HLL++ client count within 5% of exact, other KPIs identical") {
     val fact = Gold.buildFact(Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf))
