@@ -346,17 +346,16 @@ object Llm {
     * → sliding minimum as a window function (a nested array formulation
     * re-evaluates the hash array per window: O(n²) per doc). */
   def docFingerprint(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    explodeOnce(
-      spread(documents).filter(length(col("text")) >= 11), // k=8 + w=4 - 1
-      sequence(lit(1), length(col("text")) - 7), "i",
-      col("doc_id"), (length(col("text")) - 7).as("n"), col("text"))
-      .select(col("doc_id"), col("n"), col("i"),
-        xxhash64(expr("substring(text, i, 8)")).as("h"))
-      .withColumn("wmin", min("h").over(w))
-      .filter(col("i") <= col("n") - 3) // full windows only
-      .groupBy("doc_id")
-      .agg(countDistinct("wmin").as("n_fingerprints"), min("wmin").as("min_fp"))
+    // one native expression per document, zero shuffle — the composed
+    // explode + doc-partitioned sliding window moved ~one row per
+    // character position through an exchange (10M rows at sf0.1) just to
+    // re-co-locate rows the generator emitted together; see
+    // graft.functions.WinnowFingerprints (bit-identical, LlmSpec)
+    spread(documents).filter(length(col("text")) >= 11) // k=8 + w=4 - 1
+      .select(col("doc_id"),
+        graft.functions.Winnow.winnow_fingerprints(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.n_fingerprints").as("n_fingerprints"),
+        col("fp.min_fp").as("min_fp"))
       .orderBy("doc_id")
   }
 

@@ -210,4 +210,23 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Long]("min_fp") == out(1).getAs[Long]("min_fp"))
     assert(out(0).getAs[Long]("n_fingerprints") == out(1).getAs[Long]("n_fingerprints"))
   }
+
+  test("native winnowing is bit-identical to the explode+window composition") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sf)
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    val composed = d.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), (length(col("text")) - 7).as("n"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"), col("text"))
+      .select(col("doc_id"), col("n"), col("i"),
+        xxhash64(expr("substring(text, i, 8)")).as("h"))
+      .withColumn("wmin", min("h").over(w))
+      .filter(col("i") <= col("n") - 3)
+      .groupBy("doc_id")
+      .agg(countDistinct("wmin").as("n_fingerprints"), min("wmin").as("min_fp"))
+      .orderBy("doc_id").collect()
+    val native = Llm.docFingerprint(d).collect()
+    assert(native.nonEmpty && native.length == composed.length)
+    assert(native.map(_.mkString("|")).toSeq == composed.map(_.mkString("|")).toSeq)
+  }
 }
