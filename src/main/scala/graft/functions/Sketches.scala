@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document sketches (MinHash signature, SimHash fingerprint) as native
+  * one-pass expressions.
+  *
+  * A sketch is row-local work, but the explode → hash → groupBy
+  * formulation shuffles one (doc_id, hash) row PER TOKEN of the corpus —
+  * at 100 TB that exchange is the single largest shuffle in the whole
+  * dedup pipeline, moved only to bring each document's tokens back to a
+  * reducer that could have been the mapper. These expressions fold the
+  * token stream inside the row scan instead: zero shuffle, and the
+  * band/bucket join that follows still operates on compact 64-bit keys.
+  * Token/shingle semantics and every hash reproduce the composed
+  * pipeline bit-for-bit (asserted in LlmSpec): lower-case, Java-regex
+  * `\s+` split keeping empty tokens, distinct 3-word shingles with the
+  * whole-text fallback, xxhash64 seed 42 with Spark's multi-argument
+  * fold order.
+  */
+object Sketches {
+  private val Seed = 42L
+
+  private[functions] def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Tokens exactly as `split(lower(text), "\\s+")`: Spark's split keeps
+    * empty tokens (leading separator or empty input). */
+  private[functions] def tokens(t: UTF8String): Array[String] =
+    t.toLowerCase.toString.split("\\s+", -1)
+
+  /** 64-bit SimHash over the token stream (duplicates included, like the
+    * exploded formulation). */
+  def simhash(t: UTF8String): Long = {
+    val toks = tokens(t)
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashUtf8(UTF8String.fromString(toks(i)), Seed)
+      var k = 0
+      while (k < 64) {
+        sums(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) { if (sums(k) >= 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+
+  /** MinHash signature row: (n_shingles, sig[nHashes], bands[nBands]). */
+  def minhash(t: UTF8String, nHashes: Int, nBands: Int): InternalRow = {
+    val toks = tokens(t)
+    val shingles = new java.util.HashSet[String]()
+    if (toks.length >= 3) {
+      var i = 0
+      while (i <= toks.length - 3) {
+        shingles.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+    } else {
+      shingles.add(toks.mkString(" ")) // whole-text fallback for short docs
+    }
+    val sig = Array.fill(nHashes)(Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val h = hashUtf8(UTF8String.fromString(it.next()), Seed)
+      // xxhash64(h, i): Spark's multi-arg fold — hashLong then hashInt
+      val base = XXH64.hashLong(h, Seed)
+      var i = 0
+      while (i < nHashes) {
+        val v = XXH64.hashInt(i, base)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    val rows = nHashes / nBands
+    val bands = new Array[Long](nBands)
+    var j = 0
+    while (j < nBands) {
+      var r = Seed
+      var q = 0
+      while (q < rows) { r = XXH64.hashLong(sig(j * rows + q), r); q += 1 }
+      bands(j) = XXH64.hashInt(j, r)
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](shingles.size.toLong,
+      new GenericArrayData(sig), new GenericArrayData(bands)))
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+  def minhash_signature(text: Column, nHashes: Int = 16, nBands: Int = 4): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), nHashes, nBands))
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash64 expects a string, got $dt")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Sketches.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSignature(child: Expression, nHashes: Int, nBands: Int)
+    extends UnaryExpression {
+  require(nHashes % nBands == 0, "nHashes must divide into nBands bands")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects a string, got $dt")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    Sketches.minhash(v.asInstanceOf[UTF8String], nHashes, nBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.minhash($c, $nHashes, $nBands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

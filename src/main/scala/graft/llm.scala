@@ -73,34 +73,19 @@ object Llm {
 
   /** doc_id + minhash signature (array of 16 longs) + LSH band keys.
     *
-    * Shape matters here: explode shingles → hash each ONCE → groupBy with
-    * 16 min-aggregates. The groupBy shuffle is a materialization barrier,
-    * so signatures are computed exactly once per document. (A nested
-    * higher-order-function formulation — transform over transform over the
-    * shingle array — gets inlined by projection collapse and re-evaluates
-    * the whole shingle pipeline per reference: measured 70× slower.) */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val base = spread(documents)
-      .withColumn("ws", words(col("text")))
-      .withColumn("sh", shingles(col("ws")))
-      .select(col("doc_id"),
-        when(size(col("sh")) > 0, col("sh"))
-          .otherwise(array(concat_ws(" ", col("ws")))).as("sh")) // short docs: whole text
-    val hashed = explodeOnce(base, col("sh"), "s", col("doc_id"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // seeded minhash family: re-hash the 64-bit shingle hash with seed i
-    val sigAggs = (0 until MinhashHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
-    val perDoc = hashed.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), sigAggs: _*)
-    val sig = array((0 until MinhashHashes).map(i => col(s"sig_$i")): _*)
-    perDoc.select(col("doc_id"), col("n_shingles"), sig.as("sig"),
-      transform(sequence(lit(0), lit(MinhashBands - 1)),
-        j => xxhash64(
-          element_at(col("sig"), j * 4 + 1), element_at(col("sig"), j * 4 + 2),
-          element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4), j))
-        .as("bands"))
-  }
+    * One native expression call per document
+    * (graft.functions.MinHashSignature): a sketch is row-local work, and
+    * the explode → hash → groupBy formulation this replaces shuffled one
+    * (doc_id, hash) row per SHINGLE of the corpus — at 100 TB the
+    * largest exchange in the dedup pipeline — only to re-unite tokens
+    * that were already co-located in the scan. Bit-identical to the
+    * composed pipeline (LlmSpec asserts it on the real corpus). */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    spread(documents)
+      .select(col("doc_id"), graft.functions.Sketches
+        .minhash_signature(col("text"), MinhashHashes, MinhashBands).as("mh"))
+      .select(col("doc_id"), col("mh.n_shingles").as("n_shingles"),
+        col("mh.sig").as("sig"), col("mh.bands").as("bands"))
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket, with the
     * signature-estimated Jaccard. The self-join shuffles on the 64-bit
@@ -153,20 +138,13 @@ object Llm {
   /** 64-bit SimHash per document + near-dup count via 16-bit band
     * blocking and hamming-distance verification (bit_count(xor)).
     *
-    * Same explode→groupBy shape as minhash: token hashes computed once,
-    * 64 per-bit sign sums as aggregate columns (map-side partial agg),
-    * the fingerprint assembled from the aggregated attributes. */
-  def simhashDocs(documents: DataFrame): DataFrame = {
-    val tok = explodeOnce(spread(documents), words(col("text")), "w", col("doc_id"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitAggs = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"b_$k"))
-    val perDoc = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val fingerprint = (0 until 64).map(k =>
-      when(col(s"b_$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_ + _)
-    perDoc.select(col("doc_id"), fingerprint.as("simhash"))
-  }
+    * One native expression call per document (graft.functions.SimHash64)
+    * — same zero-shuffle rationale as [[minhashSignatures]]: the
+    * explode → 64-bit-sum groupBy it replaces shuffled one row per TOKEN.
+    * Bit-identical to the composed pipeline (LlmSpec). */
+  def simhashDocs(documents: DataFrame): DataFrame =
+    spread(documents).select(col("doc_id"),
+      graft.functions.Sketches.simhash64(col("text")).as("simhash"))
 
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 12): DataFrame = {
     // one cached fingerprint frame feeds both self-join sides and the

@@ -211,6 +211,53 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_fingerprints") == out(1).getAs[Long]("n_fingerprints"))
   }
 
+  test("native sketch expressions are bit-identical to the explode+groupBy compositions") {
+    val d = Tables.documents(spark, sf)
+    // composed SimHash: explode tokens, 64 bit-sum aggregates
+    val tok = d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitAggs = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b_$k"))
+    val fingerprint = (0 until 64).map(k =>
+      when(col(s"b_$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))).reduce(_ + _)
+    val composedSim = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+      .orderBy("doc_id").collect()
+    val nativeSim = Llm.simhashDocs(d).orderBy("doc_id").collect()
+    assert(nativeSim.nonEmpty)
+    assert(nativeSim.map(_.mkString("|")).toSeq == composedSim.map(_.mkString("|")).toSeq)
+
+    // composed MinHash: shingle explode, 16 min-aggregates, band hashes
+    val ws = split(lower(col("text")), "\\s+")
+    val sh0 = when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", slice(ws, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val base = d.withColumn("sh", sh0)
+      .select(col("doc_id"),
+        when(size(col("sh")) > 0, col("sh"))
+          .otherwise(array(concat_ws(" ", ws))).as("sh"))
+    val hashed = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sigAggs = (0 until Llm.MinhashHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
+    val sigArr = array((0 until Llm.MinhashHashes).map(i => col(s"sig_$i")): _*)
+    val composedMh = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sigAggs: _*)
+      .select(col("doc_id"), col("n_shingles"), sigArr.as("sig"),
+        transform(sequence(lit(0), lit(Llm.MinhashBands - 1)),
+          j => xxhash64(
+            element_at(col("sig"), j * 4 + 1), element_at(col("sig"), j * 4 + 2),
+            element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4), j))
+          .as("bands"))
+      .orderBy("doc_id").collect()
+    val nativeMh = Llm.minhashSignatures(d).orderBy("doc_id").collect()
+    def canon(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getSeq[Long](2).mkString(","), r.getSeq[Long](3).mkString(","))
+    assert(nativeMh.map(canon).toSeq == composedMh.map(canon).toSeq)
+  }
+
   test("native winnowing is bit-identical to the explode+window composition") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sf)
