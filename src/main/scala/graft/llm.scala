@@ -371,10 +371,10 @@ object Llm {
       .orderBy("probe_id", "rank")
   }
 
-  /** Deterministic ±1 hyperplane components via splitmix64 — generated
-    * once on the driver, shipped as a literal, so the per-row work is just
-    * the dot products (no hashing in the hot loop). */
-  private def hyperplanes(nPlanes: Int, maxDim: Int): Seq[Seq[Double]] = {
+  /** Deterministic ±1 hyperplane components via splitmix64 — the same
+    * derivation graft.functions.LshSign evaluates per element; kept as
+    * the driver-folded reference the equivalence spec compares against. */
+  private[graft] def hyperplanes(nPlanes: Int, maxDim: Int): Seq[Seq[Double]] = {
     def splitmix(x: Long): Long = {
       var z = x + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -427,33 +427,22 @@ object Llm {
     * ints and the dedup shuffles 16-byte id pairs, not embeddings —
     * vectors are re-attached by id join only for the surviving
     * candidates. Never all-pairs. */
-  /** One (vec_id, tbl, bucket) row per vector per LSH table: all
-    * nPlanes·nTables sign dots in ONE posexplode → groupBy pass (same
-    * shape rationale as minhash/simhash: no nested-HOF re-eval); outer
-    * variant for the same InferFiltersFromGenerate reason as explodeOnce
-    * — the cast would otherwise re-run 3x per row. */
+  /** One (vec_id, tbl, bucket) row per vector per LSH table, via the
+    * native graft.functions.LshBuckets expression: all nPlanes·nTables
+    * sign dots in one pass inside the scan. Bucket assignment is
+    * row-local — the posexplode → groupBy formulation this replaces
+    * shuffled one row per embedding DIMENSION only to reassemble values
+    * the scan already held together (same rationale as the minhash /
+    * simhash / winnow expressions; bit-equivalence asserted in LlmSpec).
+    * posexplode_outer + null filter for the same InferFiltersFromGenerate
+    * reason as explodeOnce. */
   private[graft] def lshTableBuckets(emb: DataFrame, nPlanes: Int,
-      nTables: Int): DataFrame = {
-    val nBits = nPlanes * nTables
-    val planes = hyperplanes(nBits, 256)
-    val exploded = emb
-      .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
-      .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
-      .filter(col("x").isNotNull)
-    val planeCols = (0 until nBits).map { j =>
-      val w = typedlit(planes(j))
-      sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
-    }
-    val tableBuckets = (0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        (0 until nPlanes).map { i =>
-          when(col(s"dot_${t * nPlanes + i}") >= 0, 1 << i).otherwise(0)
-        }.reduce(_ + _).as("bucket"))
-    }
-    exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
-      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+      nTables: Int): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode_outer(graft.functions.LshSign.lsh_buckets(
+        col("embedding").cast("array<double>"), nPlanes, nTables)))
+      .filter(col("col").isNotNull)
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
 
   def knnLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
       nPlanes: Int = 4, nTables: Int = 16): DataFrame = {

@@ -258,6 +258,35 @@ class LlmSpec extends SparkSpec {
     assert(nativeMh.map(canon).toSeq == composedMh.map(canon).toSeq)
   }
 
+  test("native LSH buckets are bit-identical to the posexplode+groupBy composition") {
+    val e = Tables.embeddings(spark, sf)
+    val nPlanes = 4; val nTables = 16
+    val nBits = nPlanes * nTables
+    val planes = Llm.hyperplanes(nBits, 256)
+    val exploded = e
+      .select(col("vec_id"), posexplode_outer(col("embedding").cast("array<double>")))
+      .withColumnRenamed("pos", "kk").withColumnRenamed("col", "x")
+      .filter(col("x").isNotNull)
+    val planeCols = (0 until nBits).map { j =>
+      val w = typedlit(planes(j))
+      sum(col("x") * element_at(w, col("kk") + 1)).as(s"dot_$j")
+    }
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until nPlanes).map { i =>
+          when(col(s"dot_${t * nPlanes + i}") >= 0, 1 << i).otherwise(0)
+        }.reduce(_ + _).as("bucket"))
+    }
+    val composed = exploded.groupBy("vec_id").agg(planeCols.head, planeCols.tail: _*)
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .orderBy("vec_id", "tbl").collect()
+    val native = Llm.lshTableBuckets(e, nPlanes, nTables)
+      .orderBy("vec_id", "tbl").collect()
+    assert(native.nonEmpty)
+    assert(native.map(_.mkString("|")).toSeq == composed.map(_.mkString("|")).toSeq)
+  }
+
   test("native winnowing is bit-identical to the explode+window composition") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, sf)
