@@ -193,6 +193,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Llm.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Llm.dedupEmbeddingLsh(Tables.embeddings(s, d))),
     "text_stats" -> ((s, d) => Llm.textStats(Tables.documents(s, d))),
+    // training-data hygiene: benchmark 3-gram decontamination (broadcast
+    // bench set, corpus never shuffled) + PII detection/redaction stats
+    "decontaminate" -> ((s, d) => Llm.decontaminate(Tables.documents(s, d))),
+    "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
@@ -512,6 +516,29 @@ object SparkEntry {
       g AS (SELECT vec_id, count(*) AS n_near, max(sim) AS max_cos FROM u GROUP BY 1)
       SELECT e.vec_id, coalesce(g.n_near, 0) AS n_near, g.max_cos
       FROM e LEFT JOIN g USING (vec_id) ORDER BY e.vec_id""",
+
+    // same shingle idiom as dedup_ngram; bench set = doc_id < 10
+    "decontaminate" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+      hits AS (SELECT doc_id, count(DISTINCT s) AS n_contaminated
+               FROM sh JOIN bench USING (s) WHERE doc_id >= 10 GROUP BY 1)
+      SELECT d.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated,
+             coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+      LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""",
+
+    "pii_scrub" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+        CAST(length(regexp_replace(regexp_replace(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+      FROM documents ORDER BY doc_id""",
 
     "dedup_ngram" -> """
       WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),

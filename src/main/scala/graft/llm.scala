@@ -254,6 +254,49 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- decontamination / PII scrub
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥1 distinct
+    * 3-gram with the benchmark set (documents with doc_id < `benchDocs`
+    * stand in for an eval set). The benchmark shingle set is tiny next to
+    * the corpus, so it BROADCASTS: the corpus-side scan joins against it
+    * map-side and only per-doc hit counts shuffle — the corpus text never
+    * does. The two passes over the shingle pipeline each push their
+    * doc_id filter into the scan, so the benchmark pass reads only the
+    * benchmark documents. */
+  def decontaminate(documents: DataFrame, benchDocs: Long = 10): DataFrame = {
+    val base = spread(documents)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), shingles(col("ws")).as("sh"))
+    val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bench = ex.filter(col("doc_id") < benchDocs).select("h").distinct()
+    val hits = ex.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id").agg(countDistinct("h").as("n_contaminated"))
+    spread(documents).filter(col("doc_id") >= benchDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("is_contaminated", col("n_contaminated") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction stats per document: email and NANP-style
+    * phone matches counted, plus the length after replacing both with
+    * placeholder tags (identical regexes run in the DuckDB oracle —
+    * patterns stick to syntax Java regex and RE2 agree on). */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    spread(documents).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+      length(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<PHONE>")).cast("long").as("scrubbed_len"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ text stats
 
   /** Per-document stats: counts via regexp_count (identical regexes run in

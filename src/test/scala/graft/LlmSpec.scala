@@ -211,6 +211,35 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_fingerprints") == out(1).getAs[Long]("n_fingerprints"))
   }
 
+  test("decontaminate: corpus doc sharing a benchmark 3-gram is flagged; clean doc is not") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"), // benchmark (doc_id < 10)
+      (11L, "something alpha beta gamma tail"), // shares 'alpha beta gamma'
+      (12L, "totally unrelated words here now"))
+    val out = Llm.decontaminate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_contaminated"), r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(out(11L)._1 >= 1L && out(11L)._2)
+    assert(out(12L) == ((0L, false)))
+    assert(!out.contains(1L)) // benchmark docs are not scored
+  }
+
+  test("piiScrub: emails and phones counted and redacted, clean docs untouched") {
+    val d = docs(
+      (1L, "reach me at jane.doe+x@example.org or (555) 123-4567 ok"),
+      (2L, "no pii in this one at all"))
+    val out = Llm.piiScrub(d).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 1L)
+    // redaction replaced both matches with tags, shortening the text
+    val original = "reach me at jane.doe+x@example.org or (555) 123-4567 ok".length
+    assert(r1.getAs[Long]("scrubbed_len") < original)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Long]("n_emails") == 0L && r2.getAs[Long]("n_phones") == 0L)
+    assert(r2.getAs[Long]("scrubbed_len") == "no pii in this one at all".length.toLong)
+  }
+
   test("native sketch expressions are bit-identical to the explode+groupBy compositions") {
     val d = Tables.documents(spark, sf)
     // composed SimHash: explode tokens, 64 bit-sum aggregates
