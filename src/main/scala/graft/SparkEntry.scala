@@ -187,6 +187,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Llm.dedupMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Llm.dedupSimhash(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Llm.dedupNgram(Tables.documents(s, d))),
+    // cluster resolution over the near-dup pair graph: large-star/
+    // small-star connected components -> canonical representative per doc
+    "dedup_clusters" -> ((s, d) => Llm.dedupClusters(Tables.documents(s, d))),
     // fifth dedup tier: embedding-cosine near-dup — exact O(N²) baseline
     // (oracle-checked) + the LSH-bucketed scale path (rows-only, pair
     // recall floor in LlmSpec)
@@ -555,6 +558,33 @@ object SparkEntry {
       SELECT doc_a AS doc_id, doc_b AS best_match, jaccard
       FROM j
       QUALIFY row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) = 1
+      ORDER BY doc_id""",
+
+    // transitive closure via recursive CTE == the Spark side's
+    // large-star/small-star component labels (min doc_id per component)
+    "dedup_clusters" -> """
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b,
+              round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id),
+      und AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.5
+              UNION SELECT doc_b, doc_a FROM j WHERE jaccard >= 0.5),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+      lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+      SELECT l.doc_id, l.cluster_id, c.cluster_size
+      FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+                       FROM lab GROUP BY 1) c USING (cluster_id)
       ORDER BY doc_id""",
 
     "text_stats" -> """

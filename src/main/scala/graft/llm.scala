@@ -200,6 +200,24 @@ object Llm {
     *     forces every shingle through it and asserts bit-equality.
     */
   def dedupNgram(documents: DataFrame, hotDf: Int = 256, salts: Int = 32): DataFrame = {
+    val jac = ngramJaccardPairs(documents, hotDf, salts)
+    // best match per doc via max(struct): (jaccard DESC, doc_b ASC)
+    // selection identical to a row_number window, but map-side combine
+    // collapses each partition to <= one row per doc_a before the shuffle
+    // — no full sort of the pair set
+    jac.groupBy("doc_a")
+      .agg(max(struct(col("jaccard"), (-col("doc_b")).as("negb"), col("doc_b").as("doc_b"))).as("m"))
+      .select(col("doc_a").as("doc_id"), col("m.doc_b").as("best_match"),
+        col("m.jaccard").as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Every exact 3-gram Jaccard pair (doc_a < doc_b, jaccard rounded to
+    * 6 dp) — the shared candidate-pair frame behind [[dedupNgram]] (best
+    * match per doc) and [[dedupClusters]] (connected components). Same
+    * shuffle discipline as documented on [[dedupNgram]]. */
+  def ngramJaccardPairs(documents: DataFrame, hotDf: Int = 256,
+      salts: Int = 32): DataFrame = {
     // one pass over the text: each shingle row carries its doc's TOTAL
     // distinct-shingle count n inside a (doc_id, n) struct, so the union
     // sizes for Jaccard ride along to the pair — no size-lookup joins and
@@ -240,17 +258,36 @@ object Llm {
       .select("doc_a", "na", "doc_b", "nb")
     val inter = smallPairs.union(hotPairs)
       .groupBy("doc_a", "na", "doc_b", "nb").agg(count(lit(1)).as("inter"))
-    val jac = inter.select(
+    inter.select(
       col("doc_a"), col("doc_b"),
       round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-    // best match per doc via max(struct): (jaccard DESC, doc_b ASC)
-    // selection identical to a row_number window, but map-side combine
-    // collapses each partition to <= one row per doc_a before the shuffle
-    // — no full sort of the pair set
-    jac.groupBy("doc_a")
-      .agg(max(struct(col("jaccard"), (-col("doc_b")).as("negb"), col("doc_b").as("doc_b"))).as("m"))
-      .select(col("doc_a").as("doc_id"), col("m.doc_b").as("best_match"),
-        col("m.jaccard").as("jaccard"))
+  }
+
+  /** Near-dup cluster assignment — the keep-one-per-cluster step that
+    * follows pairwise candidate generation in a training-data dedup
+    * pipeline. Pairs at `minJaccard` become an undirected graph;
+    * [[Graph.connectedComponents]] (large-star/small-star) labels each
+    * document with its component's minimum doc_id. Every document is
+    * emitted (singletons are their own cluster), with the cluster size —
+    * downstream "keep the representative" is then a trivial
+    * `doc_id === cluster_id` filter.
+    *
+    * Scale shape: the component labels come out of an O(log²)-round
+    * star contraction whose shuffles carry only 8-byte ids; the final
+    * size annotation is one window over cluster_id (near-dup clusters
+    * are small by construction, so no partition skew). */
+  def dedupClusters(documents: DataFrame, minJaccard: Double = 0.5,
+      hotDf: Int = 256, salts: Int = 32): DataFrame = {
+    val edges = ngramJaccardPairs(documents, hotDf, salts)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Graph.connectedComponents(edges)
+    spread(documents).select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select("doc_id", "cluster_id", "cluster_size")
       .orderBy("doc_id")
   }
 
