@@ -199,6 +199,13 @@ object SparkEntry {
     // training-data hygiene: benchmark 3-gram decontamination (broadcast
     // bench set, corpus never shuffled) + PII detection/redaction stats
     "decontaminate" -> ((s, d) => Llm.decontaminate(Tables.documents(s, d))),
+    // training-data prep: deterministic source mixing, hash splits, and
+    // token-window chunking (all map-side, rand()-free)
+    "sample_mix" -> ((s, d) => Prep.sampleMix(Tables.documents(s, d),
+      Map("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 25),
+      defaultPct = 10)),
+    "split_assign" -> ((s, d) => Prep.splitAssign(Tables.documents(s, d))),
+    "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
@@ -586,6 +593,46 @@ object SparkEntry {
       FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
                        FROM lab GROUP BY 1) c USING (cluster_id)
       ORDER BY doc_id""",
+
+    // hash-percentile arithmetic must match Prep.hashPct bit-for-bit:
+    // high bits of a Knuth multiplicative hash, floor over exact doubles
+    "sample_mix" -> """
+      WITH s AS (SELECT doc_id, source,
+        CAST(floor(((doc_id + 7) * 2654435761) % 4294967296 * 100
+                   / 4294967296) AS BIGINT) AS pct
+        FROM documents)
+      SELECT doc_id, source, pct FROM s
+      WHERE pct < CASE WHEN source = 'src0' THEN 100
+                       WHEN source = 'src1' THEN 80
+                       WHEN source = 'src2' THEN 50
+                       WHEN source = 'src3' THEN 25
+                       ELSE 10 END
+      ORDER BY doc_id""",
+
+    "split_assign" -> """
+      WITH s AS (SELECT source,
+        CAST(floor(((doc_id + 11) * 2654435761) % 4294967296 * 100
+                   / 4294967296) AS BIGINT) AS pct
+        FROM documents)
+      SELECT source,
+        CAST(sum(CASE WHEN pct < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN pct >= 90 AND pct < 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        CAST(sum(CASE WHEN pct >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM s GROUP BY source ORDER BY source""",
+
+    "doc_chunks" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      k AS (SELECT doc_id, ws, 1 + CASE WHEN len(ws) > 32
+              THEN CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT)
+              ELSE 0 END AS n_chunks FROM w),
+      c AS (SELECT doc_id, i AS chunk_idx,
+              list_slice(ws, i * 24 + 1, i * 24 + 32) AS toks
+            FROM k, unnest(range(0, n_chunks)) AS t(i))
+      SELECT doc_id, chunk_idx,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        array_to_string(toks, ' ') AS chunk_text
+      FROM c
+      ORDER BY doc_id, chunk_idx""",
 
     "text_stats" -> """
       WITH s AS (

@@ -27,7 +27,7 @@ object Llm {
     * out to the default parallelism; a no-op at real scale where the scan
     * already has >= parallelism splits (never reshuffle a 100 TB corpus
     * just in case). */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

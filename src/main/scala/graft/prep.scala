@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic sampling / data
+  * mixing, train/val/test splitting, and token-window chunking. These are
+  * the steps between a deduplicated corpus and a tokenizer:
+  * down/up-weight sources to a target mix, carve out held-out splits, and
+  * cut documents into fixed-token training windows.
+  *
+  * All three are STATELESS map-side transforms (the only shuffles are the
+  * split-count aggregation and the final presentation sorts): at 100 TB
+  * they stream through the scan with predicate/projection pushdown intact,
+  * and re-running them yields byte-identical output — sampling decisions
+  * ride on an arithmetic hash of the row id, never on `rand()`, partition
+  * layout, or row order.
+  */
+object Prep {
+
+  /** 2^32 / golden ratio — Knuth's multiplicative hashing constant. */
+  val KnuthC = 2654435761L
+  private val M32 = 4294967296L
+
+  /** Deterministic percentile bucket in [0, 100): the HIGH bits of a
+    * Knuth multiplicative hash of (id + seed). High bits, not `% 100` —
+    * multiplication mod 2^32 leaves the low k bits a function of the low
+    * k bits of the id alone, so a `% 100` bucket would stripe with dense
+    * sequential ids; `floor(h * 100 / 2^32)` mixes every input bit.
+    * Plain integer arithmetic (not xxhash64) so the DuckDB oracle can
+    * reproduce it bit-for-bit. Exact while (id + seed) * C < 2^63, i.e.
+    * ids below ~3.4e9 — beyond that, widen to two 32-bit halves. */
+  private[graft] def hashPct(id: Column, seed: Long): Column =
+    floor(pmod((id + lit(seed)) * lit(KnuthC), lit(M32)) * lit(100L)
+      / lit(M32)).cast("long")
+
+  /** Source-stratified sampling to a target mix: keep a row iff its hash
+    * percentile falls under its source's rate (percent, 0-100). The
+    * decision is per-row arithmetic — no shuffle, no state, and adding a
+    * source to `rates` doesn't re-roll any other source's sample. */
+  def sampleMix(documents: DataFrame, rates: Map[String, Int],
+      defaultPct: Int, seed: Long = 7L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"),
+        hashPct(col("doc_id"), seed).as("pct"))
+      .filter(col("pct") < rate)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source train/val/test counts under a deterministic hash split.
+    * A different seed than [[sampleMix]] so the two decisions are
+    * independent; one conditional-aggregation pass (single shuffle on
+    * source). */
+  def splitAssign(documents: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5, seed: Long = 11L): DataFrame = {
+    val pct = hashPct(col("doc_id"), seed)
+    documents.select(col("source"), pct.as("pct"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("pct") < trainPct, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("pct") >= trainPct && col("pct") < trainPct + valPct,
+          1L).otherwise(0L)).as("n_val"),
+        sum(when(col("pct") >= trainPct + valPct, 1L).otherwise(0L))
+          .as("n_test"))
+      .orderBy("source")
+  }
+
+  /** Cut each document into fixed-size token windows with overlap
+    * (`chunkTokens` tokens per chunk, stride `stride` — the standard
+    * pre-tokenizer packing step). Chunk k covers tokens
+    * [k*stride, k*stride + chunkTokens); the last chunk may be short;
+    * every document yields at least one chunk.
+    *
+    * Shape notes: the token array is built ONCE per row in a projection
+    * below the Generate (explode of the tiny chunk-index array — not of
+    * the tokens themselves), then sliced per chunk. Per-row output is
+    * O(n_tokens * chunkTokens / stride) — the ~1.33x duplication a
+    * 16-token overlap costs, paid map-side with no shuffle. */
+  def docChunks(documents: DataFrame, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val ws = split(col("text"), "\\s+")
+    val base = Llm.spread(documents)
+      .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("n"))
+    val nChunks = lit(1L) + when(col("n") > chunkTokens,
+      ceil((col("n") - lit(chunkTokens)) / lit(stride.toDouble))
+        .cast("long")).otherwise(lit(0L))
+    base
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+}

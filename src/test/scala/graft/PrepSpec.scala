@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Training-data prep operators: hash quality, determinism, and the
+  * chunking coverage invariants. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("hashPct is uniform-ish over dense sequential ids (no striping)") {
+    val pcts = spark.range(10000)
+      .select(Prep.hashPct(col("id"), 7L).as("pct"))
+      .groupBy("pct").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pcts.keySet == (0L until 100L).toSet)
+    // each bucket expects 100; a multiplicative hash over a dense range
+    // stays well within +-50%
+    assert(pcts.values.forall(c => c > 50 && c < 150), s"skewed: $pcts")
+  }
+
+  test("sampleMix honors per-source rates and is deterministic") {
+    val rates = Map("src0" -> 100, "src1" -> 0)
+    val out = Prep.sampleMix(docs, rates, defaultPct = 50)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == total("src0"))       // 100% kept
+    assert(!bySrc.contains("src1"))              // 0% kept
+    assert(out.collect().toSeq == Prep.sampleMix(docs, rates, 50).collect().toSeq)
+  }
+
+  test("splitAssign partitions every document exactly once") {
+    val out = Prep.splitAssign(docs)
+    val sums = out.agg(sum("n_train"), sum("n_val"), sum("n_test")).head()
+    assert(sums.getLong(0) + sums.getLong(1) + sums.getLong(2) == docs.count())
+  }
+
+  test("docChunks covers every token, in order, with the right overlap") {
+    val chunks = Prep.docChunks(docs, chunkTokens = 32, stride = 24).cache()
+    // every doc appears; chunk 0 exists for all
+    assert(chunks.filter(col("chunk_idx") === 0).count() == docs.count())
+    // all chunks but the last are exactly 32 tokens; none exceed 32
+    assert(chunks.filter(col("n_tokens") > 32).count() == 0)
+    val maxIdx = chunks.groupBy("doc_id").agg(max("chunk_idx").as("mx"))
+    assert(chunks.join(maxIdx, Seq("doc_id"))
+      .filter(col("chunk_idx") < col("mx") && col("n_tokens") =!= 32)
+      .count() == 0)
+    // stitching chunks at stride 24 reproduces the original token stream:
+    // tokens 0..23 of each non-final chunk + the last chunk whole
+    val got = Prep.docChunks(docs, 32, 24)
+      .join(maxIdx, Seq("doc_id"))
+      .withColumn("part", when(col("chunk_idx") < col("mx"),
+        concat_ws(" ", slice(split(col("chunk_text"), "\\s+"), 1, 24)))
+        .otherwise(col("chunk_text")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("chunk_idx"), col("part")))), s => s("part")), " ").as("whole"))
+    val want = docs.select(col("doc_id"),
+      concat_ws(" ", split(col("text"), "\\s+")).as("whole"))
+    assert(got.join(want, Seq("doc_id"))
+      .filter(got("whole") =!= want("whole")).count() == 0)
+    chunks.unpersist()
+  }
+}
