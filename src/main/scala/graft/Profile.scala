@@ -196,6 +196,45 @@ object Profile {
         st.printSchema()
         st.show(5, false)
         println(s"state rows: ${st.count()}  ckpt: $ckpt")
+      case Array("dim") =>
+        import org.apache.spark.sql.functions._
+        def noop(df: DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val orders = Tables.orders(spark, d)
+        // warm everything once
+        noop(SparkEntry.queries("dim_clients")(spark, d))
+        time("referenceDate")({ Gold.referenceDate(Gold.validOrders(orders)); 0L })
+        val ref = Gold.referenceDate(Gold.validOrders(orders))
+        val dim = Gold.dimClients(Tables.customer(spark, d), orders,
+          Tables.lineitem(spark, d), ref)
+        val o = Gold.validOrders(orders)
+        time("agg only")(noop(o.groupBy(col("o_custkey")).agg(
+          min("o_orderdate"), max("o_orderdate"), count("o_orderkey"),
+          sum(Tables.cents(col("o_totalprice"))))))
+        time("parts only")(noop(o.join(
+            Tables.lineitem(spark, d).select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct("l_partkey"))))
+        time("parts narrow-proj")(noop(o.select("o_orderkey", "o_custkey").join(
+            Tables.lineitem(spark, d).select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct("l_partkey"))))
+        time("parts merge-join")(noop(o.select("o_orderkey", "o_custkey").hint("merge").join(
+            Tables.lineitem(spark, d).select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct("l_partkey"))))
+        time("parts pre-distinct")(noop(o.select("o_orderkey", "o_custkey").join(
+            Tables.lineitem(spark, d).select("l_orderkey", "l_partkey").distinct(),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct("l_partkey"))))
+        time("dim no-sort")(noop(dim))
+        time("dim sorted")(noop(dim.orderBy("c_custkey")))
+        time("full registered")(noop(SparkEntry.queries("dim_clients")(spark, d)))
       case Array("explain", names @ _*) =>
         names.foreach { n =>
           println(s"========== $n ==========")

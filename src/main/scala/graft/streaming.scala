@@ -22,6 +22,24 @@ object Streams extends Serializable {
 
   private val runId = new AtomicInteger(0)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` lowered to the streaming
+    * state width, restoring the batch setting after. A stateful streaming
+    * query materializes one state-store instance PER shuffle partition and
+    * pays its open/maintenance/commit on EVERY micro-batch, so the state
+    * width should track stateful-key cardinality and stream volume — not
+    * the batch shuffle width sized for table-scan joins. (At production
+    * volume the two converge; the knob matters whenever a modest stream
+    * runs inside a wide-cluster session.) The width is pinned at the
+    * query's FIRST start and persists in the checkpoint, which is exactly
+    * why it must be chosen deliberately rather than inherited. */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Raw events stream over the test parquet (nanos ts → TIMESTAMP_NTZ,
     * same conversion as Tables.events). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -172,7 +190,7 @@ object Streams extends Serializable {
 
   /** Streaming job publishing per-user running aggregates with
     * upsert-by-key semantics (update output mode → foreachBatch sink). */
-  def userTotalsUpserted(spark: SparkSession, dir: String, sinkDir: String): DataFrame = {
+  def userTotalsUpserted(spark: SparkSession, dir: String, sinkDir: String): DataFrame = withStatePartitions(spark) {
     val agg = eventsStream(spark, dir)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
@@ -198,7 +216,7 @@ object Streams extends Serializable {
   /** Run the streaming dedup over a doubled event stream (every file read
     * twice) and return the surviving rows — proves duplicate suppression
     * across the stream. */
-  def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = s"graft_dedup_stream_${runId.incrementAndGet()}"
     val src = eventsStream(spark, dir)
     val q = eventsDedupStream(src.union(src))
@@ -226,7 +244,7 @@ object Streams extends Serializable {
     * statestore read source — making the result equal to the batch
     * sessionizer's. The flush collects only still-open sessions (bounded
     * by active users in the final gap window), not the output. */
-  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val name = s"graft_sessions_stream_${runId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessions_ckpt")
@@ -263,7 +281,7 @@ object Streams extends Serializable {
     * events parquet and return the materialized result — the streaming
     * twin of the batch `events_hourly` query, checked against the same
     * DuckDB oracle. */
-  def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val name = s"graft_events_stream_${runId.incrementAndGet()}"
     val q = hourlyAgg(eventsStream(spark, dir))
       .writeStream
@@ -282,7 +300,7 @@ object Streams extends Serializable {
     * micro-batch, no stream-stream state — then aggregates hourly revenue
     * by country. Materialized to completion and checked against the same
     * batch-join oracle. */
-  def enrichedHourlyStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def enrichedHourlyStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val dims = Tables.customer(spark, dir)
       .join(Tables.nation(spark, dir),
         col("c_nationkey") === col("n_nationkey"), "left")
