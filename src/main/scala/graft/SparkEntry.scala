@@ -181,6 +181,9 @@ object SparkEntry {
     // same aggregate as a Structured Streaming job (watermark + window +
     // memory sink), checked against the same oracle
     "events_stream" -> ((s, d) => Streams.eventsHourlyStreamed(s, d)),
+    // stream-stream inner join (event-time range + two-sided watermark):
+    // click->purchase attribution, checked against the batch-join oracle
+    "events_attribution" -> ((s, d) => Streams.attributionStreamed(s, d)),
 
     // -- LLM-pipeline extension: dedup / text analysis (SURVEY §2.10) --
     "dedup_exact" -> ((s, d) => Llm.dedupExact(Tables.documents(s, d))),
@@ -504,6 +507,20 @@ object SparkEntry {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    "events_attribution" -> """
+      WITH c AS (SELECT user_id, ts AS click_ts, value FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        count(*) AS n_clicks,
+        sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0 AS click_value
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        AND c.click_ts < p.purchase_ts
+      GROUP BY 1, 2, 3
+      ORDER BY purchase_id""",
 
     "events_upsert_publish" -> """
       SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -230,6 +230,52 @@ object Streams extends Serializable {
     spark.table(name).orderBy("event_id")
   }
 
+  /** Stream-stream inner join with an event-time range condition —
+    * click→purchase attribution: for each purchase, the same-user clicks
+    * in the preceding hour. The range predicate plus a watermark on BOTH
+    * sides bounds each side's join state to one hour of events per user,
+    * so state size tracks stream rate, not stream history — the only
+    * stream-stream join shape that survives an unbounded run. Matches
+    * emit eagerly (inner join), so Trigger.AvailableNow over the finite
+    * test stream yields exactly the batch join's pair set; the per-
+    * purchase rollup happens on the materialized pairs afterwards.
+    * Purchases with no preceding click don't appear (inner semantics,
+    * same as the oracle's plain join). */
+  def attributionStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = s"graft_attr_stream_${runId.incrementAndGet()}"
+    // two independent source instances: each side of a stream-stream
+    // join tracks its own offsets/watermark
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val pairs = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(lit(1)).as("n_clicks"),
+        Tables.moneySum(col("click_value")).as("click_value"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("n_clicks"), col("click_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Recursive delete for staged sink/checkpoint directories. */
   private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))

@@ -58,6 +58,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.map(key).toSeq == canon(batch).map(key).toSeq)
   }
 
+  test("stream-stream attribution join equals the batch range join") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("purchase_ts"))
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(lit(1)).as("n_clicks"),
+        Tables.moneySum(col("click_value")).as("click_value"))
+      .select(col("purchase_id"), col("n_clicks"), col("click_value"))
+      .orderBy("purchase_id")
+      .collect().map(_.mkString("|")).toSeq
+    val streamed = Streams.attributionStreamed(spark, sf)
+      .select(col("purchase_id"), col("n_clicks"), col("click_value"))
+      .orderBy("purchase_id")
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("parseSortSpec: desc/asc/garbage directions") {
     val cols = Serving.parseSortSpec("a:desc,b:asc,c:bogus,d")
     assert(cols.map(_.toString) == Seq("a DESC NULLS LAST", "b ASC NULLS FIRST",
