@@ -208,6 +208,7 @@ object SparkEntry {
       Map("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 25),
       defaultPct = 10)),
     "split_assign" -> ((s, d) => Prep.splitAssign(Tables.documents(s, d))),
+    "sample_per_source" -> ((s, d) => Prep.samplePerSource(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
@@ -636,6 +637,16 @@ object SparkEntry {
         CAST(sum(CASE WHEN pct >= 90 AND pct < 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
         CAST(sum(CASE WHEN pct >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
       FROM s GROUP BY source ORDER BY source""",
+
+    "sample_per_source" -> """
+      WITH r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ((doc_id + 13) * 2654435761) % 4294967296, doc_id)
+          AS rank
+        FROM documents)
+      SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
+      WHERE rank <= 5
+      ORDER BY source, rank""",
 
     "doc_chunks" -> """
       WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),

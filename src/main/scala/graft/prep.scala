@@ -68,6 +68,27 @@ object Prep {
       .orderBy("source")
   }
 
+  /** Exactly min(k, group size) documents per source, chosen by
+    * deterministic hash rank — the distributed analog of per-group
+    * reservoir sampling, reproducible across runs and cluster layouts.
+    * One shuffle (on source) via window rank; groups are near-uniform in
+    * this corpus. For heavy-hitter groups at corpus scale, swap the
+    * window for a bounded top-k aggregator (the
+    * [[graft.functions.TopKNeighbors]] shape): map-side partial top-k
+    * makes the shuffle carry k rows per partition per group instead of
+    * the whole group. */
+  def samplePerSource(documents: DataFrame, k: Int = 5,
+      seed: Long = 13L): DataFrame = {
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(pmod((col("doc_id") + lit(seed)) * lit(KnuthC), lit(M32)),
+          col("doc_id")))
+    documents.select(col("source"), col("doc_id"))
+      .withColumn("rank", rank.cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("source", "rank")
+  }
+
   /** Cut each document into fixed-size token windows with overlap
     * (`chunkTokens` tokens per chunk, stride `stride` — the standard
     * pre-tokenizer packing step). Chunk k covers tokens

@@ -46,13 +46,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("prep operators stay map-side: no aggregation/join exchange") {
+    // sample_mix and doc_chunks are pure scan->transform->sort pipelines;
+    // a hash exchange appearing here means someone added a groupBy/join
+    // to what must stream through the scan at 100 TB
+    for (q <- Seq("sample_mix", "doc_chunks")) {
+      val p = plan(q)
+      assert(count(p, "Exchange hashpartitioning") == 0, s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+    // split_assign is one conditional-agg pass: exactly one hash exchange
+    val p = plan("split_assign")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
   test("bucketed scale tiers never degenerate to all-pairs") {
     // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
     // design; every bucketed/banded tier must keep candidate generation
     // join-based — a cross/nested-loop join here is a silent 100 TB
     // regression
     for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram",
-        "dedup_embedding_lsh", "knn_lsh")) {
+        "dedup_embedding_lsh", "knn_lsh", "dedup_clusters")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")

@@ -31,6 +31,17 @@ class PrepSpec extends SparkSpec {
     assert(out.collect().toSeq == Prep.sampleMix(docs, rates, 50).collect().toSeq)
   }
 
+  test("samplePerSource returns exactly min(k, group size) per source, stably") {
+    val out = Prep.samplePerSource(docs, k = 5)
+    val per = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.keySet == totals.keySet)
+    assert(per.forall { case (s, n) => n == math.min(5L, totals(s)) })
+    assert(out.collect().toSeq == Prep.samplePerSource(docs, k = 5).collect().toSeq)
+  }
+
   test("splitAssign partitions every document exactly once") {
     val out = Prep.splitAssign(docs)
     val sums = out.agg(sum("n_train"), sum("n_val"), sum("n_test")).head()
