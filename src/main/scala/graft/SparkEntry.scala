@@ -212,6 +212,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
+    // degenerate-text filter: per-doc 3-gram self-repetition
+    "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- similarity search over embeddings --
@@ -614,6 +616,26 @@ object SparkEntry {
 
     // hash-percentile arithmetic must match Prep.hashPct bit-for-bit:
     // high bits of a Knuth multiplicative hash, floor over exact doubles
+    "repetition_score" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      g AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_repeat
+            FROM g GROUP BY 1)
+      SELECT d.doc_id,
+        coalesce(a.n_ngrams, 0) AS n_ngrams,
+        coalesce(a.n_distinct, 0) AS n_distinct,
+        coalesce(a.max_repeat, 0) AS max_repeat,
+        CASE WHEN coalesce(a.n_ngrams, 0) > 0
+             THEN round(1.0 - a.n_distinct * 1.0 / a.n_ngrams, 6)
+             ELSE 0.0 END AS repeat_frac
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""",
+
     "sample_mix" -> """
       WITH s AS (SELECT doc_id, source,
         CAST(floor(((doc_id + 7) * 2654435761) % 4294967296 * 100

@@ -366,6 +366,40 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Self-repetition score — the standard degenerate-text filter in
+    * training-data pipelines (machine-generated or boilerplate text
+    * repeats its own n-grams). Per document: total / distinct 3-gram
+    * counts, the hottest 3-gram's count, and the repeated fraction
+    * 1 - distinct/total.
+    *
+    * Shape: explode → hash once → count by (doc_id, hash) → per-doc agg —
+    * the documented safe alternative to nested HOF counting (which
+    * CollapseProject re-evaluates per reference). Both shuffles carry
+    * (8-byte id, 8-byte hash) keys; docs under 3 words come back through
+    * the left join with zero counts. */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val base = spread(documents)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3)))).as("sh"))
+    val counts = explodeOnce(base, col("sh"), "s", col("doc_id"))
+      .groupBy(col("doc_id"), xxhash64(col("s")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_ngrams"), count(lit(1)).as("n_distinct"),
+        max("c").as("max_repeat"))
+    spread(documents).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_distinct", "max_repeat"))
+      .withColumn("repeat_frac",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct") * 1.0 / col("n_ngrams"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID from per-language stopword regex hits + a CJK
     * class check; deterministic tie-break order. */
   def langId(documents: DataFrame): DataFrame = {

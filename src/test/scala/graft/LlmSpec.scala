@@ -12,6 +12,19 @@ class LlmSpec extends SparkSpec {
       .withColumn("source", lit("test"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("repetitionScore: looping text scores high, unique text zero, short text empty") {
+    val out = Llm.repetitionScore(docs(
+      1L -> "a b c a b c a b c a b c",          // "a b c" repeats
+      2L -> "one two three four five six seven", // all 3-grams unique
+      3L -> "hi there"))                          // < 3 words
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (n1, d1, m1, f1) = out(1L)
+    assert(n1 == 10 && d1 == 3 && m1 == 4 && f1 == 0.7)
+    assert(out(2L) == ((5L, 5L, 1L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("dedupExact: identical texts collapse to min doc_id with dup_count") {
     val d = docs((1L, "hello world"), (2L, "hello world"), (3L, "other text"))
     val out = Llm.dedupExact(d).collect()
