@@ -193,6 +193,9 @@ object SparkEntry {
     // cluster resolution over the near-dup pair graph: large-star/
     // small-star connected components -> canonical representative per doc
     "dedup_clusters" -> ((s, d) => Llm.dedupClusters(Tables.documents(s, d))),
+    // delta-vs-corpus dedup: exact hash index + shingle-intersection
+    // near tier, both proportional to the delta
+    "dedup_incremental" -> ((s, d) => Llm.dedupIncremental(Tables.documents(s, d))),
     // fifth dedup tier: embedding-cosine near-dup — exact O(N²) baseline
     // (oracle-checked) + the LSH-bucketed scale path (rows-only, pair
     // recall floor in LlmSpec)
@@ -231,6 +234,10 @@ object SparkEntry {
     // foreachBatch upsert sink (reference Mongo ReplaceOne analog);
     // one sink dir per (session, dataset) — re-upserting into it is
     // idempotent, and the hook removes it on JVM exit
+    // ANALYZE-style column profile of a table (nulls + exact distincts)
+    "table_profile" -> ((s, d) => Catalog.tableProfile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
     "events_upsert_publish" -> ((s, d) => Streams.userTotalsUpserted(s, d,
       upsertSinkMemo.getOrElseUpdate((s.hashCode, d), {
         val p = java.nio.file.Files.createTempDirectory("graft_upsert_q")
@@ -616,6 +623,52 @@ object SparkEntry {
 
     // hash-percentile arithmetic must match Prep.hashPct bit-for-bit:
     // high bits of a Knuth multiplicative hash, floor over exact doubles
+    // exact tier joins on text equality (== the Spark side's sha2 join,
+    // collisions aside); near tier mirrors the shingle-intersection join
+    "dedup_incremental" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE a.doc_id >= 400 AND b.doc_id < 400
+                GROUP BY 1, 2),
+      near AS (SELECT new_id AS doc_id, count(*) AS n_near_dups
+               FROM inter JOIN sz sn ON inter.new_id = sn.doc_id
+                          JOIN sz so ON inter.old_id = so.doc_id
+               WHERE round(inter * 1.0 / (sn.n + so.n - inter), 6) >= 0.5
+               GROUP BY 1),
+      ex AS (SELECT DISTINCT n.doc_id
+             FROM documents n JOIN documents o ON n.text = o.text
+             WHERE n.doc_id >= 400 AND o.doc_id < 400)
+      SELECT d.doc_id,
+        (ex.doc_id IS NOT NULL) AS is_exact_dup,
+        coalesce(near.n_near_dups, 0) AS n_near_dups
+      FROM documents d
+      LEFT JOIN ex ON d.doc_id = ex.doc_id
+      LEFT JOIN near ON d.doc_id = near.doc_id
+      WHERE d.doc_id >= 400
+      ORDER BY d.doc_id""",
+
+    "table_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name,
+          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+          CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+          CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+          CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+      ORDER BY column_name""",
+
     "repetition_score" -> """
       WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
       sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** SQL surface (reference serving read path, SURVEY §3 entry point 3: the
   * Flask/Mongo layer collapses to views + ORDER BY/LIMIT queries).
@@ -35,6 +35,26 @@ object Catalog {
         .createOrReplaceTempView(s"gold_${d.getName.stripPrefix("gold_")}")
     }
     graft.functions.CosineSimilarity.register(spark)
+  }
+
+  /** Column-level table profiling (ANALYZE-style observability): per
+    * column, the null count and exact distinct count, in ONE aggregation
+    * pass (Catalyst expands once per distinct column — the standard
+    * multi-distinct plan). Long output format so the profile of any table
+    * lands in one fixed schema. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` — same call shape, HLL merge instead of the
+    * expand — which is why the column list, not the metric, is the
+    * parameter here. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val stackArgs = cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct)")
+      .orderBy("column_name")
   }
 
   /** The reference API's `fetch_collection` shape

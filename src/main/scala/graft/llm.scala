@@ -291,6 +291,49 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: check a DELTA of new documents against the
+    * already-ingested corpus without re-deduplicating the corpus itself —
+    * the only dedup shape that stays affordable on a continuously growing
+    * 100 TB store. Documents with `doc_id >= oldDocs` stand in for the
+    * delta. Two tiers, both delta-proportional:
+    *  - exact: sha2 of the delta left-semi-joined against the corpus hash
+    *    index (32-byte keys shuffle, text never does);
+    *  - near: the delta's 3-gram hashes join the corpus's (8-byte keys),
+    *    intersections aggregate per (new, old) pair, exact Jaccard >= 0.5
+    *    counts as a near-dup. Only shingles present in the DELTA travel
+    *    into the join, so work scales with the batch, not the corpus
+    *    (corpus-side shingles would come from a persisted index in
+    *    production; the hot-shingle salt tier of [[dedupNgram]] applies
+    *    unchanged if a delta shingle is ubiquitous). */
+  def dedupIncremental(documents: DataFrame, oldDocs: Long = 400): DataFrame = {
+    val d = spread(documents)
+    val hashes = d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val exact = hashes.filter(col("doc_id") >= oldDocs)
+      .join(hashes.filter(col("doc_id") < oldDocs).select("h").distinct(),
+        Seq("h"), "left_semi")
+      .select("doc_id").withColumn("is_exact_dup", lit(true))
+    val withN = d
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), shingles(col("ws")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), col("sh"))
+    val ex = explodeOnce(withN, col("sh"), "s", col("doc_id"), col("n"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+    val inter = ex.filter(col("doc_id") >= oldDocs)
+      .select(col("doc_id").as("new_id"), col("n").as("nn"), col("h"))
+      .join(ex.filter(col("doc_id") < oldDocs)
+        .select(col("doc_id").as("old_id"), col("n").as("no"), col("h")), Seq("h"))
+      .groupBy("new_id", "old_id", "nn", "no").agg(count(lit(1)).as("inter"))
+    val near = inter
+      .filter(round(col("inter") * 1.0 / (col("nn") + col("no") - col("inter")), 6) >= 0.5)
+      .groupBy(col("new_id").as("doc_id")).agg(count(lit(1)).as("n_near_dups"))
+    d.filter(col("doc_id") >= oldDocs).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_exact_dup")).na.fill(0L, Seq("n_near_dups"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- decontamination / PII scrub
 
   /** Benchmark decontamination: flag corpus documents sharing ≥1 distinct

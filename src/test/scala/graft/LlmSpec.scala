@@ -25,6 +25,21 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("dedupIncremental: delta checked against corpus, corpus not re-deduped") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely unrelated corpus text about something else entirely",
+      500L -> "the quick brown fox jumps over the lazy dog today", // exact dup of 1
+      501L -> "the quick brown fox jumps over the lazy dog tonight", // near dup of 1
+      502L -> "fresh new document with no overlap at all whatsoever")
+    val out = Llm.dedupIncremental(corpus, oldDocs = 400L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(500L, 501L, 502L)) // only the delta is emitted
+    assert(out(500L) == ((true, 1L)))
+    assert(out(501L)._1 == false && out(501L)._2 == 1L)
+    assert(out(502L) == ((false, 0L)))
+  }
+
   test("dedupExact: identical texts collapse to min doc_id with dup_count") {
     val d = docs((1L, "hello world"), (2L, "hello world"), (3L, "other text"))
     val out = Llm.dedupExact(d).collect()
