@@ -238,6 +238,26 @@ object SparkEntry {
     "table_profile" -> ((s, d) => Catalog.tableProfile(Tables.orders(s, d),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))),
+    // S1 gate with teeth: orders -> CSV -> schema'd PERMISSIVE read ->
+    // aggregate, hash-compared against the parquet-based oracle. min/max
+    // of the timestamp column ride along so a silently null-coerced
+    // parse (the PERMISSIVE failure mode) breaks the hash, not just rows
+    "csv_roundtrip" -> ((s, d) => {
+      val dir = csvMemo.getOrElseUpdate((s.hashCode, d), {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        Tables.orders(s, d).write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        tmp
+      })
+      Tables.readCsv(s, dir, Tables.orders(s, d).schema, "orders_csv")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Tables.moneySum(col("o_totalprice")).as("total"),
+          countDistinct("o_custkey").as("n_customers"),
+          min("o_orderdate").as("first_date"),
+          max("o_orderdate").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
     "events_upsert_publish" -> ((s, d) => Streams.userTotalsUpserted(s, d,
       upsertSinkMemo.getOrElseUpdate((s.hashCode, d), {
         val p = java.nio.file.Files.createTempDirectory("graft_upsert_q")
@@ -286,6 +306,12 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
 
   private val upsertSinkMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  // one CSV copy of orders per (session, sfDir) — the round-trip query
+  // gates the reader; rewriting the fixture per bench pass would time
+  // the writer instead
+  private val csvMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   // ------------------------------------------------------------- oracle SQL
@@ -651,6 +677,14 @@ object SparkEntry {
       LEFT JOIN near ON d.doc_id = near.doc_id
       WHERE d.doc_id >= 400
       ORDER BY d.doc_id""",
+
+    "csv_roundtrip" -> s"""
+      SELECT o_orderstatus, count(*) AS n,
+        ${ms("o_totalprice")} AS total,
+        count(DISTINCT o_custkey) AS n_customers,
+        min(o_orderdate) AS first_date,
+        max(o_orderdate) AS last_date
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     "table_profile" -> """
       SELECT * FROM (
