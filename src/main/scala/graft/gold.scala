@@ -293,11 +293,17 @@ object Gold {
       .agg(moneySum(col("o_totalprice")).as("ca"))
       .orderBy(desc("ca"), col("region"))
 
-  /** Revenue by supplier nation — line grain through the supplier dim. */
+  /** Revenue by supplier nation — line grain through the supplier dim.
+    * `supplier` carries NO broadcast hint: it is SF-proportional (10k rows
+    * per TPC-H SF → ~10⁹ rows at the 100 TB posture), so a forced hint
+    * would override AQE's size check and OOM at scale. At test scale AQE
+    * still picks BroadcastHashJoin on its own (PlanShapeSpec pins this);
+    * at 100 TB it degrades gracefully to a shuffled hash join on the
+    * 8-byte suppkey. `nation` (25 rows, bounded) keeps the hint. */
   def caSupplierNation(lineitem: DataFrame, supplier: DataFrame,
       nation: DataFrame): DataFrame =
     lineitem.select("l_suppkey", "l_extendedprice")
-      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+      .join(supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
