@@ -296,10 +296,14 @@ object Gold {
   /** Revenue by supplier nation — line grain through the supplier dim.
     * `supplier` carries NO broadcast hint: it is SF-proportional (10k rows
     * per TPC-H SF → ~10⁹ rows at the 100 TB posture), so a forced hint
-    * would override AQE's size check and OOM at scale. At test scale AQE
-    * still picks BroadcastHashJoin on its own (PlanShapeSpec pins this);
-    * at 100 TB it degrades gracefully to a shuffled hash join on the
-    * 8-byte suppkey. `nation` (25 rows, bounded) keeps the hint. */
+    * would override the planner's size check and OOM at scale. At test
+    * scale the STATIC planner still broadcasts it — the parquet scan's
+    * size estimate sits under autoBroadcastJoinThreshold — so the initial
+    * executedPlan already shows BroadcastHashJoin (PlanShapeSpec pins
+    * exactly that pre-execution plan; AQE would only add a runtime
+    * conversion if the static estimate were missing). At 100 TB it
+    * degrades gracefully to a shuffled hash join on the 8-byte suppkey.
+    * `nation` (25 rows, bounded) keeps the hint. */
   def caSupplierNation(lineitem: DataFrame, supplier: DataFrame,
       nation: DataFrame): DataFrame =
     lineitem.select("l_suppkey", "l_extendedprice")

@@ -46,6 +46,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ca_supplier_nation: unhinted supplier join stays broadcast at test scale") {
+    // supplier deliberately carries no broadcast() hint (SF-proportional
+    // at the 100 TB posture, gold.scala caSupplierNation). At test scale
+    // the STATIC planner must still pick BroadcastHashJoin for both the
+    // supplier and nation joins from the parquet size estimate alone —
+    // this is the pre-execution initial plan, not an AQE runtime
+    // conversion. A SortMergeJoin here means the size-estimate path
+    // regressed and the query pays two full shuffles it shouldn't.
+    val p = plan("ca_supplier_nation")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("prep operators stay map-side: no aggregation/join exchange") {
     // sample_mix and doc_chunks are pure scan->transform->sort pipelines;
     // a hash exchange appearing here means someone added a groupBy/join
