@@ -213,6 +213,9 @@ object SparkEntry {
     "split_assign" -> ((s, d) => Prep.splitAssign(Tables.documents(s, d))),
     "sample_per_source" -> ((s, d) => Prep.samplePerSource(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
+    // chunk → fixed-budget training sequences: greedy next-fit packing
+    // manifest within deterministic hash groups
+    "pack_sequences" -> ((s, d) => Prep.packSequences(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     // degenerate-text filter: per-doc 3-gram self-repetition
@@ -770,6 +773,34 @@ object SparkEntry {
         array_to_string(toks, ' ') AS chunk_text
       FROM c
       ORDER BY doc_id, chunk_idx""",
+
+    "pack_sequences" -> """
+      WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      k AS (SELECT doc_id, ws, 1 + CASE WHEN len(ws) > 32
+              THEN CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT)
+              ELSE 0 END AS n_chunks FROM w),
+      c AS (SELECT doc_id, i AS chunk_idx,
+              CAST(len(list_slice(ws, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tokens,
+              ((doc_id + 17) * 2654435761) % 4294967296 AS h
+            FROM k, unnest(range(0, n_chunks)) AS t(i)),
+      o AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_tokens,
+              CAST(floor(h * 8 / 4294967296) AS BIGINT) AS grp,
+              row_number() OVER (
+                PARTITION BY CAST(floor(h * 8 / 4294967296) AS BIGINT)
+                ORDER BY h, doc_id, chunk_idx) AS rk
+            FROM c),
+      pack AS (
+        SELECT grp, rk, doc_id, chunk_idx, n_tokens,
+               CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+        FROM o WHERE rk = 1
+        UNION ALL
+        SELECT o.grp, o.rk, o.doc_id, o.chunk_idx, o.n_tokens,
+          CASE WHEN p.fill + o.n_tokens > 64 THEN p.seq_id + 1 ELSE p.seq_id END,
+          CASE WHEN p.fill + o.n_tokens > 64 THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM pack p JOIN o ON o.grp = p.grp AND o.rk = p.rk + 1)
+      SELECT grp, seq_id, doc_id, chunk_idx, n_tokens,
+        fill - n_tokens AS tok_offset
+      FROM pack ORDER BY grp, seq_id, tok_offset""",
 
     "text_stats" -> """
       WITH s AS (

@@ -101,7 +101,13 @@ object Prep {
     * O(n_tokens * chunkTokens / stride) — the ~1.33x duplication a
     * 16-token overlap costs, paid map-side with no shuffle. */
   def docChunks(documents: DataFrame, chunkTokens: Int = 32,
-      stride: Int = 24): DataFrame = {
+      stride: Int = 24): DataFrame =
+    chunkFrame(documents, chunkTokens, stride).orderBy("doc_id", "chunk_idx")
+
+  /** [[docChunks]] without the presentation sort — the shareable frame for
+    * downstream packing. */
+  private def chunkFrame(documents: DataFrame, chunkTokens: Int,
+      stride: Int): DataFrame = {
     val ws = split(col("text"), "\\s+")
     val base = Llm.spread(documents)
       .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("n"))
@@ -117,6 +123,75 @@ object Prep {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("toks")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Pack [[docChunks]] output into fixed-budget training sequences —
+    * greedy next-fit bin packing, the step a training-data pipeline runs
+    * between chunking and the tokenizer. Returns the packing MANIFEST
+    * (grp, seq_id, doc_id, chunk_idx, n_tokens, tok_offset): each chunk
+    * assigned to exactly one sequence at a token offset, no sequence over
+    * `seqTokens`, chunk text joinable back by (doc_id, chunk_idx) so the
+    * shuffle carries 40-byte manifest rows, never text.
+    *
+    * Determinism and distribution: chunks are hash-routed to `groups`
+    * independent packing streams (grp = high bits of a Knuth hash of
+    * doc_id — same arithmetic as [[hashPct]], so the DuckDB oracle
+    * replays it bit-for-bit), ordered by (hash, doc_id, chunk_idx)
+    * within a stream — a document's chunks stay CONTIGUOUS in pack
+    * order and chunks are never split across sequences. Next-fit (not
+    * first-fit) is deliberate: it is the streaming-replayable greedy —
+    * one sequential pass per stream, no random access to open bins — so
+    * the oracle can replay it as an ordered recurrence and re-runs are
+    * byte-identical regardless of cluster layout.
+    *
+    * Scale shape: one shuffle (groupBy grp) of manifest-width rows; each
+    * group folds its chunk list in memory, so `groups` is the
+    * parallelism AND memory knob — size it so a group's manifest
+    * (~40 B/chunk) fits a task comfortably (at 100 TB / ~3G chunks,
+    * groups ≈ 50k gives ~2.5 MB/group). The fold appends to the
+    * accumulator array (O(k²) element copies per group of k chunks) —
+    * fine for the bounded group sizes the knob guarantees. */
+  def packSequences(documents: DataFrame, seqTokens: Int = 64,
+      groups: Int = 8, chunkTokens: Int = 32, stride: Int = 24,
+      seed: Long = 17L): DataFrame = {
+    require(seqTokens >= chunkTokens,
+      s"seqTokens=$seqTokens must fit a whole chunk of $chunkTokens")
+    val B = lit(seqTokens.toLong)
+    val h = pmod((col("doc_id") + lit(seed)) * lit(KnuthC), lit(M32))
+    val grouped = chunkFrame(documents, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), h.as("h"))
+      .withColumn("grp",
+        floor(col("h") * lit(groups.toLong) / lit(M32)).cast("long"))
+      .groupBy("grp")
+      // lexicographic struct sort == oracle's ORDER BY h, doc_id, chunk_idx
+      .agg(sort_array(collect_list(struct(
+        col("h"), col("doc_id"), col("chunk_idx"), col("n_tokens"))))
+        .as("chunks"))
+    val outType = "array<struct<doc_id:bigint,chunk_idx:bigint," +
+      "n_tokens:bigint,seq_id:bigint,tok_offset:bigint>>"
+    val zero = struct(lit(0L).as("seq"), lit(0L).as("fill"),
+      array().cast(outType).as("out"))
+    val folded = aggregate(
+      col("chunks"), zero,
+      (acc: Column, c: Column) => {
+        val n = c.getField("n_tokens")
+        val over = acc.getField("fill") + n > B
+        val seq = when(over, acc.getField("seq") + 1L)
+          .otherwise(acc.getField("seq"))
+        val fill = when(over, n).otherwise(acc.getField("fill") + n)
+        struct(seq.as("seq"), fill.as("fill"),
+          concat(acc.getField("out"), array(struct(
+            c.getField("doc_id").as("doc_id"),
+            c.getField("chunk_idx").as("chunk_idx"),
+            n.as("n_tokens"),
+            seq.as("seq_id"),
+            (fill - n).as("tok_offset")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    grouped
+      .select(col("grp"), explode(folded).as("a"))
+      .select(col("grp"), col("a.seq_id"), col("a.doc_id"),
+        col("a.chunk_idx"), col("a.n_tokens"), col("a.tok_offset"))
+      .orderBy("grp", "seq_id", "tok_offset")
   }
 }

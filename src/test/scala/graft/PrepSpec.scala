@@ -74,4 +74,42 @@ class PrepSpec extends SparkSpec {
       .filter(got("whole") =!= want("whole")).count() == 0)
     chunks.unpersist()
   }
+
+  test("packSequences: every chunk packed exactly once, no sequence over budget") {
+    val B = 64
+    val pack = Prep.packSequences(docs, seqTokens = B).cache()
+    val chunks = Prep.docChunks(docs)
+    // bijective over chunks: same count, every (doc_id, chunk_idx) once
+    assert(pack.count() == chunks.count())
+    assert(pack.select("doc_id", "chunk_idx").distinct().count() == chunks.count())
+    // manifest token counts agree with the chunker's
+    assert(pack.join(chunks.withColumnRenamed("n_tokens", "want"),
+      Seq("doc_id", "chunk_idx"))
+      .filter(col("n_tokens") =!= col("want")).count() == 0)
+    // budget: no (grp, seq_id) holds more than B tokens
+    assert(pack.groupBy("grp", "seq_id").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > B).count() == 0)
+    // offsets tile each sequence: chunk k starts where chunk k-1 ended
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "seq_id").orderBy("tok_offset")
+    assert(pack.withColumn("prev_end",
+        lag(col("tok_offset") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("tok_offset") =!= col("prev_end")).count() == 0)
+    // next-fit is greedy: a new sequence opens only when the previous one
+    // could not fit this chunk
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("seq_id", "tok_offset")
+    assert(pack.withColumn("prev_fill",
+        lag(col("tok_offset") + col("n_tokens"), 1, 0L).over(ws))
+      .filter(col("tok_offset") === 0 && col("seq_id") > 0
+        && col("prev_fill") + col("n_tokens") <= B)
+      .count() == 0)
+    pack.unpersist()
+  }
+
+  test("packSequences is layout-independent: same manifest after repartition") {
+    val a = Prep.packSequences(docs).collect().toSeq
+    val b = Prep.packSequences(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
 }
