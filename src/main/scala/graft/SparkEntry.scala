@@ -35,6 +35,17 @@ object SparkEntry {
   private def fact(s: SparkSession, d: String): DataFrame =
     Gold.buildFact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d)).cache()
 
+  /** The near-dup family's two expensive subtrees, shared like [[fact]]:
+    * the single text-scan shingle-hash pass and the candidate-pair frame
+    * built from it. dedup_ngram / dedup_clusters consume the pairs;
+    * dedup_incremental the hashes — one cached copy each per session via
+    * the cache manager's canonical-plan matching (at production scale the
+    * shingle frame is a persisted index, not a cache). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Llm.shingleHashes(Tables.documents(s, d)).cache()
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    Llm.ngramJaccardPairsFrom(docShingles(s, d)).cache()
+
   private def scored(s: SparkSession, d: String): DataFrame = {
     // cached: the threshold percentiles force one execution, scoring a
     // second, and three queries share the chain
@@ -189,13 +200,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Llm.dedupExact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Llm.dedupMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Llm.dedupSimhash(Tables.documents(s, d))),
-    "dedup_ngram" -> ((s, d) => Llm.dedupNgram(Tables.documents(s, d))),
+    "dedup_ngram" -> ((s, d) => Llm.bestNgramMatch(ngramPairs(s, d))),
     // cluster resolution over the near-dup pair graph: large-star/
     // small-star connected components -> canonical representative per doc
-    "dedup_clusters" -> ((s, d) => Llm.dedupClusters(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Llm.dedupClustersFrom(Tables.documents(s, d), ngramPairs(s, d))),
     // delta-vs-corpus dedup: exact hash index + shingle-intersection
     // near tier, both proportional to the delta
-    "dedup_incremental" -> ((s, d) => Llm.dedupIncremental(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) =>
+      Llm.dedupIncrementalFrom(Tables.documents(s, d), docShingles(s, d))),
     // fifth dedup tier: embedding-cosine near-dup — exact O(N²) baseline
     // (oracle-checked) + the LSH-bucketed scale path (rows-only, pair
     // recall floor in LlmSpec)

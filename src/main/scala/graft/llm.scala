@@ -199,8 +199,13 @@ object Llm {
     *     At test scale max df ≈ 25 so the hot tier is empty; LlmSpec
     *     forces every shingle through it and asserts bit-equality.
     */
-  def dedupNgram(documents: DataFrame, hotDf: Int = 256, salts: Int = 32): DataFrame = {
-    val jac = ngramJaccardPairs(documents, hotDf, salts)
+  def dedupNgram(documents: DataFrame, hotDf: Int = 256, salts: Int = 32): DataFrame =
+    bestNgramMatch(ngramJaccardPairs(documents, hotDf, salts))
+
+  /** Best match per doc over a prebuilt [[ngramJaccardPairs]] frame —
+    * split out so a session can compute the pair frame once and feed
+    * every consumer (see the memo in SparkEntry). */
+  def bestNgramMatch(jac: DataFrame): DataFrame = {
     // best match per doc via max(struct): (jaccard DESC, doc_b ASC)
     // selection identical to a row_number window, but map-side combine
     // collapses each partition to <= one row per doc_a before the shuffle
@@ -212,23 +217,37 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** Every exact 3-gram Jaccard pair (doc_a < doc_b, jaccard rounded to
-    * 6 dp) — the shared candidate-pair frame behind [[dedupNgram]] (best
-    * match per doc) and [[dedupClusters]] (connected components). Same
-    * shuffle discipline as documented on [[dedupNgram]]. */
-  def ngramJaccardPairs(documents: DataFrame, hotDf: Int = 256,
-      salts: Int = 32): DataFrame = {
-    // one pass over the text: each shingle row carries its doc's TOTAL
-    // distinct-shingle count n inside a (doc_id, n) struct, so the union
-    // sizes for Jaccard ride along to the pair — no size-lookup joins and
-    // no second scan later
+  /** One row per distinct 3-gram per document: (doc_id, n, h) where n is
+    * the doc's TOTAL distinct-shingle count (rides along so Jaccard union
+    * sizes never need a lookup join) and h = xxhash64 of the shingle text
+    * (the shuffles downstream move 8-byte keys, never text). This is the
+    * single text-scan pass behind the whole near-dup family —
+    * [[ngramJaccardPairsFrom]] and [[dedupIncrementalFrom]] both consume
+    * it, so a session computes it once (at production scale this frame is
+    * the persisted shingle INDEX of the corpus). */
+  def shingleHashes(documents: DataFrame): DataFrame = {
     val withN = spread(documents)
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), shingles(col("ws")).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), col("sh"))
-    val sh = explodeOnce(withN, col("sh"), "shingle", col("doc_id"), col("n"))
-      .select(struct(col("doc_id"), col("n")).as("doc"), xxhash64(col("shingle")).as("shingle"))
+    explodeOnce(withN, col("sh"), "shingle", col("doc_id"), col("n"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("h"))
+  }
+
+  /** Every exact 3-gram Jaccard pair (doc_a < doc_b, jaccard rounded to
+    * 6 dp) — the shared candidate-pair frame behind [[dedupNgram]] (best
+    * match per doc) and [[dedupClusters]] (connected components). Same
+    * shuffle discipline as documented on [[dedupNgram]]. */
+  def ngramJaccardPairs(documents: DataFrame, hotDf: Int = 256,
+      salts: Int = 32): DataFrame =
+    ngramJaccardPairsFrom(shingleHashes(documents), hotDf, salts)
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[shingleHashes]] frame. */
+  def ngramJaccardPairsFrom(shingleH: DataFrame, hotDf: Int = 256,
+      salts: Int = 32): DataFrame = {
+    val sh = shingleH
+      .select(struct(col("doc_id"), col("n")).as("doc"), col("h").as("shingle"))
     // struct comparison is lexicographic and doc_id is unique, so
     // sort_array orders by doc_id — pair expansion below yields
     // doc_a < doc_b by construction
@@ -277,8 +296,14 @@ object Llm {
     * size annotation is one window over cluster_id (near-dup clusters
     * are small by construction, so no partition skew). */
   def dedupClusters(documents: DataFrame, minJaccard: Double = 0.5,
-      hotDf: Int = 256, salts: Int = 32): DataFrame = {
-    val edges = ngramJaccardPairs(documents, hotDf, salts)
+      hotDf: Int = 256, salts: Int = 32): DataFrame =
+    dedupClustersFrom(documents, ngramJaccardPairs(documents, hotDf, salts),
+      minJaccard)
+
+  /** [[dedupClusters]] over a prebuilt [[ngramJaccardPairs]] frame. */
+  def dedupClustersFrom(documents: DataFrame, pairs: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val edges = pairs
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = Graph.connectedComponents(edges)
@@ -305,23 +330,21 @@ object Llm {
     *    (corpus-side shingles would come from a persisted index in
     *    production; the hot-shingle salt tier of [[dedupNgram]] applies
     *    unchanged if a delta shingle is ubiquitous). */
-  def dedupIncremental(documents: DataFrame, oldDocs: Long = 400): DataFrame = {
+  def dedupIncremental(documents: DataFrame, oldDocs: Long = 400): DataFrame =
+    dedupIncrementalFrom(documents, shingleHashes(documents), oldDocs)
+
+  /** [[dedupIncremental]] over a prebuilt [[shingleHashes]] frame. */
+  def dedupIncrementalFrom(documents: DataFrame, shingleH: DataFrame,
+      oldDocs: Long = 400): DataFrame = {
     val d = spread(documents)
     val hashes = d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val exact = hashes.filter(col("doc_id") >= oldDocs)
       .join(hashes.filter(col("doc_id") < oldDocs).select("h").distinct(),
         Seq("h"), "left_semi")
       .select("doc_id").withColumn("is_exact_dup", lit(true))
-    val withN = d
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), shingles(col("ws")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), col("sh"))
-    val ex = explodeOnce(withN, col("sh"), "s", col("doc_id"), col("n"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
-    val inter = ex.filter(col("doc_id") >= oldDocs)
+    val inter = shingleH.filter(col("doc_id") >= oldDocs)
       .select(col("doc_id").as("new_id"), col("n").as("nn"), col("h"))
-      .join(ex.filter(col("doc_id") < oldDocs)
+      .join(shingleH.filter(col("doc_id") < oldDocs)
         .select(col("doc_id").as("old_id"), col("n").as("no"), col("h")), Seq("h"))
       .groupBy("new_id", "old_id", "nn", "no").agg(count(lit(1)).as("inter"))
     val near = inter
