@@ -311,7 +311,11 @@ object SparkEntry {
     "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
       Ml.kmeansSegments(
         Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
-          Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))).cache()))
+          Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))).cache())),
+    // supervised repurchase propensity: cutoff-time features, LR-learned
+    // weights instead of the reference's hard-coded heuristic blend
+    "propensity_model" -> ((s, d) => mlMemo.getOrElseUpdate(("propensity", s.hashCode, d),
+      Ml.propensityModel(Tables.orders(s, d), Tables.lineitem(s, d)).cache()))
   )
 
   /** Fitted-model query results memoized per (op, session, dataset): a

@@ -63,6 +63,63 @@ object Ml {
       .orderBy("probe_id", "rank")
   }
 
+  /** Supervised twin of the reference's heuristic repurchase score
+    * (reference scripts/train_predictor.py:133-146 hard-codes the blend
+    * 0.45·freq + 0.30·recency + 0.15·monetary + 0.10·diversity): learn
+    * the weights instead with spark.ml LogisticRegression on a temporally
+    * honest label. Features are the existing Gold.clientFeatures computed
+    * AS OF a cutoff (reference date minus the horizon, so the feature
+    * window never sees the label period); label = the customer placed at
+    * least one valid order after the cutoff. This is the backtest the
+    * reference never runs — same feature surface, measurable AUC.
+    *
+    * Scale shape: the feature build is the audited one-pass conditional
+    * agg; LR training is d=9 — each LBFGS iteration is one treeAggregate
+    * of 9-element gradients, the model is a 10-double broadcast, scoring
+    * is map-side. Nothing here is quadratic in customers.
+    *
+    * Like kmeans_segments this is gated rows-only + ScalaTest
+    * (same-session determinism, AUC floor) — training is iterative
+    * float math, not SQL-expressible. */
+  def propensityModel(orders: DataFrame, lineitem: DataFrame,
+      horizonDays: Int = Gold.HorizonDays, regParam: Double = 0.01,
+      maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.vector_to_array
+    val valid = Gold.validOrders(orders)
+    // driver scalar, same idiom as Gold.referenceDate — typed Any for the
+    // same TIMESTAMP/TIMESTAMP_NTZ reason
+    val cutoff = valid
+      .agg(max(col("o_orderdate")) - expr(s"INTERVAL $horizonDays DAYS"))
+      .first().get(0)
+    val feats = Gold.clientFeatures(
+      orders.filter(col("o_orderdate") <= lit(cutoff)), lineitem, cutoff)
+    val repurchased = valid.filter(col("o_orderdate") > lit(cutoff))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("label", lit(1.0))
+    val data = feats.join(repurchased, Seq("c_custkey"), "left")
+      .na.fill(0.0, Seq("label"))
+
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("freq_12m", "monetary_12m", "monetary_avg_12m",
+        "product_diversity_12m", "recency_days", "tenure_days",
+        "total_orders_all", "total_spend_all", "avg_order_value_all"))
+      .setOutputCol("raw_features")
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setLabelCol("label").setFeaturesCol("features")
+      .setProbabilityCol("prob")
+    val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(data)
+    model.transform(data)
+      .select(col("c_custkey"), col("label").cast("long").as("label"),
+        round(element_at(vector_to_array(col("prob")), 2), 6).as("propensity"),
+        col("prediction").cast("long").as("prediction"))
+      .orderBy("c_custkey")
+  }
+
   def kmeansSegments(features: DataFrame, k: Int = 5, seed: Long = 42): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(Array("freq_12m", "monetary_12m", "recency_days"))

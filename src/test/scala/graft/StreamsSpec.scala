@@ -99,6 +99,29 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("propensity model: probabilities, both outcomes, deterministic fit, AUC beats chance") {
+    val a = Ml.propensityModel(Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("propensity"); p >= 0.0 && p <= 1.0
+    })
+    // the temporal label actually splits at test scale
+    assert(rows.map(_.getAs[Long]("label")).distinct.sorted.toSeq == Seq(0L, 1L))
+    // same session + data => bit-identical refit (same gate as kmeans)
+    val b = Ml.propensityModel(Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(rows.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // the learned blend must beat chance on its backtest (the reference's
+    // hard-coded 0.45/0.30/0.15/0.10 blend is never backtested at all);
+    // measured 0.69 at sf0.001 on near-random TPC-H order dates
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
+      .setRawPredictionCol("propensity").setMetricName("areaUnderROC")
+      .evaluate(a.select(col("label").cast("double").as("label"), col("propensity")))
+    assert(auc >= 0.60, s"AUC=$auc below floor")
+    a.unpersist()
+  }
+
   test("foreachBatch upsert sink: keyed replace, idempotent re-publish, batch equivalence") {
     val sink = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val once = Streams.userTotalsUpserted(spark, sf, sink).collect()
