@@ -285,6 +285,11 @@ object SparkEntry {
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "multimodal_features" -> ((s, d) => Multimodal.multimodalFeatures(Tables.documents(s, d))),
 
+    // partition-pruned year slice off the annee-partitioned fact sink
+    // (the layout Pipeline.run writes): only annee=1995/ is listed/read
+    "fact_year_slice" -> ((s, d) => Gold.yearSlice(
+      s.read.parquet(factSink(s, d)), 1995)),
+
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
     "ca_cube" -> ((s, d) => Serving.caCube(fact(s, d))),
@@ -327,6 +332,20 @@ object SparkEntry {
 
   private val upsertSinkMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** The annee-partitioned fact sink (what Pipeline.run stages for
+    * fact_achats), written once per session for the pruning-dependent
+    * readers — TrieMap.getOrElseUpdate is atomic, so Verify's thread
+    * pool can't double-write. */
+  private val factSinkMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def factSink(s: SparkSession, d: String): String =
+    factSinkMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_fact_sink")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
+      p.toString
+    })
 
   // one CSV copy of orders per (session, sfDir) — the round-trip query
   // gates the reader; rewriting the fixture per bench pass would time
@@ -435,6 +454,12 @@ object SparkEntry {
     "ca_monthly" -> s"""
       SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
       FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
+
+    "fact_year_slice" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca,
+             count(*) AS n_orders
+      FROM orders WHERE $V AND year(o_orderdate) = 1995
+      GROUP BY 1 ORDER BY mois""",
 
     "ca_country" -> s"""
       SELECT coalesce(n_name, 'Inconnu') AS pays, ${ms("o_totalprice")} AS ca

@@ -244,6 +244,20 @@ object Gold {
   def caMonthly(fact: DataFrame): DataFrame =
     fact.groupBy("mois").agg(moneySum(col("o_totalprice")).as("ca")).orderBy("mois")
 
+  /** Monthly revenue for ONE year, meant to run against the
+    * `annee`-partitioned fact SINK (Pipeline.run writes fact_achats
+    * partitionBy("annee") for exactly this): the `annee = year` predicate
+    * is a partition filter, so the scan lists and reads only that year's
+    * directory — at 100 TB the other ~6/7ths of the fact table are never
+    * opened. PruningSpec gates this with a files-read metric (static
+    * pruning) and a dynamicpruning variant (join-driven DPP). */
+  def yearSlice(fact: DataFrame, year: Int): DataFrame =
+    fact.filter(col("annee") === year)
+      .groupBy("mois")
+      .agg(moneySum(col("o_totalprice")).as("ca"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("mois")
+
   def caCountry(fact: DataFrame): DataFrame =
     fact.groupBy("pays").agg(moneySum(col("o_totalprice")).as("ca"))
       .orderBy(desc("ca"), col("pays"))
