@@ -175,6 +175,8 @@ object SparkEntry {
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
     "gold_weekly" -> ((s, d) => Serving.weekly(fact(s, d))),
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
+    // pd.cut-style interval labels (the serving contract's bucket keys)
+    "gold_distribution_labeled" -> ((s, d) => Serving.distributionLabeled(fact(s, d))),
     "gold_monthly_growth" -> ((s, d) => Serving.monthlyGrowth(Gold.caMonthly(fact(s, d)))),
     "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
     "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
@@ -538,6 +540,25 @@ object SparkEntry {
       SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (((SELECT mx FROM mm) - (SELECT mn FROM mm)) / 12)), 11) AS BIGINT) AS bucket,
              count(*) AS count
       FROM o GROUP BY 1 ORDER BY bucket""",
+
+    "gold_distribution_labeled" -> s"""
+      WITH o AS (SELECT o_totalprice FROM orders WHERE $V),
+      mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                    (max(o_totalprice) - min(o_totalprice)) / 12 AS step FROM o),
+      g AS (SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (SELECT step FROM mm)), 11) AS BIGINT) AS bucket,
+                   count(*) AS count
+            FROM o GROUP BY 1),
+      e AS (SELECT bucket, count,
+              CAST(round(((SELECT mn FROM mm) + bucket * (SELECT step FROM mm)) * 100) AS BIGINT) AS lo,
+              CAST(CASE WHEN bucket = 11 THEN round((SELECT mx FROM mm) * 100)
+                   ELSE round(((SELECT mn FROM mm) + (bucket + 1) * (SELECT step FROM mm)) * 100) END AS BIGINT) AS hi
+            FROM g)
+      SELECT bucket,
+             '[' || CAST(lo // 100 AS VARCHAR) || '.' || lpad(CAST(lo % 100 AS VARCHAR), 2, '0') || ', '
+                 || CAST(hi // 100 AS VARCHAR) || '.' || lpad(CAST(hi % 100 AS VARCHAR), 2, '0')
+                 || CASE WHEN bucket = 11 THEN ']' ELSE ')' END AS label,
+             count
+      FROM e ORDER BY bucket""",
 
     "gold_monthly_growth" -> s"""
       WITH cm AS (SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,39 @@ object Serving {
       else lit(0L)
     fact.groupBy(bucket.as("bucket"))
       .agg(count("o_orderkey").as("count"))
+      .orderBy("bucket")
+  }
+
+  /** [[distribution]] with pd.cut-style interval LABELS (reference
+    * publish_gold_to_mongo.py:142-152 stringifies the pandas intervals;
+    * the dashboard keys on them). Same bucket arithmetic; the bounds are
+    * half-open `[lo, hi)` with the last bucket closed — honest about the
+    * floor()-bucketing (pandas' `(lo, hi]` describes ITS bucketing, not
+    * ours). Labels are formatted from integer cents, never from float
+    * repr, so Spark and the DuckDB oracle agree bit-for-bit (the
+    * cross-engine float-formatting trap). */
+  def distributionLabeled(fact: DataFrame, bins: Int = 12): DataFrame = {
+    val r = fact.agg(min("o_totalprice"), max("o_totalprice")).first()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val step = if (mx > mn) (mx - mn) / bins else 1.0
+    val bucket =
+      if (mx > mn)
+        least(floor((col("o_totalprice") - lit(mn)) / lit(step)),
+          lit(bins - 1L)).cast("long")
+      else lit(0L)
+    def centsStr(c: Column): Column =
+      concat(floor(c / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+    val last = col("bucket") === (bins - 1)
+    val lo = round((lit(mn) + col("bucket") * lit(step)) * 100).cast("long")
+    val hi = when(last, round(lit(mx) * 100))
+      .otherwise(round((lit(mn) + (col("bucket") + 1) * lit(step)) * 100))
+      .cast("long")
+    fact.groupBy(bucket.as("bucket"))
+      .agg(count("o_orderkey").as("count"))
+      .withColumn("label", concat(lit("["), centsStr(lo), lit(", "),
+        centsStr(hi), when(last, lit("]")).otherwise(lit(")"))))
+      .select("bucket", "label", "count")
       .orderBy("bucket")
   }
 
