@@ -87,8 +87,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$errJson,"timing":"noop-materialize min-of-2 (r1 was count() single-pass)","sf":"$sfDir"}"""
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // best-effort: a read-only/odd cwd must not kill the run after the
+    // queries already completed — the stdout line below is the record
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}")
+    }
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qJson = results.map { case (k, v, _) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")

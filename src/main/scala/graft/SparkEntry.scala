@@ -28,33 +28,62 @@ object SparkEntry {
   private val V = s"o_totalprice > 0 AND o_totalprice <= ${Gold.MaxAmount}"
   private def ms(c: String) = Tables.moneySumSql(c)
 
+  /** Shared subtrees memoized per (name, session, dataset) — ONE cached
+    * DataFrame handle each, built once and reused by reference. Earlier
+    * rounds rebuilt an identical plan per invocation and leaned on the
+    * CacheManager's canonical-plan matching to unify them; that filled the
+    * bench tail with `Asked to cache already cached data` warnings, grew
+    * the cache registry per query, and left nothing to unpersist. The memo
+    * keeps one handle per subtree (same idiom as [[mlMemo]]) and
+    * [[unpersistShared]] can release them all. TrieMap.getOrElseUpdate
+    * gives atomic winner selection; a concurrent first call may build the
+    * plan twice, but only the winning handle is cached and kept. */
+  private val frameMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+  private def memoFrame(name: String, s: SparkSession, d: String)
+      (build: => DataFrame): DataFrame =
+    frameMemo.getOrElseUpdate((name, s.hashCode, d), build.cache())
+
+  /** Release every shared cached frame (the unpersist path the per-query
+    * canonical-plan caching never had). Blocking=false: executors drop
+    * blocks asynchronously. */
+  def unpersistShared(): Unit = {
+    frameMemo.values.foreach(_.unpersist(false))
+    frameMemo.clear()
+    mlMemo.values.foreach(_.unpersist(false))
+    mlMemo.clear()
+    CacheOnce.releaseAll()
+  }
+
   /** The fact subtree feeds 9+ queries — cache it (the deliberate
     * improvement over the reference, which re-executes it per sink; see
-    * SURVEY §3.4). Spark's cache manager matches by canonicalized plan, so
-    * every query calling this helper shares one cached copy per session. */
+    * SURVEY §3.4). */
   private def fact(s: SparkSession, d: String): DataFrame =
-    Gold.buildFact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d)).cache()
+    memoFrame("fact", s, d)(Gold.buildFact(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d)))
 
   /** The near-dup family's two expensive subtrees, shared like [[fact]]:
     * the single text-scan shingle-hash pass and the candidate-pair frame
     * built from it. dedup_ngram / dedup_clusters consume the pairs;
-    * dedup_incremental the hashes — one cached copy each per session via
-    * the cache manager's canonical-plan matching (at production scale the
-    * shingle frame is a persisted index, not a cache). */
+    * dedup_incremental reads the persisted index written from the hashes
+    * (at production scale the shingle frame IS that index, not a cache). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Llm.shingleHashes(Tables.documents(s, d)).cache()
+    memoFrame("docShingles", s, d)(Llm.shingleHashes(Tables.documents(s, d)))
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    Llm.ngramJaccardPairsFrom(docShingles(s, d)).cache()
+    memoFrame("ngramPairs", s, d)(Llm.ngramJaccardPairsFrom(docShingles(s, d)))
 
-  private def scored(s: SparkSession, d: String): DataFrame = {
+  private def feats(s: SparkSession, d: String): DataFrame =
     // cached: the threshold percentiles force one execution, scoring a
     // second, and three queries share the chain
-    val feats = Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
-      Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).cache()
-    // scored is consumed by client_scores, segment_summary and
-    // top_risk_clients — same canonical plan, one cached copy
-    Gold.scoreClients(feats, Gold.scoreThresholds(feats)).cache()
-  }
+    memoFrame("feats", s, d)(Gold.clientFeatures(
+      Tables.orders(s, d), Tables.lineitem(s, d),
+      Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))))
+  private def scored(s: SparkSession, d: String): DataFrame =
+    // consumed by client_scores, segment_summary and top_risk_clients
+    memoFrame("scored", s, d) {
+      val f = feats(s, d)
+      Gold.scoreClients(f, Gold.scoreThresholds(f))
+    }
 
   /** Shared oracle CTE prologue: valid orders, reference date, trailing
     * window, per-client feature blocks (mirrors Gold.clientFeatures). */
@@ -154,9 +183,7 @@ object SparkEntry {
     "dim_clients" -> ((s, d) =>
       Gold.dimClients(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).orderBy("c_custkey")),
-    "client_features" -> ((s, d) =>
-      Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
-        Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).orderBy("c_custkey")),
+    "client_features" -> ((s, d) => feats(s, d).orderBy("c_custkey")),
     "client_scores" -> ((s, d) => scored(s, d).orderBy("c_custkey")),
     "segment_summary" -> ((s, d) => Gold.segmentSummary(scored(s, d))),
     "ca_monthly" -> ((s, d) => Gold.caMonthly(fact(s, d))),
@@ -207,10 +234,16 @@ object SparkEntry {
     // small-star connected components -> canonical representative per doc
     "dedup_clusters" -> ((s, d) =>
       Llm.dedupClustersFrom(Tables.documents(s, d), ngramPairs(s, d))),
-    // delta-vs-corpus dedup: exact hash index + shingle-intersection
-    // near tier, both proportional to the delta
-    "dedup_incremental" -> ((s, d) =>
-      Llm.dedupIncrementalFrom(Tables.documents(s, d), docShingles(s, d))),
+    // delta-vs-corpus dedup: the corpus side comes from the PERSISTED
+    // parquet index (exact sha2 hashes + shingle hashes, written once at
+    // "ingest" by dedupIndex) — the delta query recomputes nothing from
+    // corpus text; its documents scans carry a pushed doc_id >= 400
+    // filter (gated in PlanShapeSpec)
+    "dedup_incremental" -> ((s, d) => {
+      val idx = dedupIndex(s, d)
+      Llm.dedupIncrementalIndexed(Tables.documents(s, d),
+        s.read.parquet(s"$idx/exact"), s.read.parquet(s"$idx/shingles"))
+    }),
     // fifth dedup tier: embedding-cosine near-dup — exact O(N²) baseline
     // (oracle-checked) + the LSH-bucketed scale path (rows-only, pair
     // recall floor in LlmSpec)
@@ -262,10 +295,11 @@ object SparkEntry {
     // parse (the PERMISSIVE failure mode) breaks the hash, not just rows
     "csv_roundtrip" -> ((s, d) => {
       val dir = csvMemo.getOrElseUpdate((s.hashCode, d), {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
         Tables.orders(s, d).write.mode("overwrite")
-          .option("header", "true").csv(tmp)
-        tmp
+          .option("header", "true").csv(tmp.toString)
+        tmp.toString
       })
       Tables.readCsv(s, dir, Tables.orders(s, d).schema, "orders_csv")
         .groupBy("o_orderstatus")
@@ -316,14 +350,33 @@ object SparkEntry {
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
     "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
     "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
-      Ml.kmeansSegments(
-        Gold.clientFeatures(Tables.orders(s, d), Tables.lineitem(s, d),
-          Gold.referenceDate(Gold.validOrders(Tables.orders(s, d))))).cache())),
+      Ml.kmeansSegments(feats(s, d)).cache())),
+    // cluster-quality metric the reference's advisor publishes
+    // (reference scripts/train_advisor.py:123,321): mean silhouette of the
+    // seed-pinned k=5 assignment, squaredEuclidean
+    "kmeans_silhouette" -> ((s, d) => mlMemo.getOrElseUpdate(("silhouette", s.hashCode, d),
+      Ml.kmeansSilhouette(feats(s, d)).cache())),
     // supervised repurchase propensity: cutoff-time features, LR-learned
-    // weights instead of the reference's hard-coded heuristic blend
-    "propensity_model" -> ((s, d) => mlMemo.getOrElseUpdate(("propensity", s.hashCode, d),
-      Ml.propensityModel(Tables.orders(s, d), Tables.lineitem(s, d)).cache()))
+    // weights instead of the reference's hard-coded heuristic blend;
+    // trained on the window BEFORE the one it scores (temporal holdout)
+    "propensity_model" -> ((s, d) => propensityPair(s, d)._1),
+    // the backtest record: train/holdout sizes, in-sample vs held-out AUC
+    "propensity_backtest" -> ((s, d) => propensityPair(s, d)._2)
   )
+
+  /** One LR fit serves both propensity queries: the scored-holdout frame
+    * and the 1-row backtest metrics frame are built together and memoized
+    * under separate keys. Any evaluation of the by-name op stores BOTH
+    * keys before returning, so the metrics lookup after getOrElseUpdate
+    * always hits. */
+  private def propensityPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val scoredHoldout = mlMemo.getOrElseUpdate(("propensity", s.hashCode, d), {
+      val (sc, m) = Ml.propensityBacktest(Tables.orders(s, d), Tables.lineitem(s, d))
+      mlMemo.put(("propensity_bt", s.hashCode, d), m.cache())
+      sc.cache()
+    })
+    (scoredHoldout, mlMemo(("propensity_bt", s.hashCode, d)))
+  }
 
   /** Fitted-model query results memoized per (op, session, dataset): a
     * KMeans fit is a trained artifact, persisted like any model registry
@@ -337,8 +390,10 @@ object SparkEntry {
 
   /** The annee-partitioned fact sink (what Pipeline.run stages for
     * fact_achats), written once per session for the pruning-dependent
-    * readers — TrieMap.getOrElseUpdate is atomic, so Verify's thread
-    * pool can't double-write. */
+    * readers. TrieMap.getOrElseUpdate selects the winner atomically; under
+    * Verify's thread pool the op itself may still run twice concurrently,
+    * but each write lands in its own temp dir and the losing dir is
+    * removed by its shutdown hook — harmless, never a torn write. */
   private val factSinkMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   private def factSink(s: SparkSession, d: String): String =
@@ -354,6 +409,28 @@ object SparkEntry {
   // the writer instead
   private val csvMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** The corpus-half dedup index (what a production ingest job maintains):
+    * doc-level sha2 hashes and (doc_id, n, shingle-hash) rows for
+    * documents below the delta boundary, written once per (session,
+    * dataset). dedup_incremental only READS this — re-deriving the corpus
+    * frames from text per delta batch is exactly what an incremental
+    * design must not do at 100 TB. (On a cluster the shingle index would
+    * be bucketed by `h` so the delta join co-locates without shuffling
+    * the index; local parquet keeps the same read path.) */
+  private val dedupIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def dedupIndex(s: SparkSession, d: String, oldDocs: Long = 400): String =
+    dedupIndexMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Tables.documents(s, d).filter(col("doc_id") < oldDocs)
+        .select(sha2(col("text"), 256).as("h"))
+        .write.mode("overwrite").parquet(s"$p/exact")
+      docShingles(s, d).filter(col("doc_id") < oldDocs)
+        .write.mode("overwrite").parquet(s"$p/shingles")
+      p.toString
+    })
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -534,17 +611,26 @@ object SparkEntry {
              ${ms("o_totalprice")} AS ca, count(o_orderkey) AS achats
       FROM orders WHERE $V GROUP BY 1 ORDER BY semaine""",
 
+    // step guard mirrors Serving.distribution's mx==mn branch (step would
+    // be 0 on a constant-price fact and every bucket NaN)
     "gold_distribution" -> s"""
       WITH o AS (SELECT o_totalprice FROM orders WHERE $V),
-      mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM o)
-      SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (((SELECT mx FROM mm) - (SELECT mn FROM mm)) / 12)), 11) AS BIGINT) AS bucket,
+      mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                    CASE WHEN max(o_totalprice) > min(o_totalprice)
+                         THEN (max(o_totalprice) - min(o_totalprice)) / 12
+                         ELSE 1.0 END AS step FROM o)
+      SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (SELECT step FROM mm)), 11) AS BIGINT) AS bucket,
              count(*) AS count
       FROM o GROUP BY 1 ORDER BY bucket""",
 
+    // same step guard as gold_distribution (Serving.distributionLabeled
+    // uses step=1.0 when mx==mn)
     "gold_distribution_labeled" -> s"""
       WITH o AS (SELECT o_totalprice FROM orders WHERE $V),
       mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
-                    (max(o_totalprice) - min(o_totalprice)) / 12 AS step FROM o),
+                    CASE WHEN max(o_totalprice) > min(o_totalprice)
+                         THEN (max(o_totalprice) - min(o_totalprice)) / 12
+                         ELSE 1.0 END AS step FROM o),
       g AS (SELECT CAST(least(floor((o_totalprice - (SELECT mn FROM mm)) / (SELECT step FROM mm)), 11) AS BIGINT) AS bucket,
                    count(*) AS count
             FROM o GROUP BY 1),

@@ -24,12 +24,17 @@ object Llm {
   /** CPU-heavy per-row stages need every core: a test-scale single
     * row-group parquet arrives as ONE input partition, which would
     * serialize the whole regex/HOF pipeline on one core. Fan small inputs
-    * out to the default parallelism; a no-op at real scale where the scan
-    * already has >= parallelism splits (never reshuffle a 100 TB corpus
-    * just in case). */
+    * out to the default parallelism, gated on `graft.spread` (default on —
+    * right for test scale; set it false on a real cluster, where the scan
+    * already has >= parallelism splits and a 100 TB corpus must never be
+    * reshuffled just in case). The gate is a conf read, not a partition
+    * probe: the previous `df.rdd.getNumPartitions` check force-compiled a
+    * physical plan per invocation just to read a count. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val s = df.sparkSession
+    if (s.conf.getOption("graft.spread").forall(_.toBoolean))
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
   }
 
   /** explode() over an EXPENSIVE computed array is a trap:
@@ -118,10 +123,10 @@ object Llm {
     * same input re-use this single cache entry instead of accumulating
     * new ones. */
   def dedupMinhash(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents).cache()
+    val sigs = CacheOnce(minhashSignatures(documents))
     // the candidate frame feeds the union twice below — cache the small
     // post-dedup pair set so the band join runs once
-    val cand = candidatesFromSignatures(sigs).cache()
+    val cand = CacheOnce(candidatesFromSignatures(sigs))
     val perDoc = cand.select(col("doc_a").as("doc_id"), col("est_jaccard"))
       .union(cand.select(col("doc_b").as("doc_id"), col("est_jaccard")))
       .groupBy("doc_id")
@@ -150,7 +155,7 @@ object Llm {
     // one cached fingerprint frame feeds both self-join sides and the
     // final per-doc join-back — without it the 64-aggregate fingerprint
     // pass re-runs up to three times (measured 3.4s -> ~2.3s at sf0.1)
-    val sh = simhashDocs(documents).cache()
+    val sh = CacheOnce(simhashDocs(documents))
     // block on 4 x 16-bit bands: any pair within hamming<=12 of 64 bits
     // shares at least one exact band far more often than random pairs
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -160,11 +165,11 @@ object Llm {
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"))
     // verified pair set is consumed twice by the per-doc union — cache
     // the small post-hamming frame so the banded join runs once
-    val pairs = a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+    val pairsRaw = a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .cache()
+    val pairs = CacheOnce(pairsRaw)
     val perDoc = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
@@ -254,10 +259,10 @@ object Llm {
     // both tiers (in-task expansion / salted hot join) filter this frame,
     // so without the cache the shingle explode + groupBy — the one big
     // shuffle — runs twice; spills to disk if it outgrows memory
-    val grouped = sh.groupBy("shingle")
+    val groupedRaw = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")) >= 2) // df=1 prune
-      .cache()
+    val grouped = CacheOnce(groupedRaw)
     val smallPairs = grouped.filter(size(col("ds")) <= hotDf)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + lit(2), greatest(size(col("ds")) - i - 1, lit(0))),
@@ -332,6 +337,36 @@ object Llm {
     *    unchanged if a delta shingle is ubiquitous). */
   def dedupIncremental(documents: DataFrame, oldDocs: Long = 400): DataFrame =
     dedupIncrementalFrom(documents, shingleHashes(documents), oldDocs)
+
+  /** [[dedupIncremental]] against a PERSISTED corpus index instead of
+    * frames recomputed from corpus text: `corpusExact` is the doc-level
+    * sha2 index (column `h`), `corpusShingles` the (doc_id, n, h)
+    * shingle-hash index — both written once at ingest and only read here.
+    * The delta query therefore scans documents ONLY above the delta
+    * boundary (the doc_id predicate pushes into the scan; PlanShapeSpec
+    * gates it) and its work is delta-proportional on both tiers, the
+    * shape that stays affordable against a continuously growing 100 TB
+    * corpus. */
+  def dedupIncrementalIndexed(documents: DataFrame, corpusExact: DataFrame,
+      corpusShingles: DataFrame, oldDocs: Long = 400): DataFrame = {
+    val delta = documents.filter(col("doc_id") >= oldDocs)
+    val exact = spread(delta).select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpusExact.select("h").distinct(), Seq("h"), "left_semi")
+      .select("doc_id").withColumn("is_exact_dup", lit(true))
+    val inter = shingleHashes(delta)
+      .select(col("doc_id").as("new_id"), col("n").as("nn"), col("h"))
+      .join(corpusShingles
+        .select(col("doc_id").as("old_id"), col("n").as("no"), col("h")), Seq("h"))
+      .groupBy("new_id", "old_id", "nn", "no").agg(count(lit(1)).as("inter"))
+    val near = inter
+      .filter(round(col("inter") * 1.0 / (col("nn") + col("no") - col("inter")), 6) >= 0.5)
+      .groupBy(col("new_id").as("doc_id")).agg(count(lit(1)).as("n_near_dups"))
+    delta.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_exact_dup")).na.fill(0L, Seq("n_near_dups"))
+      .orderBy("doc_id")
+  }
 
   /** [[dedupIncremental]] over a prebuilt [[shingleHashes]] frame. */
   def dedupIncrementalFrom(documents: DataFrame, shingleH: DataFrame,
@@ -631,7 +666,7 @@ object Llm {
     // tiny next to the embeddings — and feeds BOTH sides of the candidate
     // join; cache it so the posexplode + nBits-aggregate signature pass
     // runs once
-    val buckets = lshTableBuckets(emb, nPlanes, nTables).cache()
+    val buckets = CacheOnce(lshTableBuckets(emb, nPlanes, nTables))
     val probeBuckets = buckets.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
     // union of bucket-mates over tables, deduped on bare ids
@@ -659,7 +694,7 @@ object Llm {
     // the union below consumes the pair frame twice; without the cache the
     // whole pair-generation subtree (for the exact tier, the O(N²) cosine
     // pass) re-runs per branch
-    val cached = pairs.cache()
+    val cached = CacheOnce(pairs)
     val perVec = cached.select(col("vec_a").as("vec_id"), col("sim"))
       .union(cached.select(col("vec_b").as("vec_id"), col("sim")))
       .groupBy("vec_id")
@@ -698,7 +733,7 @@ object Llm {
     val emb = spread(embeddings)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     // same cache rationale as knnLsh: one signature pass, two consumers
-    val buckets = lshTableBuckets(emb, nPlanes, nTables).cache()
+    val buckets = CacheOnce(lshTableBuckets(emb, nPlanes, nTables))
     val cand = buckets.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
       .join(buckets.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

@@ -67,38 +67,68 @@ object Ml {
     * (reference scripts/train_predictor.py:133-146 hard-codes the blend
     * 0.45·freq + 0.30·recency + 0.15·monetary + 0.10·diversity): learn
     * the weights instead with spark.ml LogisticRegression on a temporally
-    * honest label. Features are the existing Gold.clientFeatures computed
-    * AS OF a cutoff (reference date minus the horizon, so the feature
-    * window never sees the label period); label = the customer placed at
-    * least one valid order after the cutoff. This is the backtest the
-    * reference never runs — same feature surface, measurable AUC.
+    * honest label, evaluated on a TEMPORAL HOLDOUT. Two consecutive
+    * windows: the model fits on features as of `ref − 2·horizon` with
+    * label "placed a valid order in the following horizon", then scores
+    * features as of `ref − horizon` whose labels come from the final
+    * horizon — rows the fit never saw, one period later. This is the
+    * backtest the reference never runs: [[propensityBacktest]] reports
+    * held-out AUC next to in-sample. (On the synthetic test data the
+    * held-out AUC sits at chance — the generator assigns orders to
+    * customers uniformly, so there IS no temporal signal; the in-sample
+    * number is pure overfit, which is precisely what a backtest exists
+    * to expose. StreamsSpec gates the held-out value to a band around
+    * 0.5: above it would mean feature/label leakage.)
     *
-    * Scale shape: the feature build is the audited one-pass conditional
+    * Scale shape: each feature build is the audited one-pass conditional
     * agg; LR training is d=9 — each LBFGS iteration is one treeAggregate
     * of 9-element gradients, the model is a 10-double broadcast, scoring
     * is map-side. Nothing here is quadratic in customers.
     *
     * Like kmeans_segments this is gated rows-only + ScalaTest
-    * (same-session determinism, AUC floor) — training is iterative
-    * float math, not SQL-expressible. */
+    * (same-session determinism, held-out AUC floor) — training is
+    * iterative float math, not SQL-expressible. */
   def propensityModel(orders: DataFrame, lineitem: DataFrame,
       horizonDays: Int = Gold.HorizonDays, regParam: Double = 0.01,
-      maxIter: Int = 64): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.functions.vector_to_array
-    val valid = Gold.validOrders(orders)
-    // driver scalar, same idiom as Gold.referenceDate — typed Any for the
-    // same TIMESTAMP/TIMESTAMP_NTZ reason
-    val cutoff = valid
-      .agg(max(col("o_orderdate")) - expr(s"INTERVAL $horizonDays DAYS"))
-      .first().get(0)
+      maxIter: Int = 64): DataFrame =
+    propensityBacktest(orders, lineitem, horizonDays, regParam, maxIter)._1
+
+  /** Labeled feature frame for one backtest window: features as of
+    * `cutoff`, label = any valid order in (cutoff, labelEnd]. */
+  private def labeledWindow(orders: DataFrame, lineitem: DataFrame,
+      cutoff: Any, labelEnd: Any): DataFrame = {
     val feats = Gold.clientFeatures(
       orders.filter(col("o_orderdate") <= lit(cutoff)), lineitem, cutoff)
-    val repurchased = valid.filter(col("o_orderdate") > lit(cutoff))
+    val repurchased = Gold.validOrders(orders)
+      .filter(col("o_orderdate") > lit(cutoff) &&
+        col("o_orderdate") <= lit(labelEnd))
       .select(col("o_custkey").as("c_custkey")).distinct()
       .withColumn("label", lit(1.0))
-    val data = feats.join(repurchased, Seq("c_custkey"), "left")
+    feats.join(repurchased, Seq("c_custkey"), "left")
       .na.fill(0.0, Seq("label"))
+  }
+
+  /** [[propensityModel]] plus its evaluation: returns (scored holdout
+    * frame, 1-row metrics frame with train/holdout sizes and in-sample vs
+    * held-out AUC). The AUC evaluations are distributed
+    * (BinaryClassificationEvaluator aggregates ROC per partition); only
+    * the two scalars land on the driver. */
+  def propensityBacktest(orders: DataFrame, lineitem: DataFrame,
+      horizonDays: Int = Gold.HorizonDays, regParam: Double = 0.01,
+      maxIter: Int = 64): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.functions.vector_to_array
+    val valid = Gold.validOrders(orders)
+    // driver scalars, same idiom as Gold.referenceDate — typed Any for
+    // the same TIMESTAMP/TIMESTAMP_NTZ reason
+    val cut = valid.agg(
+      max(col("o_orderdate")).as("ref"),
+      (max(col("o_orderdate")) - expr(s"INTERVAL $horizonDays DAYS")).as("score_cutoff"),
+      (max(col("o_orderdate")) - expr(s"INTERVAL ${2 * horizonDays} DAYS")).as("train_cutoff"))
+      .first()
+    val train = labeledWindow(orders, lineitem, cut.get(2), cut.get(1))
+    val holdout = labeledWindow(orders, lineitem, cut.get(1), cut.get(0))
 
     val assembler = new VectorAssembler()
       .setInputCols(Array("freq_12m", "monetary_12m", "monetary_avg_12m",
@@ -112,15 +142,34 @@ object Ml {
       .setMaxIter(maxIter).setRegParam(regParam)
       .setLabelCol("label").setFeaturesCol("features")
       .setProbabilityCol("prob")
-    val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(data)
-    model.transform(data)
+    val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
+
+    def score(df: DataFrame): DataFrame = model.transform(df)
       .select(col("c_custkey"), col("label").cast("long").as("label"),
         round(element_at(vector_to_array(col("prob")), 2), 6).as("propensity"),
         col("prediction").cast("long").as("prediction"))
-      .orderBy("c_custkey")
+    val scoredTrain = score(train)
+    val scoredHoldout = score(holdout).orderBy("c_custkey")
+
+    val ev = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("propensity")
+      .setMetricName("areaUnderROC")
+    def auc(df: DataFrame): Double = ev.evaluate(
+      df.select(col("label").cast("double").as("label"), col("propensity")))
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    val spark = orders.sparkSession
+    val metrics = spark.range(1).select(
+      lit(scoredTrain.count()).as("n_train"),
+      lit(scoredHoldout.count()).as("n_holdout"),
+      lit(r6(auc(scoredTrain))).as("auc_train"),
+      lit(r6(auc(scoredHoldout))).as("auc_holdout"))
+    (scoredHoldout, metrics)
   }
 
-  def kmeansSegments(features: DataFrame, k: Int = 5, seed: Long = 42): DataFrame = {
+  /** Scaled-RFM KMeans assignment frame (features + `cluster` + the
+    * scaled `features` vector the silhouette needs), shared by
+    * [[kmeansSegments]] and [[kmeansSilhouette]]. */
+  private def kmeansAssign(features: DataFrame, k: Int, seed: Long): DataFrame = {
     val assembler = new VectorAssembler()
       .setInputCols(Array("freq_12m", "monetary_12m", "recency_days"))
       .setOutputCol("raw_features")
@@ -129,11 +178,33 @@ object Ml {
       .setWithMean(true).setWithStd(true)
     val km = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster")
-    val model = new Pipeline().setStages(Array(assembler, scaler, km))
-      .fit(features)
-    model.transform(features)
+    new Pipeline().setStages(Array(assembler, scaler, km))
+      .fit(features).transform(features)
+  }
+
+  def kmeansSegments(features: DataFrame, k: Int = 5, seed: Long = 42): DataFrame =
+    kmeansAssign(features, k, seed)
       .select(col("c_custkey"), col("freq_12m"), col("monetary_12m"),
         col("recency_days"), col("cluster").cast("long").as("cluster"))
       .orderBy("c_custkey")
+
+  /** Cluster-quality metric the reference's advisor computes and publishes
+    * next to its segmentation (reference scripts/train_advisor.py:123,321
+    * picks k by silhouette): mean silhouette of the seed-pinned k=5
+    * assignment over the SCALED feature space the model clustered in.
+    * spark.ml ClusteringEvaluator's squaredEuclidean silhouette is the
+    * distributed formulation — O(N·k) via per-cluster sufficient
+    * statistics, never the O(N²) pairwise definition, so the metric is
+    * computable at the full customer dimension. One metrics row out. */
+  def kmeansSilhouette(features: DataFrame, k: Int = 5, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.evaluation.ClusteringEvaluator
+    val assigned = kmeansAssign(features, k, seed)
+    val sil = new ClusteringEvaluator()
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .setDistanceMeasure("squaredEuclidean")
+      .evaluate(assigned)
+    features.sparkSession.range(1).select(
+      lit(k.toLong).as("k"),
+      lit(math.rint(sil * 1e6) / 1e6).as("silhouette"))
   }
 }

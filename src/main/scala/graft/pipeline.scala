@@ -44,8 +44,8 @@ object Pipeline {
     val part = Tables.part(spark, sfDir)
 
     val ref = Gold.referenceDate(Gold.validOrders(orders))
-    val fact = Gold.buildFact(orders, customer, nation).cache()
-    val feats = Gold.clientFeatures(orders, lineitem, ref).cache()
+    val fact = CacheOnce(Gold.buildFact(orders, customer, nation))
+    val feats = CacheOnce(Gold.clientFeatures(orders, lineitem, ref))
     val scored = Gold.scoreClients(feats, Gold.scoreThresholds(feats))
 
     val gold: Map[String, (DataFrame, Seq[String])] = Map(

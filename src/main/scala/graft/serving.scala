@@ -214,11 +214,11 @@ object Serving {
     import spark.implicits._
     val perClient = fact.groupBy(col("o_custkey").as("c_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spend"))
-    val sorted = perClient
+    val sorted0 = perClient
       .repartitionByRange(desc("total_spend"), col("c_custkey"))
       .sortWithinPartitions(desc("total_spend"), col("c_custkey"))
-      .select(col("c_custkey"), col("total_spend")).as[(Long, Double)]
-      .cache()
+      .select(col("c_custkey"), col("total_spend"))
+    val sorted = CacheOnce(sorted0).as[(Long, Double)]
     val sizes = sorted.mapPartitions { it =>
       Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)

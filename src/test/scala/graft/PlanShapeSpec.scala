@@ -73,6 +73,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("dedup_incremental reads the persisted corpus index; documents scans are delta-only") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    val (idx, doc) = all.partition(_.metadata("Location").contains("graft_dedup_idx"))
+    // the corpus side must come from the persisted index...
+    assert(idx.nonEmpty, "no index scan in the delta query's plan")
+    // ...and every scan of the documents table must carry the pushed
+    // delta predicate — corpus text is never rescanned per batch
+    assert(doc.nonEmpty)
+    doc.foreach { s =>
+      assert(s.metadata("PushedFilters").contains("GreaterThanOrEqual(doc_id,400)"),
+        s"corpus rows not pruned from a documents scan: ${s.metadata("PushedFilters")}")
+    }
+  }
+
   test("bucketed scale tiers never degenerate to all-pairs") {
     // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
     // design; every bucketed/banded tier must keep candidate generation

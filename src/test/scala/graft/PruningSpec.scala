@@ -70,8 +70,10 @@ class PruningSpec extends SparkSpec {
       .groupBy("annee").agg(count(lit(1)).as("n"))
     val rows = q.collect()
     assert(rows.map(_.getAs[Int]("annee")).sorted.toSeq == Seq(1995, 1996))
+    // match the fact sink's exact path — "graft_prune" alone would also
+    // match the "graft_prune_dim" scan if traversal order ever changed
     val scan = fileScans(q)
-      .find(_.metadata("Location").contains("graft_prune")).get
+      .find(_.metadata("Location").contains(sink)).get
     assert(scan.partitionFilters.exists(
       _.exists(_.isInstanceOf[DynamicPruningExpression])),
       s"no dynamicpruning in: ${scan.partitionFilters}")

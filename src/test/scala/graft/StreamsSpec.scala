@@ -99,9 +99,10 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
-  test("propensity model: probabilities, both outcomes, deterministic fit, AUC beats chance") {
-    val a = Ml.propensityModel(Tables.orders(spark, sf), Tables.lineitem(spark, sf)).cache()
-    val rows = a.collect()
+  test("propensity model: temporal backtest — held-out scores, deterministic fit, held-out AUC beats chance") {
+    val (scored, metrics) =
+      Ml.propensityBacktest(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val rows = scored.collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
       val p = r.getAs[Double]("propensity"); p >= 0.0 && p <= 1.0
@@ -111,15 +112,40 @@ class StreamsSpec extends SparkSpec {
     // same session + data => bit-identical refit (same gate as kmeans)
     val b = Ml.propensityModel(Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
     assert(rows.map(_.toString).toSeq == b.map(_.toString).toSeq)
-    // the learned blend must beat chance on its backtest (the reference's
-    // hard-coded 0.45/0.30/0.15/0.10 blend is never backtested at all);
-    // measured 0.69 at sf0.001 on near-random TPC-H order dates
-    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-    val auc = new BinaryClassificationEvaluator().setLabelCol("label")
-      .setRawPredictionCol("propensity").setMetricName("areaUnderROC")
-      .evaluate(a.select(col("label").cast("double").as("label"), col("propensity")))
-    assert(auc >= 0.60, s"AUC=$auc below floor")
-    a.unpersist()
+    // the backtest gates HONESTY, not accuracy: the synthetic generator
+    // assigns orders to customers uniformly, so past behavior carries no
+    // information about the future and the true out-of-sample AUC is 0.5
+    // by construction. A held-out AUC well ABOVE chance would mean the
+    // feature window leaked the label period; well BELOW, a broken
+    // scorer. Measured (deterministic, seed-pinned): holdout 0.5416 /
+    // in-sample 0.69 at sf0.001, holdout 0.4939 / in-sample 0.5417 at
+    // sf0.01 — the in-sample-vs-holdout gap is exactly the overfit the
+    // reference's never-backtested hard-coded blend can't see.
+    val m = metrics.collect()
+    assert(m.length == 1)
+    val aucIn = m.head.getAs[Double]("auc_train")
+    val aucOut = m.head.getAs[Double]("auc_holdout")
+    assert(m.head.getAs[Long]("n_train") > 0 && m.head.getAs[Long]("n_holdout") > 0)
+    assert(aucIn > 0.5 && aucIn <= 1.0, s"in-sample AUC=$aucIn out of range")
+    assert(aucOut >= 0.40 && aucOut <= 0.62,
+      s"held-out AUC=$aucOut outside the no-leakage band around chance")
+    assert(aucIn >= aucOut - 0.02, s"in-sample $aucIn below held-out $aucOut")
+  }
+
+  test("kmeans silhouette: one row in [-1,1], deterministic, clears the quality floor") {
+    val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))
+    val a = Ml.kmeansSilhouette(feats).collect()
+    assert(a.length == 1)
+    assert(a.head.getAs[Long]("k") == 5L)
+    val s = a.head.getAs[Double]("silhouette")
+    assert(s >= -1.0 && s <= 1.0, s"silhouette=$s out of range")
+    // the seed-pinned k=5 segmentation must genuinely separate the RFM
+    // space, not just not-crash (floor set from measured sf0.001 value)
+    assert(s >= 0.25, s"silhouette=$s below floor")
+    // same session + data => same fit => identical metric
+    val b = Ml.kmeansSilhouette(feats).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
   test("foreachBatch upsert sink: keyed replace, idempotent re-publish, batch equivalence") {
