@@ -253,6 +253,9 @@ object SparkEntry {
     // training-data hygiene: benchmark 3-gram decontamination (broadcast
     // bench set, corpus never shuffled) + PII detection/redaction stats
     "decontaminate" -> ((s, d) => Llm.decontaminate(Tables.documents(s, d))),
+    // constant-memory bloom tier of the same decontamination (native
+    // BloomFilterAggregate sketch + map-side might_contain probe)
+    "decontaminate_bloom" -> ((s, d) => Llm.decontaminateBloom(Tables.documents(s, d))),
     // training-data prep: deterministic source mixing, hash splits, and
     // token-window chunking (all map-side, rand()-free)
     "sample_mix" -> ((s, d) => Prep.sampleMix(Tables.documents(s, d),
@@ -287,6 +290,11 @@ object SparkEntry {
     // idempotent, and the hook removes it on JVM exit
     // ANALYZE-style column profile of a table (nulls + exact distincts)
     "table_profile" -> ((s, d) => Catalog.tableProfile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
+    // the same profile through HLL++ sketches — no Expand, one map-side
+    // pass; the shape tableProfile's doc promises at corpus scale
+    "table_profile_approx" -> ((s, d) => Catalog.tableProfileApprox(Tables.orders(s, d),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))),
     // S1 gate with teeth: orders -> CSV -> schema'd PERMISSIVE read ->

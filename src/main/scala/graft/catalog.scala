@@ -45,10 +45,26 @@ object Catalog {
     * `approx_count_distinct` — same call shape, HLL merge instead of the
     * expand — which is why the column list, not the metric, is the
     * parameter here. */
-  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[tableProfile]]'s 100 TB form, as a real query rather than a doc
+    * comment: HLL++ `approx_count_distinct` in place of the exact
+    * multi-distinct. The exact plan Expands every input row once per
+    * distinct column (7× row multiplication at 6 columns) and shuffles
+    * the expansion; this one folds each column into a mergeable sketch
+    * map-side — one pass, no row multiplication, constant-size partials
+    * per column. Gated rows-only + a CatalogSpec relative-error bound
+    * against the exact profile. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctOf: String => org.apache.spark.sql.Column): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
+      distinctOf(c).as(s"${c}__distinct")))
     val stackArgs = cols.map(c => s"'$c', `${c}__nulls`, `${c}__distinct`")
       .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)

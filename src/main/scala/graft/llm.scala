@@ -419,6 +419,48 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]]'s constant-memory scale tier: the exact tier
+    * broadcasts the DISTINCT bench-shingle hash set, which is fine while
+    * the eval suite is small but unbounded if it isn't. Here the bench
+    * shingles fold into a fixed-size bloom filter (Spark's native
+    * `BloomFilterAggregate` — built distributed via partial merges, only
+    * the final ~100 KB sketch reaches the driver) embedded as a binary
+    * literal, and the corpus side probes it map-side with the codegen'd
+    * `BloomFilterMightContain` predicate — zero shuffle of corpus data,
+    * O(1) memory per executor regardless of bench size. No false
+    * negatives by construction (every truly contaminated doc is
+    * flagged); false positives only ever OVER-flag at the sketch's fpp —
+    * the safe direction for training-set hygiene. The driver-folded
+    * literal is the same two-phase shape as the scoring thresholds.
+    * Gated rows-only + LlmSpec (superset-of-exact + fp-rate bound). */
+  def decontaminateBloom(documents: DataFrame, benchDocs: Long = 10,
+      expectedShingles: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val base = spread(documents)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), shingles(col("ws")).as("sh"))
+    val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bfBytes = ex.filter(col("doc_id") < benchDocs)
+      .agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("h")), expectedShingles)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType), Bridge.expression(col("h"))))
+    val hits = ex.filter(col("doc_id") >= benchDocs)
+      .filter(mightContain)
+      .groupBy("doc_id").agg(countDistinct("h").as("n_flagged"))
+    spread(documents).filter(col("doc_id") >= benchDocs).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_flagged"))
+      .withColumn("is_flagged", col("n_flagged") > 0)
+      .orderBy("doc_id")
+  }
+
   /** PII detection + redaction stats per document: email and NANP-style
     * phone matches counted, plus the length after replacing both with
     * placeholder tags (identical regexes run in the DuckDB oracle —

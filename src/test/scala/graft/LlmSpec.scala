@@ -252,6 +252,25 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(1L)) // benchmark docs are not scored
   }
 
+  test("decontaminateBloom: never misses an exact flag, over-flags within the fpp budget") {
+    val d = Tables.documents(spark, sf)
+    val exact = Llm.decontaminate(d).filter(col("is_contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Llm.decontaminateBloom(d).collect()
+    val flagged = bloom.filter(_.getAs[Boolean]("is_flagged"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    // a bloom filter has no false negatives: every exactly-contaminated
+    // doc must be flagged by the sketch tier too
+    assert(exact.subsetOf(flagged),
+      s"bloom tier missed ${(exact -- flagged).take(5)}")
+    // false positives only over-flag, and rarely: with the default 3%
+    // fpp and ~40 shingles/doc the per-doc flag odds stay small
+    val clean = bloom.length - exact.size
+    val fp = (flagged -- exact).size
+    assert(clean == 0 || fp.toDouble / clean <= 0.10,
+      s"$fp false positives over $clean clean docs")
+  }
+
   test("piiScrub: emails and phones counted and redacted, clean docs untouched") {
     val d = docs(
       (1L, "reach me at jane.doe+x@example.org or (555) 123-4567 ok"),

@@ -132,6 +132,27 @@ class StreamsSpec extends SparkSpec {
     assert(aucIn >= aucOut - 0.02, s"in-sample $aucIn below held-out $aucOut")
   }
 
+  test("tableProfileApprox: null counts exact, HLL distincts in-bound, no Expand in plan") {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val o = Tables.orders(spark, sf)
+    val exact = Catalog.tableProfile(o, cols).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = Catalog.tableProfileApprox(o, cols)
+    // the point of the sketch tier: no multi-distinct Expand (the exact
+    // plan multiplies every row once per distinct column)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile still plans an Expand")
+    approx.collect().foreach { r =>
+      val (nNull, nDist) = exact(r.getString(0))
+      assert(r.getLong(1) == nNull, s"${r.getString(0)}: null count differs")
+      val est = r.getLong(2)
+      // rsd 0.02 => 5 sigma
+      assert(math.abs(est - nDist).toDouble / math.max(nDist, 1) <= 0.10,
+        s"${r.getString(0)}: est=$est exact=$nDist")
+    }
+  }
+
   test("kmeans silhouette: one row in [-1,1], deterministic, clears the quality floor") {
     val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
       Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))
