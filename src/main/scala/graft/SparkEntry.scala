@@ -204,6 +204,8 @@ object SparkEntry {
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
     // pd.cut-style interval labels (the serving contract's bucket keys)
     "gold_distribution_labeled" -> ((s, d) => Serving.distributionLabeled(fact(s, d))),
+    // equi-depth variant: sketch-quantile edges, ~n/k rows per bucket
+    "gold_distribution_quantile" -> ((s, d) => Serving.distributionQuantile(fact(s, d))),
     "gold_monthly_growth" -> ((s, d) => Serving.monthlyGrowth(Gold.caMonthly(fact(s, d)))),
     "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
     "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
@@ -224,6 +226,9 @@ object SparkEntry {
     // stream-stream inner join (event-time range + two-sided watermark):
     // click->purchase attribution, checked against the batch-join oracle
     "events_attribution" -> ((s, d) => Streams.attributionStreamed(s, d)),
+    // LEFT OUTER form: every purchase emits (null-click rows flushed by
+    // the watermark heartbeat sentinel), same batch left-join oracle
+    "events_attribution_outer" -> ((s, d) => Streams.attributionOuterStreamed(s, d)),
 
     // -- LLM-pipeline extension: dedup / text analysis (SURVEY §2.10) --
     "dedup_exact" -> ((s, d) => Llm.dedupExact(Tables.documents(s, d))),
@@ -713,6 +718,22 @@ object SparkEntry {
         count(*) AS n_clicks,
         sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0 AS click_value
       FROM p JOIN c ON c.user_id = p.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        AND c.click_ts < p.purchase_ts
+      GROUP BY 1, 2, 3
+      ORDER BY purchase_id""",
+
+    // LEFT JOIN twin of events_attribution: zero-click purchases keep a
+    // row with n_clicks 0 and NULL click_value on both engines
+    "events_attribution_outer" -> """
+      WITH c AS (SELECT user_id, ts AS click_ts, value FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        count(c.user_id) AS n_clicks,
+        sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0 AS click_value
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
         AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
         AND c.click_ts < p.purchase_ts
       GROUP BY 1, 2, 3

@@ -82,6 +82,34 @@ object Serving {
       .orderBy("bucket")
   }
 
+  /** Equi-DEPTH amount histogram: bucket edges at sketch quantiles
+    * (percentile_approx, driver-folded into literals — the same
+    * two-phase shape as the scoring thresholds), each bucket holding
+    * ~1/k of the rows. The serving-scale complement to
+    * [[distribution]]'s equal-width bins, which degenerate under heavy
+    * tails (one hot bucket, eleven empty ones). The sketch pass is one
+    * mergeable-aggregation scan — no global sort — and assignment is a
+    * map-side comparison chain over literals. Gated rows-only (sketch
+    * edges are approximate by design) + a StreamsSpec depth-balance
+    * bound. */
+  def distributionQuantile(fact: DataFrame, buckets: Int = 10): DataFrame = {
+    val probs = (0 to buckets).map(_.toDouble / buckets)
+    val edges = fact.select(percentile_approx(col("o_totalprice"),
+      typedlit(probs), lit(10000)).as("e"))
+      .first().getSeq[Double](0)
+    val interior = edges.slice(1, buckets)
+    val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col("o_totalprice") >= lit(e), 1L).otherwise(0L)
+    }
+    val edgeArr = typedlit(edges)
+    fact.groupBy(bucket.as("bucket"))
+      .agg(count("o_orderkey").as("count"))
+      .withColumn("lo", round(element_at(edgeArr, col("bucket").cast("int") + 1), 2))
+      .withColumn("hi", round(element_at(edgeArr, col("bucket").cast("int") + 2), 2))
+      .select("bucket", "lo", "hi", "count")
+      .orderBy("bucket")
+  }
+
   /** gold_monthly_growth (reference :155-169): month-over-month revenue
     * delta via lag over the 1-partition month sequence (tiny by
     * construction — #months rows). */

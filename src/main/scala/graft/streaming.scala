@@ -276,6 +276,86 @@ object Streams extends Serializable {
       .orderBy("purchase_id")
   }
 
+  /** A one-row "heartbeat" stream whose single event sits 3 hours past
+    * the events stream's end. Unioned into a watermarked side, it drives
+    * that side's watermark past every real event's join window — the
+    * punctuation-message pattern production streams use so OUTER join
+    * results flush instead of waiting for traffic that never comes. A
+    * finite stream otherwise strands its last `delay` worth of unmatched
+    * rows in the join state (the watermark stops at lastEvent − delay).
+    * Written in the source parquet's raw schema so the streaming reader
+    * treats it exactly like the real feed. */
+  private def heartbeatStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val static = spark.read.parquet(s"$dir/events.parquet")
+    val isNanos = static.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tmp = heartbeatMemo.getOrElseUpdate((spark.hashCode, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_heartbeat")
+      sys.addShutdownHook(deleteRec(p.toFile))
+      val maxTs = static.agg(max("ts")).first()
+      val tsLit =
+        if (isNanos) lit(maxTs.getLong(0) + 3L * 3600 * 1000000000L)
+        else lit(maxTs.getTimestamp(0)) + expr("INTERVAL 3 HOURS")
+      static.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", tsLit)
+        .withColumn("event_type", lit("sentinel"))
+        .withColumn("value", lit(0.0))
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    val raw = spark.readStream.schema(static.schema).parquet(tmp)
+    if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+  private val heartbeatMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** [[attributionStreamed]]'s LEFT OUTER form: every purchase emits,
+    * zero-click purchases with a null-click row once the watermark proves
+    * no matching click can still arrive. Outer stream-stream joins only
+    * emit their null rows when the watermark PASSES the row's join
+    * window, so each side unions the [[heartbeatStream]] sentinel (3 h
+    * past end-of-stream) — without it, every purchase in the final hour
+    * would stay stranded in state and the result could never equal the
+    * batch left join it is hash-checked against. State stays bounded to
+    * one hour per user exactly as in the inner form. */
+  def attributionOuterStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = s"graft_attr_outer_${runId.incrementAndGet()}"
+    val clicks = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+      .filter(col("event_type").isin("click", "sentinel"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+      .filter(col("event_type").isin("purchase", "sentinel"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val pairs = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"),
+      "left_outer")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("purchase_id") =!= -1L) // the sentinel is not a purchase
+      .groupBy("purchase_id", "user_id", "purchase_ts")
+      .agg(count(col("c_user")).as("n_clicks"),
+        Tables.moneySum(col("click_value")).as("click_value"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("n_clicks"), col("click_value"))
+      .orderBy("purchase_id")
+  }
+
   /** Recursive delete for staged sink/checkpoint directories. */
   private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))

@@ -132,6 +132,27 @@ class StreamsSpec extends SparkSpec {
     assert(aucIn >= aucOut - 0.02, s"in-sample $aucIn below held-out $aucOut")
   }
 
+  test("distributionQuantile: buckets cover all rows, edges monotone, depth balanced") {
+    val fact = Gold.buildFact(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf))
+    val n = fact.count()
+    val rows = Serving.distributionQuantile(fact).collect()
+    assert(rows.map(_.getAs[Long]("count")).sum == n, "buckets must partition the rows")
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == rows.indices.map(_.toLong))
+    val edges = rows.map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(edges.forall { case (lo, hi) => lo <= hi })
+    assert(edges.sliding(2).forall { case Array((_, h1), (l2, _)) => h1 == l2; case _ => true })
+    // equi-depth within sketch tolerance: no bucket more than 2x or
+    // less than half the ideal share (equal-width bins fail this badly
+    // on skewed amounts; quantile edges are the point of the variant)
+    val ideal = n.toDouble / rows.length
+    rows.foreach { r =>
+      val c = r.getAs[Long]("count")
+      assert(c >= ideal * 0.5 && c <= ideal * 2.0,
+        s"bucket ${r.getAs[Long]("bucket")}: $c rows vs ideal $ideal")
+    }
+  }
+
   test("tableProfileApprox: null counts exact, HLL distincts in-bound, no Expand in plan") {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
