@@ -84,6 +84,11 @@ object SparkEntry {
       val f = feats(s, d)
       Gold.scoreClients(f, Gold.scoreThresholds(f))
     }
+  private def scoredApprox(s: SparkSession, d: String): DataFrame =
+    memoFrame("scoredApprox", s, d) {
+      val f = feats(s, d)
+      Gold.scoreClients(f, Gold.scoreThresholdsApprox(f))
+    }
 
   /** Shared oracle CTE prologue: valid orders, reference date, trailing
     * window, per-client feature blocks (mirrors Gold.clientFeatures). */
@@ -185,6 +190,9 @@ object SparkEntry {
         Gold.referenceDate(Gold.validOrders(Tables.orders(s, d)))).orderBy("c_custkey")),
     "client_features" -> ((s, d) => feats(s, d).orderBy("c_custkey")),
     "client_scores" -> ((s, d) => scored(s, d).orderBy("c_custkey")),
+    // same scoring over t-digest sketch thresholds — the reference's
+    // actual approxQuantile method and the mergeable 100 TB path
+    "client_scores_approx" -> ((s, d) => scoredApprox(s, d).orderBy("c_custkey")),
     "segment_summary" -> ((s, d) => Gold.segmentSummary(scored(s, d))),
     "ca_monthly" -> ((s, d) => Gold.caMonthly(fact(s, d))),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
@@ -356,6 +364,19 @@ object SparkEntry {
         leftKey = "user_id", rightKey = "o_custkey",
         leftTs = "ts", rightTs = "o_orderdate",
         payload = Seq("o_totalprice"), rightTie = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_totalprice").as("last_order_price"))
+        .orderBy("event_id")),
+    // tolerance-bounded as-of (pandas merge_asof tolerance): orders older
+    // than 30 days at event time yield NULL instead of a stale price
+    "events_asof_tolerance" -> ((s, d) =>
+      graft.plans.AsOf.joinAsOf(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        Tables.orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_totalprice"), rightTie = Seq("o_orderkey"),
+        tolerance = Some(30L * 86400 * 1000000L)) // 30 days in µs
         .select(col("event_id"), col("user_id"), col("ts"),
           col("o_totalprice").as("last_order_price"))
         .orderBy("event_id")),
@@ -1146,6 +1167,27 @@ object SparkEntry {
               PARTITION BY key ORDER BY t, is_order DESC, rid
               ROWS UNBOUNDED PRECEDING) AS last_order_price FROM u)
       SELECT event_id, key AS user_id, t AS ts, last_order_price
+      FROM x WHERE is_order = 0 ORDER BY event_id""",
+
+    // tolerance twin: the windowed last_value carries the matched order's
+    // TS alongside its price, and staleness > 30 days nulls the price
+    "events_asof_tolerance" -> """
+      WITH u AS (
+        SELECT o_custkey AS key, o_orderdate AS t, o_orderkey AS rid,
+               o_totalprice AS price, 1 AS is_order, CAST(NULL AS BIGINT) AS event_id
+        FROM orders
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP), event_id, CAST(NULL AS DOUBLE), 0, event_id
+        FROM events),
+      x AS (SELECT *,
+              last_value(price IGNORE NULLS) OVER w AS lp,
+              last_value(CASE WHEN is_order = 1 THEN t END IGNORE NULLS) OVER w AS lt
+            FROM u
+            WINDOW w AS (PARTITION BY key ORDER BY t, is_order DESC, rid
+              ROWS UNBOUNDED PRECEDING))
+      SELECT event_id, key AS user_id, t AS ts,
+             CASE WHEN lt IS NOT NULL AND t - lt <= INTERVAL 30 DAY
+                  THEN lp END AS last_order_price
       FROM x WHERE is_order = 0 ORDER BY event_id""",
 
     // the streaming sessionizer (EventTimeTimeout + end-of-stream state

@@ -163,11 +163,29 @@ object Gold {
   case class ScoreThresholds(freq75: Double, freq95: Double, mon75: Double,
       mon95: Double, rec25: Double, rec75: Double, maxDiv: Double)
 
-  def scoreThresholds(features: DataFrame): ScoreThresholds = {
+  def scoreThresholds(features: DataFrame): ScoreThresholds =
+    thresholdsVia(features, (c, ps) => s"percentile($c, array($ps))")
+
+  /** [[scoreThresholds]] through the t-digest sketch — which is BOTH what
+    * the reference actually calls (approxQuantile rel.err 0.01,
+    * gold_transformation_spark.py:125-133; our exact `percentile` exists
+    * so the DuckDB oracle can agree bit-for-bit) and the 100 TB path:
+    * exact percentile buffers every value on one reducer, the sketch is
+    * fixed-size and mergeable map-side. Inputs cast to double because
+    * approx_percentile preserves integer input types. Drives
+    * client_scores_approx (rows-only; spec bounds segment disagreement
+    * against the exact thresholds). */
+  def scoreThresholdsApprox(features: DataFrame,
+      accuracy: Int = 10000): ScoreThresholds =
+    thresholdsVia(features,
+      (c, ps) => s"approx_percentile(CAST($c AS DOUBLE), array($ps), $accuracy)")
+
+  private def thresholdsVia(features: DataFrame,
+      pct: (String, String) => String): ScoreThresholds = {
     val r = features.agg(
-      expr("percentile(freq_12m, array(0.75, 0.95))"),
-      expr("percentile(monetary_12m, array(0.75, 0.95))"),
-      expr("percentile(recency_days, array(0.25, 0.75))"),
+      expr(pct("freq_12m", "0.75, 0.95")),
+      expr(pct("monetary_12m", "0.75, 0.95")),
+      expr(pct("recency_days", "0.25, 0.75")),
       max("product_diversity_12m")).first()
     def arr(i: Int): Seq[Double] =
       Option(r.getSeq[Double](i)).getOrElse(Seq(Double.NaN, Double.NaN))

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], rightTie: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute], rightTie: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTs.dataType == rightTs.dataType,
@@ -48,8 +49,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, payload, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload, tie, tol) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +64,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    payload: Seq[Attribute], rightTie: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute], rightTie: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -103,10 +105,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullPayload = new GenericInternalRow(nPayload)
       val joiner = new JoinedRow
       val rBuf = rIter.buffered
-      // the single held state: payload + key of the latest right row seen
-      // whose (key, ts) precedes the current left cursor
+      // the single held state: payload + key + ts of the latest right
+      // row seen whose (key, ts) precedes the current left cursor
       var heldKey: Any = null
       var held: InternalRow = null
+      var heldTs: Long = Long.MinValue
+      // ts internal reps are numeric (Long micros for timestamps, Int
+      // days for dates) — tolerance compares in those same units
+      def tsLong(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case n: Number => n.longValue
+      }
+      val tol = tolerance
       def keepKey(v: Any): Any = v match {
         case s: UTF8String => s.clone() // row buffers are reused after next()
         case x => x
@@ -130,12 +141,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 // eligible: consume and hold (later rows of the same key
                 // and ts window overwrite — the right-side sort makes the
                 // last one the winner)
+                heldTs = tsLong(rtv)
                 held = payloadProj(rBuf.next()).copy()
                 heldKey = keepKey(k)
               } else advancing = false
             } else advancing = false
           }
-          if (held != null && heldKey != null && keyOrd.compare(heldKey, k) == 0)
+          // the held row is the LATEST eligible one, so if IT is staler
+          // than the tolerance no nearer match can exist for this left row
+          if (held != null && heldKey != null && keyOrd.compare(heldKey, k) == 0
+              && tol.forall(tsLong(t) - heldTs <= _))
             resultProj(joiner(l, held))
           else resultProj(joiner(l, nullPayload))
         }
@@ -185,11 +200,16 @@ object AsOf {
   /** As-of join `left` to `right`: for each left row, the payload columns
     * of the most recent right row with the same key and `rightTs <=
     * leftTs`; ties on (key, ts) resolved by the greatest `rightTie`
-    * columns. Children are pre-projected so only key/ts/payload columns
-    * reach the exchanges. */
+    * columns. `tolerance` (pandas merge_asof semantics) bounds the match
+    * staleness: a held row older than `leftTs - tolerance` yields nulls
+    * instead — units are the ts column's INTERNAL representation
+    * (microseconds for timestamps, days for dates). Children are
+    * pre-projected so only key/ts/payload columns reach the
+    * exchanges. */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      payload: Seq[String], rightTie: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String], rightTie: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     Bridge.addStrategy(spark, AsOfJoinStrategy)
     Bridge.addOptimizerRule(spark, AsOfFilterPushdown)
@@ -204,6 +224,6 @@ object AsOf {
     Bridge.dataFrame(spark, AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      payload.map(attr(rPlan, _)), rightTie.map(attr(rPlan, _))))
+      payload.map(attr(rPlan, _)), rightTie.map(attr(rPlan, _)), tolerance))
   }
 }

@@ -39,6 +39,27 @@ class AsOfJoinSpec extends SparkSpec {
       103L -> null, 104L -> 90.0))
   }
 
+  test("tolerance: matches staler than the bound yield null, within-bound unchanged") {
+    val events = Seq(
+      (200L, 1L, "2024-01-10 12:00:00"), // 5.5 days after order 11: within 7d
+      (201L, 1L, "2024-01-20 00:00:00"), // 15 days after order 11: too stale
+      (202L, 1L, "2024-01-05 00:00:00")) // exact-ts match: staleness 0
+      .map { case (e, u, t) => (e, u, ts(t)) }.toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (10L, 1L, "2024-01-03 00:00:00", 30.0),
+      (11L, 1L, "2024-01-05 00:00:00", 50.0))
+      .map { case (o, c, t, p) => (o, c, ts(t), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.plans.AsOf.joinAsOf(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      payload = Seq("o_totalprice"), rightTie = Seq("o_orderkey"),
+      tolerance = Some(7L * 86400 * 1000000L)) // 7 days in µs
+      .orderBy("event_id").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) null else r.getAs[Double]("o_totalprice"))).toMap
+    assert(out == Map(200L -> 50.0, 201L -> null, 202L -> 50.0))
+  }
+
   test("custom plan matches the composed window formulation on the real tables") {
     val events = Tables.events(spark, sf)
     val orders = Tables.orders(spark, sf)

@@ -163,6 +163,28 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("prob_reachat_12m") - 0.995890) < 1e-6)
   }
 
+  test("approx thresholds score like the exact ones: segments agree, probs close") {
+    val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))
+    val exact = Gold.scoreClients(feats, Gold.scoreThresholds(feats))
+      .select("c_custkey", "segment_label", "prob_reachat_12m").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val approx = Gold.scoreClients(feats, Gold.scoreThresholdsApprox(feats))
+      .select("c_custkey", "segment_label", "prob_reachat_12m").collect()
+    assert(approx.length == exact.size)
+    val agree = approx.count { r =>
+      exact(r.getLong(0))._1 == r.getString(1)
+    }
+    // t-digest rel.err 0.01 (the reference's own setting) moves at most
+    // a sliver of clients across a percentile boundary
+    assert(agree.toDouble / approx.length >= 0.95,
+      s"only $agree/${approx.length} segment labels agree")
+    approx.foreach { r =>
+      val d = math.abs(exact(r.getLong(0))._2 - r.getDouble(2))
+      assert(d <= 0.05, s"client ${r.getLong(0)}: prob drift $d")
+    }
+  }
+
   test("referenceDate: fails fast on empty input (reference gold guard)") {
     val empty = ordersDf(Seq())
     intercept[IllegalArgumentException] { Gold.referenceDate(empty) }
