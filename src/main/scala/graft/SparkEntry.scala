@@ -215,6 +215,8 @@ object SparkEntry {
     // equi-depth variant: sketch-quantile edges, ~n/k rows per bucket
     "gold_distribution_quantile" -> ((s, d) => Serving.distributionQuantile(fact(s, d))),
     "gold_monthly_growth" -> ((s, d) => Serving.monthlyGrowth(Gold.caMonthly(fact(s, d)))),
+    // running total + share-of-total over the month sequence
+    "gold_monthly_cumulative" -> ((s, d) => Serving.monthlyCumulative(Gold.caMonthly(fact(s, d)))),
     "kpis" -> ((s, d) => Serving.kpis(fact(s, d))),
     "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
     "top_clients" -> ((s, d) => Serving.topClients(fact(s, d))),
@@ -689,6 +691,15 @@ object SparkEntry {
              CASE WHEN prev_ca IS NULL OR prev_ca = 0 THEN NULL
                   ELSE round((ca - prev_ca) / prev_ca, 6) END AS growth_pct
       FROM lagged ORDER BY mois""",
+
+    "gold_monthly_cumulative" -> s"""
+      WITH cm AS (SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+                  FROM orders WHERE $V GROUP BY 1)
+      SELECT mois, ca,
+             round(sum(ca) OVER (ORDER BY mois ROWS UNBOUNDED PRECEDING), 2) AS ca_cumulative,
+             round(sum(ca) OVER (ORDER BY mois ROWS UNBOUNDED PRECEDING)
+                   / sum(ca) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS share_of_total
+      FROM cm ORDER BY mois""",
 
     "kpis" -> s"""
       SELECT ca_total, nb_achats, nb_clients, round(ca_total / nb_achats, 2) AS panier_moyen

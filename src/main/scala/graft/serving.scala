@@ -124,6 +124,23 @@ object Serving {
       .orderBy("mois")
   }
 
+  /** Cumulative (running-total) monthly revenue + share of the running
+    * total — the YTD-style serving curve dashboards plot next to the
+    * monthly bars. The month sequence is tiny by construction (#months
+    * rows, same as [[monthlyGrowth]]), so the single-partition unbounded
+    * window is the right plan at any corpus size: the heavy lifting
+    * happened in the monthly aggregation below it. */
+  def monthlyCumulative(caMonthly: DataFrame): DataFrame = {
+    val running = Window.orderBy("mois")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    caMonthly
+      .withColumn("ca_cumulative", round(sum("ca").over(running), 2))
+      .withColumn("share_of_total", round(col("ca_cumulative") /
+        sum("ca").over(Window.orderBy("mois").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+      .orderBy("mois")
+  }
+
   /** KPI global aggregate (reference serving_api/repository.py:45-66):
     * total revenue, purchase count, distinct clients, average basket.
     * Exact countDistinct like the reference's `$addToSet` (client

@@ -73,6 +73,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("decontaminate_bloom probes a literal sketch: one join fewer than the exact tier") {
+    def joins(p: String) = Seq("BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin").map(count(p, _)).sum
+    val pb = plan("decontaminate_bloom")
+    val pe = plan("decontaminate")
+    // the exact tier joins the corpus against the broadcast bench set and
+    // then joins hit-counts back; the bloom tier replaces the first join
+    // with a map-side might_contain filter over a literal sketch
+    assert(joins(pb) == joins(pe) - 1, s"bloom joins=${joins(pb)} exact joins=${joins(pe)}")
+    assert(pb.contains("might_contain"), "bloom probe predicate missing from plan")
+  }
+
+  test("gold_distribution_quantile: bucket assignment is map-side — one agg exchange only") {
+    val p = plan("gold_distribution_quantile")
+    // sketch edges are driver-folded literals, so the query is
+    // scan -> project(comparison chain) -> single aggregation
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Expand"), p)
+  }
+
   test("dedup_incremental reads the persisted corpus index; documents scans are delta-only") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
