@@ -35,6 +35,34 @@ object Tables {
     df
   }
 
+  /** Fuzzy column resolution (F20, reference train_predictor.py:19-26 /
+    * train_advisor.py:56-65): the first candidate whose lowercase name
+    * matches a column wins; a required miss fails fast with both lists.
+    * Pure schema work — no data touched. */
+  def detectColumn(df: DataFrame, candidates: Seq[String],
+      required: Boolean = true): Option[String] = {
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val hit = candidates.iterator.map(_.toLowerCase).collectFirst(
+      Function.unlift(byLower.get))
+    require(hit.isDefined || !required,
+      s"missing column: expected one of ${candidates.mkString("[", ", ", "]")}, " +
+        s"found ${df.columns.mkString("[", ", ", "]")}")
+    hit
+  }
+
+  /** Rename whatever [[detectColumn]] resolves to its canonical name —
+    * the reference's `rename(columns={detected: target})` idiom
+    * (train_predictor.py:52-67). Targets mapped to None (no synonym
+    * present, not required) pass through untouched. */
+  def normalizeColumns(df: DataFrame,
+      synonyms: Seq[(String, Seq[String])],
+      required: Set[String] = Set.empty): DataFrame =
+    synonyms.foldLeft(df) { case (acc, (target, cands)) =>
+      detectColumn(acc, cands, required.contains(target))
+        .filter(_ != target)
+        .fold(acc)(found => acc.withColumnRenamed(found, target))
+    }
+
   /** CSV scan with an explicit schema (S1) — the reference infers
     * (flows_spark/bronze_ingestion_spark.py:24-25); we declare, which is
     * both the fail-fast and the at-scale choice (schema inference reads

@@ -163,6 +163,48 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("prob_reachat_12m") - 0.995890) < 1e-6)
   }
 
+  test("detectColumn / normalizeColumns: case-insensitive synonym resolution, fail-fast miss") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0)).toDF("Client_ID", "Amount")
+    assert(Tables.detectColumn(df, Seq("id_client", "client_id")).contains("Client_ID"))
+    assert(Tables.detectColumn(df, Seq("produit", "product"), required = false).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Tables.detectColumn(df, Seq("nope", "niente"))
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("Client_ID"))
+    val norm = Tables.normalizeColumns(df, Seq(
+      "id_client" -> Seq("id_client", "client_id", "customer_id"),
+      "montant" -> Seq("montant", "amount", "price"),
+      "produit" -> Seq("produit", "product", "item")))
+    assert(norm.columns.toSeq == Seq("id_client", "montant"))
+  }
+
+  test("bronze raw copy: verbatim bytes, sha-256 manifest, idempotent, no staging debris") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_bronze_src")
+    val bronze = Files.createTempDirectory("graft_bronze").toString
+    sys.addShutdownHook {
+      Streams.deleteRec(srcDir.toFile); Streams.deleteRec(new java.io.File(bronze))
+    }
+    val f = srcDir.resolve("clients.csv")
+    Files.write(f, "id;nom\n1;Ada\n2;Grace\n".getBytes("UTF-8"))
+    val m = Bronze.ingest(Seq(f.toString), bronze)
+    assert(m.map(_.name) == Seq("clients.csv"))
+    val copied = java.nio.file.Paths.get(bronze, "clients.csv")
+    assert(java.util.Arrays.equals(Files.readAllBytes(copied), Files.readAllBytes(f)))
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+    assert(m.head.sha256 == expect && m.head.bytes == Files.size(f))
+    // re-ingest is an idempotent overwrite through the staged move
+    assert(Bronze.copyToBronze(f.toString, bronze) == m.head)
+    val debris = new java.io.File(bronze).listFiles().filter(_.getName.startsWith("."))
+    assert(debris.isEmpty, s"staging debris: ${debris.mkString(",")}")
+    // a missing source object fails fast, like the reference's task retry
+    intercept[IllegalArgumentException] {
+      Bronze.copyToBronze(srcDir.resolve("absent.csv").toString, bronze)
+    }
+  }
+
   test("compactSink: fewer files, identical rows, clean swap, incremental form scoped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     sys.addShutdownHook(Streams.deleteRec(new java.io.File(dir)))
