@@ -314,7 +314,7 @@ object Serving {
     * serving_mongo/publish_gold_to_mongo.py:76-81): one JSON object per
     * row via the codegen'd to_json. */
   def toJsonRecords(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("json"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("json"))
 
   /** Dynamic sort-spec parsing (reference O5,
     * serving_api/repository.py:15-23): "field:desc,other:asc" → sort

@@ -19,7 +19,7 @@ object Skew {
   /** Deterministic per-row salt in [0, salts): hash of all columns — no
     * rand(), so re-execution of a lost task reproduces the same salt. */
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts.toLong))
 
   /** Two-stage salted sum aggregation: stage 1 shuffles on (key, salt),
     * spreading a hot key over `salts` reducers for the partial sums;

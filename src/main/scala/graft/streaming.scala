@@ -118,7 +118,7 @@ object Streams extends Serializable {
           // A late event can set this below the current watermark (Spark
           // rejects that) — clamp to watermark + 1ms: times out next batch.
           val fireAt = (st.last + 999L) / 1000L + gapSeconds * 1000L
-          state.setTimeoutTimestamp(math.max(fireAt, state.getCurrentWatermarkMs + 1L))
+          state.setTimeoutTimestamp(math.max(fireAt, state.getCurrentWatermarkMs() + 1L))
         }
         out.result().iterator
       }
@@ -162,7 +162,7 @@ object Streams extends Serializable {
       else {
         val existing = spark.read
           .option("basePath", target.getAbsolutePath)
-          .parquet(onDisk.map(i => s"${target.getAbsolutePath}/_bucket=$i"): _*)
+          .parquet(onDisk.toSeq.map(i => s"${target.getAbsolutePath}/_bucket=$i"): _*)
           .drop("_bucket")
         existing.join(b.select(key).distinct(), Seq(key), "left_anti")
           .withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
