@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver+32 executors in ONE heap: shuffle/broadcast/cache
+  // memory for every "executor" plus the cached shared frames live here,
+  // and 8g was measured GC-thrashing once the suite grew past ~76
+  // queries (uniform +30% on every query; 24g restores flat timings).
+  // The box has 128 GiB; a real cluster sizes executor memory per node.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

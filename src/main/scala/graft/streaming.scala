@@ -22,6 +22,23 @@ object Streams extends Serializable {
 
   private val runId = new AtomicInteger(0)
 
+  /** Fresh memory-sink table name for a streaming query, dropping the
+    * SAME query's previous table first. Every invocation (each bench
+    * pass, each verify call) starts a new streaming query into a new
+    * memory table, and an undropped table pins every row it ever
+    * received on the driver heap — across 9 streaming queries and 3
+    * bench passes that accumulation was measured pushing the suite into
+    * GC thrash. The previous invocation's DataFrame is dead by the time
+    * the next one starts, so the drop is safe. */
+  private val lastSink =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def sinkName(spark: SparkSession, prefix: String): String = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    lastSink.put((spark.hashCode, prefix), name)
+      .foreach(old => spark.catalog.dropTempView(old))
+    name
+  }
+
   /** Run `f` with `spark.sql.shuffle.partitions` lowered to the streaming
     * state width, restoring the batch setting after. A stateful streaming
     * query materializes one state-store instance PER shuffle partition and
@@ -217,7 +234,7 @@ object Streams extends Serializable {
     * twice) and return the surviving rows — proves duplicate suppression
     * across the stream. */
   def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val name = s"graft_dedup_stream_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_dedup_stream")
     val src = eventsStream(spark, dir)
     val q = eventsDedupStream(src.union(src))
       .writeStream
@@ -242,7 +259,7 @@ object Streams extends Serializable {
     * Purchases with no preceding click don't appear (inner semantics,
     * same as the oracle's plain join). */
   def attributionStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val name = s"graft_attr_stream_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_attr_stream")
     // two independent source instances: each side of a stream-stream
     // join tracks its own offsets/watermark
     val clicks = eventsStream(spark, dir)
@@ -322,7 +339,7 @@ object Streams extends Serializable {
     * batch left join it is hash-checked against. State stays bounded to
     * one hour per user exactly as in the inner form. */
   def attributionOuterStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val name = s"graft_attr_outer_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_attr_outer")
     val clicks = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
       .filter(col("event_type").isin("click", "sentinel"))
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
@@ -372,7 +389,7 @@ object Streams extends Serializable {
     * by active users in the final gap window), not the output. */
   def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
-    val name = s"graft_sessions_stream_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_sessions_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessions_ckpt")
     val q = sessionizeStream(eventsStream(spark, dir))
       .writeStream
@@ -408,7 +425,7 @@ object Streams extends Serializable {
     * twin of the batch `events_hourly` query, checked against the same
     * DuckDB oracle. */
   def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val name = s"graft_events_stream_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_events_stream")
     val q = hourlyAgg(eventsStream(spark, dir))
       .writeStream
       .outputMode("complete")
@@ -431,7 +448,7 @@ object Streams extends Serializable {
       .join(Tables.nation(spark, dir),
         col("c_nationkey") === col("n_nationkey"), "left")
       .select(col("c_custkey"), coalesce(col("n_name"), lit("Inconnu")).as("pays"))
-    val name = s"graft_enriched_stream_${runId.incrementAndGet()}"
+    val name = sinkName(spark, "graft_enriched_stream")
     val agg = eventsStream(spark, dir)
       .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
       .withColumn("pays", coalesce(col("pays"), lit("Inconnu")))
