@@ -195,6 +195,12 @@ object SparkEntry {
     "client_scores_approx" -> ((s, d) => scoredApprox(s, d).orderBy("c_custkey")),
     "segment_summary" -> ((s, d) => Gold.segmentSummary(scored(s, d))),
     "ca_monthly" -> ((s, d) => Gold.caMonthly(fact(s, d))),
+    // incremental gold maintenance: persisted pre-cutoff partial merged
+    // with a delta-only scan; hash-checked against the full recompute
+    "ca_monthly_incremental" -> ((s, d) => Gold.caMonthlyFromPartials(
+      s.read.parquet(caPartialDir(s, d)).unionByName(
+        Gold.caMonthlyPartial(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
     "ca_country_share" -> ((s, d) => Serving.caCountryShare(Gold.caCountry(fact(s, d)))),
     "ca_product" -> ((s, d) =>
@@ -353,6 +359,11 @@ object SparkEntry {
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
     "ca_cube" -> ((s, d) => Serving.caCube(fact(s, d))),
     "vocab_top" -> ((s, d) => Llm.vocabTop(Tables.documents(s, d))),
+    // bounded-memory heavy-hitters tier: Misra-Gries candidates + exact
+    // broadcast-filtered recount — same oracle as the exact tier
+    "vocab_top_approx" -> ((s, d) => Llm.vocabTopApprox(Tables.documents(s, d))),
+    // deterministic epoch shuffle + shard manifest (rand()-free, resumable)
+    "shuffle_deterministic" -> ((s, d) => Prep.shuffleDeterministic(Tables.documents(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
@@ -465,6 +476,26 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$p/exact")
       docShingles(s, d).filter(col("doc_id") < oldDocs)
         .write.mode("overwrite").parquet(s"$p/shingles")
+      p.toString
+    })
+
+  /** Persisted per-month revenue partial up to the refresh cutoff (what
+    * the last gold refresh left behind): written once per (session,
+    * dataset) in mergeable integer-cents form. ca_monthly_incremental
+    * only READS this and scans the post-cutoff delta — the historical
+    * orders are never rescanned, the refresh shape a 100 TB fact table
+    * requires (the reference instead re-runs the whole pipeline,
+    * tools/run.py:131-146). */
+  private val caPartialMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  val IncrementalCutoff = "1997-01-01 00:00:00"
+  private def caPartialDir(s: SparkSession, d: String): String =
+    caPartialMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_ca_partial")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Gold.caMonthlyPartial(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
+        .write.mode("overwrite").parquet(p.toString)
       p.toString
     })
 
@@ -1124,6 +1155,24 @@ object SparkEntry {
             FROM documents)
       WHERE word <> ''
       GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
+
+    // the sketch tier recounts exactly, so it shares the exact oracle
+    "vocab_top_approx" -> """
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS docs
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
+
+    "shuffle_deterministic" -> s"""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1 AS pos,
+             (row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1) // 64 AS shard
+      FROM documents ORDER BY doc_id""",
+
+    "ca_monthly_incremental" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+      FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
 
     "event_sessions" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -262,6 +262,31 @@ object Gold {
   def caMonthly(fact: DataFrame): DataFrame =
     fact.groupBy("mois").agg(moneySum(col("o_totalprice")).as("ca")).orderBy("mois")
 
+  /** Mergeable per-month partial for [[caMonthly]]: revenue kept as an
+    * exact integer-cents SUM — the representation that merges
+    * associatively (sum of sums), so partials computed at different times
+    * over disjoint order slices combine into the same result as one full
+    * pass, bit-for-bit, in any merge order. The reference refreshes gold
+    * by re-running the whole pipeline (tools/run.py:131-146); this is the
+    * shape that replaces that at scale. */
+  def caMonthlyPartial(orders: DataFrame): DataFrame =
+    validOrders(orders)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mois"))
+      .agg(sum(Tables.cents(col("o_totalprice"))).as("ca_cents"))
+
+  /** Incremental refresh of [[caMonthly]]: the union of a PERSISTED
+    * partial (aggregated once, up to the last refresh cutoff) and a
+    * delta partial (orders at/after the cutoff) re-aggregated at the
+    * month grain. Refresh cost is the delta scan plus ~|months| rows —
+    * the historical fact is never rescanned, which is the only refresh
+    * shape that survives a 100 TB fact table growing daily. Months that
+    * straddle the cutoff merge correctly because the partial is a sum,
+    * not a final average/ratio. */
+  def caMonthlyFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("mois").agg(sum("ca_cents").as("ca_cents"))
+      .select(col("mois"), (col("ca_cents") / 100.0).as("ca"))
+      .orderBy("mois")
+
   /** Monthly revenue for ONE year, meant to run against the
     * `annee`-partitioned fact SINK (Pipeline.run writes fact_achats
     * partitionBy("annee") for exactly this): the `annee = year` predicate

@@ -576,6 +576,59 @@ object Llm {
       .orderBy(desc("n"), col("word"))
       .limit(k)
 
+  /** [[vocabTop]]'s bounded-memory scale tier. The exact form's hazard at
+    * corpus scale is not the shuffle (partial aggregation bounds that to
+    * |vocab per partition|) but the partial-aggregation HASH MAP itself:
+    * a web-scale token vocabulary (hundreds of millions of distinct
+    * tokens, most of them noise) spills every aggregation task. This tier
+    * caps memory at `m` counters per partition with a Misra-Gries
+    * summary, unions the surviving candidates (≤ partitions × m rows,
+    * usually ≪), then recounts EXACTLY only the candidate tokens — the
+    * broadcast semi-join filters the token stream map-side, so the
+    * aggregation map and shuffle hold candidate tokens only.
+    *
+    * The Misra-Gries guarantee (every token with global count > N/(m+1)
+    * survives in at least one partition summary) makes the final top-k
+    * EXACT — hash-checked against the same oracle as [[vocabTop]] —
+    * whenever the true k-th count exceeds N/(m+1); with a Zipf-shaped
+    * vocabulary and m ≫ k that precondition holds by orders of
+    * magnitude (LlmSpec pins the guarantee itself on adversarial literal
+    * data with m = 3). */
+  def vocabTopApprox(documents: DataFrame, k: Int = 50, m: Int = 4096): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = explodeOnce(spread(documents), words(col("text")), "word", col("doc_id"))
+      .filter(col("word") =!= "")
+    val candidates = toks.select("word").as[String]
+      .mapPartitions(it => misraGries(it, m))
+      .toDF("word").distinct()
+    toks.join(broadcast(candidates), Seq("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
+      .orderBy(desc("n"), col("word"))
+      .limit(k)
+  }
+
+  /** Misra-Gries frequent-items summary over one partition: at most `m`
+    * counters; on overflow every counter is decremented and zeros are
+    * evicted. Any item with partition frequency > n_p/(m+1) is guaranteed
+    * to survive — the union over partitions therefore contains every item
+    * with global frequency > N/(m+1). Emits surviving keys only (counts
+    * are lower bounds; the caller recounts exactly). */
+  private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      counts.get(w) match {
+        case Some(c) => counts(w) = c + 1
+        case None if counts.size < m => counts(w) = 1L
+        case None =>
+          counts.mapValuesInPlace((_, c) => c - 1)
+          counts.filterInPlace((_, c) => c > 0)
+      }
+    }
+    counts.keysIterator
+  }
+
   /** Winnowing document fingerprints: 8-char shingle rolling hashes,
     * window-4 minima, distinct. Explode positions → hash once per shingle
     * → sliding minimum as a window function (a nested array formulation

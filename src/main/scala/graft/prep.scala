@@ -89,6 +89,47 @@ object Prep {
       .orderBy("source", "rank")
   }
 
+  /** Deterministic global training shuffle + fixed-size shard manifest.
+    * Every epoch's example order must be a pure function of (id, seed) —
+    * `rand()` or partition order would make a resumed/re-run job see a
+    * DIFFERENT permutation, silently breaking checkpoint-resume and any
+    * experiment comparing runs. The permutation key is the same Knuth
+    * hash as the samplers; a new seed is the next epoch.
+    *
+    * Global positions without a global sort bottleneck: range-partition
+    * by (key, id) — Spark samples range bounds, so each partition holds
+    * a contiguous key slice — then one bounded driver collect of
+    * numPartitions COUNTS (never data; the [[Serving.clientDeciles]]
+    * pattern) turns per-partition offsets into exact global positions
+    * map-side. `shard = pos / shardSize` is then a stable assignment of
+    * examples to fixed-size training shards: at 100 TB the output is
+    * written `partitionBy(shard)` and a trainer streams shards in
+    * order. */
+  def shuffleDeterministic(documents: DataFrame, seed: Long = 7L,
+      shardSize: Long = 64L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val key = pmod((col("doc_id") + lit(seed)) * lit(KnuthC), lit(M32))
+    // the sorted frame is walked twice (sizes, then positions) — cache
+    // it so the range exchange runs once (clientDeciles precedent)
+    val sorted = CacheOnce(documents
+      .select(col("doc_id"), key.as("k"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id")))
+      .as[(Long, Long)]
+    val sizes = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var pos = offsets(pid)
+      it.map { case (id, _) => val p = pos; pos += 1; (id, p) }
+    }.map { case (id, p) => (id, p, p / shardSize) }
+      .toDF("doc_id", "pos", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Cut each document into fixed-size token windows with overlap
     * (`chunkTokens` tokens per chunk, stride `stride` — the standard
     * pre-tokenizer packing step). Chunk k covers tokens

@@ -402,4 +402,25 @@ class GoldSpec extends SparkSpec {
     assert(parsed.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
       r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
   }
+
+  test("incremental ca_monthly: merged partials equal the full recompute, mid-month cutoff") {
+    // cutoff INSIDE January: the month straddles the partial/delta split,
+    // so the merge must re-aggregate at the month grain, not concatenate.
+    // Amounts with odd cents exercise the integer-cents merge path.
+    val orders = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.01, ts("2020-01-05 00:00:00"), "p"),
+      Row(2L, 1L, "O", 20.02, ts("2020-01-20 00:00:00"), "p"), // post-cutoff, same month
+      Row(3L, 2L, "O", 30.33, ts("2020-02-01 00:00:00"), "p"),
+      Row(4L, 2L, "O", -5.0, ts("2020-02-02 00:00:00"), "p"),  // invalid: dropped both paths
+      Row(5L, 3L, "O", 40.4, ts("2020-03-15 00:00:00"), "p")))
+    val cut = ts("2020-01-10 00:00:00")
+    val merged = Gold.caMonthlyFromPartials(
+      Gold.caMonthlyPartial(orders.filter(col("o_orderdate") < lit(cut)))
+        .unionByName(Gold.caMonthlyPartial(orders.filter(col("o_orderdate") >= lit(cut)))))
+      .collect().map(_.mkString("|")).toSeq
+    val full = Gold.caMonthlyFromPartials(Gold.caMonthlyPartial(orders))
+      .collect().map(_.mkString("|")).toSeq
+    assert(merged == full)
+    assert(merged == Seq("2020-01|30.03", "2020-02|30.33", "2020-03|40.4"))
+  }
 }

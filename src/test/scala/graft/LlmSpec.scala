@@ -381,4 +381,37 @@ class LlmSpec extends SparkSpec {
     assert(native.nonEmpty && native.length == composed.length)
     assert(native.map(_.mkString("|")).toSeq == composed.map(_.mkString("|")).toSeq)
   }
+
+  test("misraGries: every item over the n/(m+1) frequency bound survives") {
+    // adversarial stream: 2 heavy hitters drowned in 30 distinct
+    // singletons, m = 3 counters. n = 68 -> at most n/(m+1) = 17
+    // decrement rounds, so any frequency > 17 is guaranteed to survive.
+    val stream = Seq.fill(20)("hot") ++ Seq.fill(18)("warm") ++
+      (1 to 30).map(i => s"noise$i")
+    // guarantee must hold for EVERY arrival order — exercise a few
+    // deterministic shuffles of the same multiset
+    for (seed <- 1 to 5) {
+      val perm = new scala.util.Random(seed).shuffle(stream)
+      val kept = Llm.misraGries(perm.iterator, 3).toSet
+      assert(kept.contains("hot") && kept.contains("warm"),
+        s"seed $seed lost a guaranteed heavy hitter: $kept")
+      assert(kept.size <= 3, s"summary exceeded m: $kept")
+    }
+  }
+
+  test("vocabTopApprox matches vocabTop exactly when counters overflow (m < vocab)") {
+    // 60-word vocabulary, m = 12 counters: summaries overflow and churn.
+    // Exactness precondition: 10th-ranked count (100) > N/(m+1)
+    // (1100/13 ≈ 85) — every top-10 word is guaranteed into the
+    // candidate set, and the exact recount reproduces the exact tier
+    // bit-for-bit (counts AND doc counts).
+    val d = docs((0L until 10L).map { i =>
+      val wanted = (1 to 10).flatMap(j => Seq.fill(10)(s"w$j")) // 100/doc
+      val noise = (0 until 5).flatMap(j => Seq.fill(2)(s"n${5 * i + j}"))
+      i -> new scala.util.Random(i).shuffle(wanted ++ noise).mkString(" ")
+    }: _*)
+    val exact = Llm.vocabTop(d, k = 10).collect().map(_.mkString("|")).toSeq
+    val approx = Llm.vocabTopApprox(d, k = 10, m = 12).collect().map(_.mkString("|")).toSeq
+    assert(exact.size == 10 && approx == exact, s"approx=$approx\nexact=$exact")
+  }
 }

@@ -116,6 +116,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ca_monthly_incremental never rescans pre-cutoff orders") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("ca_monthly_incremental")(spark, sf)
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    val (partial, orders) = all.partition(_.metadata("Location").contains("graft_ca_partial"))
+    // the historical side must come from the persisted partial...
+    assert(partial.nonEmpty, "no persisted-partial scan in the refresh plan")
+    // ...and every orders scan must push the delta date bound — the
+    // pre-cutoff fact is never rescanned per refresh
+    assert(orders.nonEmpty)
+    orders.foreach { s =>
+      assert(s.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate,"),
+        s"pre-cutoff orders not pruned: ${s.metadata("PushedFilters")}")
+    }
+  }
+
+  test("vocab_top_approx: recount join broadcasts candidates; token stream never join-shuffled") {
+    val p = plan("vocab_top_approx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("bucketed scale tiers never degenerate to all-pairs") {
     // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
     // design; every bucketed/banded tier must keep candidate generation

@@ -112,4 +112,24 @@ class PrepSpec extends SparkSpec {
     val b = Prep.packSequences(docs.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("shuffleDeterministic: exact permutation, layout-independent, seed-sensitive") {
+    val n = docs.count()
+    val out = Prep.shuffleDeterministic(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are a bijection onto [0, n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // shard = pos / 64, so every shard except possibly the last has 64 docs
+    val perShard = out.groupBy(_._3).map { case (s, g) => s -> g.length }
+    assert(perShard.collect { case (s, c) if s < (n - 1) / 64 => c }.forall(_ == 64))
+    // pure function of (doc_id, seed): identical after a physical reshuffle
+    val again = Prep.shuffleDeterministic(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    // the next epoch (seed + 1) is a different permutation of the same ids
+    val epoch2 = Prep.shuffleDeterministic(docs, seed = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(epoch2.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    assert(epoch2.toSeq != out.toSeq)
+  }
 }
