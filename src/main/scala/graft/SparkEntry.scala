@@ -201,6 +201,13 @@ object SparkEntry {
       s.read.parquet(caPartialDir(s, d)).unionByName(
         Gold.caMonthlyPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
+    // sketch-merge incremental KPIs: distinct clients refresh by HLL
+    // union of a persisted sketch with the delta's — never an exact
+    // recount over history (rows-only: the estimate is approximate)
+    "kpis_incremental" -> ((s, d) => Serving.kpisFromPartials(
+      s.read.parquet(kpisPartialDir(s, d)).unionByName(
+        Serving.kpisPartial(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
     "ca_country_share" -> ((s, d) => Serving.caCountryShare(Gold.caCountry(fact(s, d)))),
     "ca_product" -> ((s, d) =>
@@ -494,6 +501,21 @@ object SparkEntry {
       val p = java.nio.file.Files.createTempDirectory("graft_ca_partial")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Gold.caMonthlyPartial(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+
+  /** Persisted KPI partial (pre-cutoff): algebraic fields + a binary
+    * DataSketches HLL sketch of client keys — the merge-not-recount form
+    * of a distinct count. Same cutoff and lifecycle as [[caPartialDir]]. */
+  private val kpisPartialMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def kpisPartialDir(s: SparkSession, d: String): String =
+    kpisPartialMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_kpi_partial")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Serving.kpisPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
         .write.mode("overwrite").parquet(p.toString)
       p.toString

@@ -167,6 +167,34 @@ object Serving {
       .select(col("ca_total"), col("nb_achats"), col("nb_clients_approx"),
         round(col("ca_total") / col("nb_achats"), 2).as("panier_moyen"))
 
+  /** Mergeable partial for [[kpis]] — the incremental-maintenance form
+    * of a KPI row that contains a DISTINCT count. Sums and counts merge
+    * algebraically (integer cents, like [[Gold.caMonthlyPartial]]), but
+    * distinct clients cannot be merged from finalized numbers; the
+    * partial therefore carries a DataSketches HLL sketch of the client
+    * keys (binary column — persists to parquet like any other). A
+    * refresh unions yesterday's persisted sketch with the delta's sketch
+    * instead of rescanning the history for an exact recount. */
+  def kpisPartial(orders: DataFrame): DataFrame =
+    Gold.validOrders(orders).agg(
+      sum(Tables.cents(col("o_totalprice"))).as("ca_cents"),
+      count("o_orderkey").as("nb_achats"),
+      hll_sketch_agg(col("o_custkey")).as("clients_sketch"))
+
+  /** Finalize merged [[kpisPartial]] rows: algebraic fields re-sum,
+    * sketches union (associative and order-insensitive, so ANY split of
+    * the orders into partials yields the same estimate), and the
+    * estimate materializes only here. Gated rows-only (the estimate is
+    * approximate) + a GoldSpec exactness/error-bound spec. */
+  def kpisFromPartials(partials: DataFrame): DataFrame =
+    partials.agg(
+      sum("ca_cents").as("ca_cents"),
+      sum("nb_achats").as("nb_achats"),
+      hll_union_agg(col("clients_sketch")).as("clients_sketch"))
+      .select((col("ca_cents") / 100.0).as("ca_total"), col("nb_achats"),
+        hll_sketch_estimate(col("clients_sketch")).as("nb_clients_approx"),
+        round((col("ca_cents") / 100.0) / col("nb_achats"), 2).as("panier_moyen"))
+
   /** Top-K clients by lifetime spend (reference scripts/dashboard.py:165,
     * W3/O2/O4). Global top-k = TakeOrderedAndProject — no full sort. */
   def topClients(fact: DataFrame, k: Int = 20): DataFrame =

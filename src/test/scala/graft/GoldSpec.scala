@@ -403,6 +403,27 @@ class GoldSpec extends SparkSpec {
       r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
   }
 
+  test("incremental kpis: algebraic fields exact, HLL estimate bounded, split-invariant") {
+    val orders = Tables.orders(spark, sf)
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    def split(p: org.apache.spark.sql.Column) = Serving.kpisPartial(orders.filter(p))
+    val merged = Serving.kpisFromPartials(
+      split(col("o_orderdate") < cut).unionByName(split(col("o_orderdate") >= cut)))
+      .collect().head
+    val exact = Serving.kpis(Gold.buildFact(orders, Tables.customer(spark, sf),
+      Tables.nation(spark, sf))).collect().head
+    assert(merged.getDouble(0) == exact.getDouble(0))   // ca_total: bit-exact
+    assert(merged.getLong(1) == exact.getLong(1))       // nb_achats
+    assert(merged.getDouble(3) == exact.getDouble(3))   // panier_moyen
+    val est = merged.getLong(2).toDouble
+    val clients = exact.getLong(2).toDouble
+    assert(math.abs(est - clients) / clients < 0.05, s"estimate $est vs exact $clients")
+    // sketch union is split-invariant: a one-partial "merge" (no split)
+    // lands on the same estimate the two-way split produced
+    val single = Serving.kpisFromPartials(split(lit(true))).collect().head
+    assert(single.getLong(2) == merged.getLong(2))
+  }
+
   test("incremental ca_monthly: merged partials equal the full recompute, mid-month cutoff") {
     // cutoff INSIDE January: the month straddles the partial/delta split,
     // so the merge must re-aggregate at the month grain, not concatenate.

@@ -116,26 +116,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("ca_monthly_incremental never rescans pre-cutoff orders") {
+  test("incremental refreshes never rescan pre-cutoff orders") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val df = SparkEntry.queries("ca_monthly_incremental")(spark, sf)
     def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
       case s: FileSourceScanExec => Seq(s)
       case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
     }
-    val all = scans(df.queryExecution.executedPlan)
-    val (partial, orders) = all.partition(_.metadata("Location").contains("graft_ca_partial"))
-    // the historical side must come from the persisted partial...
-    assert(partial.nonEmpty, "no persisted-partial scan in the refresh plan")
-    // ...and every orders scan must push the delta date bound — the
-    // pre-cutoff fact is never rescanned per refresh
-    assert(orders.nonEmpty)
-    orders.foreach { s =>
-      assert(s.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate,"),
-        s"pre-cutoff orders not pruned: ${s.metadata("PushedFilters")}")
+    for ((q, dir) <- Seq("ca_monthly_incremental" -> "graft_ca_partial",
+        "kpis_incremental" -> "graft_kpi_partial")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val all = scans(df.queryExecution.executedPlan)
+      val (partial, orders) = all.partition(_.metadata("Location").contains(dir))
+      // the historical side must come from the persisted partial...
+      assert(partial.nonEmpty, s"$q: no persisted-partial scan in the refresh plan")
+      // ...and every orders scan must push the delta date bound — the
+      // pre-cutoff fact is never rescanned per refresh
+      assert(orders.nonEmpty)
+      orders.foreach { s =>
+        assert(s.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate,"),
+          s"$q: pre-cutoff orders not pruned: ${s.metadata("PushedFilters")}")
+      }
     }
   }
 
