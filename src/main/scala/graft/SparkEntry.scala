@@ -208,6 +208,14 @@ object SparkEntry {
       s.read.parquet(kpisPartialDir(s, d)).unionByName(
         Serving.kpisPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
+    // streaming form of the same maintenance: orders as a micro-batched
+    // file stream, each batch sum-merged into the persisted partial;
+    // final table hash-checks against the batch ca_monthly oracle
+    "ca_monthly_maintained" -> ((s, d) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_gold_maint")
+      sys.addShutdownHook(Streams.deleteRec(sink.toFile))
+      Streams.caMonthlyMaintained(s, ordersStreamDir(s, d), sink.toString)
+    }),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
     "ca_country_share" -> ((s, d) => Serving.caCountryShare(Gold.caCountry(fact(s, d)))),
     "ca_product" -> ((s, d) =>
@@ -518,6 +526,22 @@ object SparkEntry {
       Serving.kpisPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
         .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+
+  /** Multi-file orders fixture for the streaming-maintenance query: 8
+    * parquet files so AvailableNow at 2 files/trigger yields 4 real
+    * micro-batches (the single testdata file would collapse to one).
+    * Shared per (session, dataset); the SINK is fresh per invocation —
+    * sum-merge is deliberately not idempotent, so a re-run must start
+    * from an empty partial, exactly as a fresh deployment would. */
+  private val ordersStreamMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def ordersStreamDir(s: SparkSession, d: String): String =
+    ordersStreamMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_orders_stream")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(p.toString)
       p.toString
     })
 
@@ -1193,6 +1217,11 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
 
     "ca_monthly_incremental" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+      FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
+
+    // streaming maintenance converges to the same table as the batch agg
+    "ca_monthly_maintained" -> s"""
       SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
       FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
 

@@ -221,6 +221,54 @@ object Streams extends Serializable {
     spark.read.parquet(s"$sinkDir/current").drop("_bucket").orderBy("user_id")
   }
 
+  /** Streaming incremental gold maintenance — continuous ingest keeping
+    * [[Gold.caMonthly]] current without ever recomputing it. Orders
+    * arrive as a micro-batched file stream; each batch reduces to its
+    * per-month integer-cents partial ([[Gold.caMonthlyPartial]] — the
+    * mergeable form) and foreachBatch sum-merges it into a persisted
+    * partial table with a staged swap. The merge reads and rewrites
+    * ~|months| rows — the GOLD GRAIN, never the order history — so a
+    * year of continuous ingest costs the same per trigger as day one.
+    * Because cents merge associatively, the final table is bit-identical
+    * to the batch recompute (hash-checked against ca_monthly's oracle),
+    * in any batch split or arrival order. */
+  def caMonthlyMaintained(spark: SparkSession, ordersDir: String,
+      sinkDir: String, filesPerBatch: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(ordersDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(ordersDir)
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeMonthlyPartial(spark, sinkDir)(Gold.caMonthlyPartial(batch.toDF())))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Gold.caMonthlyFromPartials(spark.read.parquet(s"$sinkDir/current"))
+  }
+
+  /** Sum-merge one (mois, ca_cents) partial into `sinkDir/current` with
+    * a staged write + checked rename swap (the upsert sink's discipline).
+    * The partial table is one small file by construction — the month
+    * grain is bounded, and a single writer task avoids a shuffle for
+    * ~100 rows. */
+  private def mergeMonthlyPartial(spark: SparkSession, sinkDir: String)
+      (partial: DataFrame): Unit = {
+    val target = new java.io.File(sinkDir, "current")
+    val merged =
+      if (target.isDirectory)
+        spark.read.parquet(target.getAbsolutePath).unionByName(partial)
+          .groupBy("mois").agg(sum("ca_cents").as("ca_cents"))
+      else partial
+    val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
+    merged.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+    val old = new java.io.File(sinkDir, s"old_${System.nanoTime()}")
+    if (target.isDirectory)
+      require(target.renameTo(old), s"partial swap failed: $target -> $old")
+    require(staging.renameTo(target), s"partial swap failed: $staging -> $target")
+    deleteRec(old)
+  }
+
   /** Streaming exact dedup by event_id with watermark-bounded state
     * (dropDuplicatesWithinWatermark): late duplicates beyond the
     * watermark age out of state instead of growing it forever — the

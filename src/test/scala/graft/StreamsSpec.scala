@@ -335,4 +335,30 @@ class StreamsSpec extends SparkSpec {
       })
     assert(kinds.forall(identity))
   }
+
+  test("streaming gold maintenance: per-batch merges converge to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    // 5 files at 1 file/trigger forces 5 genuine merge rounds through
+    // the persisted partial, including months split across batches
+    val src = java.nio.file.Files.createTempDirectory("graft_maint_src")
+    val sink = java.nio.file.Files.createTempDirectory("graft_maint_sink")
+    try {
+      val orders = Tables.orders(spark, sf)
+      orders.repartition(5).write.mode("overwrite").parquet(src.toString)
+      val maintained = Streams.caMonthlyMaintained(spark, src.toString,
+          sink.toString, filesPerBatch = 1)
+        .collect().map(_.mkString("|")).toSeq
+      val batch = Gold.caMonthly(Gold.buildFact(orders,
+          Tables.customer(spark, sf), Tables.nation(spark, sf)))
+        .collect().map(_.mkString("|")).toSeq
+      assert(maintained == batch)
+      // the persisted partial holds the mergeable representation, one
+      // row per month — the rewrite unit is the gold grain
+      val partial = spark.read.parquet(s"$sink/current")
+      assert(partial.columns.toSeq == Seq("mois", "ca_cents"))
+      assert(partial.count() == batch.size)
+    } finally {
+      Streams.deleteRec(src.toFile); Streams.deleteRec(sink.toFile)
+    }
+  }
 }
