@@ -379,6 +379,9 @@ object SparkEntry {
     "vocab_top_approx" -> ((s, d) => Llm.vocabTopApprox(Tables.documents(s, d))),
     // deterministic epoch shuffle + shard manifest (rand()-free, resumable)
     "shuffle_deterministic" -> ((s, d) => Prep.shuffleDeterministic(Tables.documents(s, d))),
+    // edit-distance-1 similarity join over product-name vocabulary via
+    // deletion-neighborhood candidates + exact levenshtein verify
+    "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
@@ -1215,6 +1218,17 @@ object SparkEntry {
              row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1 AS pos,
              (row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1) // 64 AS shard
       FROM documents ORDER BY doc_id""",
+
+    // the oracle may all-pairs a test-scale vocabulary; the engine may not
+    "typo_pairs" -> """
+      WITH vocab AS (
+        SELECT DISTINCT word FROM (
+          SELECT unnest(string_split_regex(lower(p_name), '\s+')) AS word FROM part)
+        WHERE length(word) >= 3)
+      SELECT a.word AS w1, b.word AS w2, levenshtein(a.word, b.word) AS dist
+      FROM vocab a JOIN vocab b ON a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 1
+      ORDER BY w1, w2""",
 
     "ca_monthly_incremental" -> s"""
       SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca

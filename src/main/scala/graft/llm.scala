@@ -609,6 +609,37 @@ object Llm {
       .limit(k)
   }
 
+  /** Edit-distance-1 string similarity join (typo mining / catalog
+    * normalization — misspelled variants of the same product attribute).
+    * All-pairs levenshtein over a vocabulary is O(V²); the
+    * deletion-neighborhood trick (the SymSpell family, public domain)
+    * makes it join-shaped: two strings within edit distance 1 ALWAYS
+    * share a member of {s} ∪ {s minus one char} — substitution shares a
+    * same-position deletion, insertion/deletion contains the shorter
+    * string itself, equality is trivial. Candidates come from an
+    * equi-join on variant strings (shuffle bounded by vocab × avg-length,
+    * never V²), then exact `levenshtein` verification kills the
+    * neighborhood's false positives (e.g. transpositions: "ab"/"ba"
+    * share deletions but sit at distance 2). Same candidates-then-verify
+    * discipline as every dedup tier; PlanShapeSpec pins the no-cartesian
+    * shape. */
+  def typoPairs(df: DataFrame, textCol: String, minLen: Int = 3): DataFrame = {
+    val vocab = explodeOnce(spread(df), words(col(textCol)), "word")
+      .filter(length(col("word")) >= minLen).distinct()
+    val dels = transform(sequence(lit(1), length(col("word"))),
+      i => concat(col("word").substr(lit(1), i - 1),
+        col("word").substr(i + 1, length(col("word")))))
+    val variants = vocab.select(col("word"),
+      explode(array_union(array(col("word")), dels)).as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.word") < col("b.word"))
+      .select(col("a.word").as("w1"), col("b.word").as("w2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("w1", "w2")
+  }
+
   /** Misra-Gries frequent-items summary over one partition: at most `m`
     * counters; on overflow every counter is decremented and zeros are
     * evicted. Any item with partition frequency > n_p/(m+1) is guaranteed

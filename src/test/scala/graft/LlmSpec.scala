@@ -382,6 +382,25 @@ class LlmSpec extends SparkSpec {
     assert(native.map(_.mkString("|")).toSeq == composed.map(_.mkString("|")).toSeq)
   }
 
+  test("typoPairs: deletion neighborhood finds exactly the distance-1 pairs") {
+    val d = docs(
+      1L -> "grey gray",        // substitution -> dist 1
+      2L -> "color colour",     // insertion -> dist 1
+      3L -> "cart cat",         // deletion -> dist 1
+      4L -> "stop spot post",   // transpositions/anagrams -> dist 2, must NOT pair
+      5L -> "cat cat",          // equal -> excluded by w1 < w2
+      6L -> "zebra")            // unrelated
+    val out = Llm.typoPairs(d, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("cart", "cat", 1L),
+      ("color", "colour", 1L),
+      ("gray", "grey", 1L)))
+    // "spot"/"post" share the deletion "pot" — a neighborhood candidate
+    // the exact-verify stage must kill (true distance 2)
+    assert(!out.exists(p => Set(p._1, p._2).subsetOf(Set("stop", "spot", "post"))))
+  }
+
   test("misraGries: every item over the n/(m+1) frequency bound survives") {
     // adversarial stream: 2 heavy hitters drowned in 30 distinct
     // singletons, m = 3 counters. n = 68 -> at most n/(m+1) = 17
