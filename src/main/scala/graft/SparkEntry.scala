@@ -229,6 +229,8 @@ object SparkEntry {
 
     // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
+    // gap-filled dense daily series (generated scaffold, zero-filled)
+    "gold_daily_dense" -> ((s, d) => Serving.dailyDense(fact(s, d))),
     "gold_weekly" -> ((s, d) => Serving.weekly(fact(s, d))),
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
     // pd.cut-style interval labels (the serving contract's bucket keys)
@@ -382,6 +384,10 @@ object SparkEntry {
     // edit-distance-1 similarity join over product-name vocabulary via
     // deletion-neighborhood candidates + exact levenshtein verify
     "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
+    // co-purchase PageRank (iterative graph ranking; rows-only — float
+    // power iteration isn't oracle-reproducible — GraphSpec pins values)
+    "product_rank" -> ((s, d) =>
+      Gold.productRank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
@@ -721,6 +727,19 @@ object SparkEntry {
       SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca,
              count(o_orderkey) AS achats
       FROM orders WHERE $V GROUP BY 1 ORDER BY jour""",
+
+    "gold_daily_dense" -> s"""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca,
+               count(o_orderkey) AS achats
+        FROM orders WHERE $V GROUP BY 1),
+      b AS (SELECT min(jour) AS lo, max(jour) AS hi FROM d),
+      m AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS jour
+            FROM b)
+      SELECT m.jour, coalesce(d.ca, 0.0) AS ca, coalesce(d.achats, 0) AS achats
+      FROM m LEFT JOIN d ON m.jour = d.jour ORDER BY m.jour""",
 
     "gold_weekly" -> s"""
       SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semaine,

@@ -262,6 +262,33 @@ object Gold {
   def caMonthly(fact: DataFrame): DataFrame =
     fact.groupBy("mois").agg(moneySum(col("o_totalprice")).as("ca")).orderBy("mois")
 
+  /** Product importance by co-purchase random walk: PageRank over the
+    * customer—part bipartite graph (edges = distinct (customer, part)
+    * purchase pairs, both directions, so the walk alternates sides and
+    * no node dangles). A product ranks high when bought by customers who
+    * buy broadly — the standard graph signal the plain frequency top-k
+    * ([[Serving.topClients]]-style counting) cannot see. Node ids embed
+    * the side in the low bit (cust = 2k, part = 2k+1) so the two key
+    * spaces cannot collide. Gated rows-only (iterative float ranks are
+    * not oracle-reproducible) + GraphSpec reference-value and
+    * mass-conservation pins. */
+  def productRank(orders: DataFrame, lineitem: DataFrame, k: Int = 50,
+      iters: Int = 5): DataFrame = {
+    val cp = validOrders(orders).select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cp.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(cp.select(col("p").as("src"), col("c").as("dst")))
+    Graph.pageRank(edges, iters, undirected = true)
+      .filter(pmod(col("id"), lit(2)) === 1)
+      .select(((col("id") - 1) / 2).cast("long").as("p_partkey"),
+        round(col("rank"), 9).as("rank"))
+      .orderBy(desc("rank"), col("p_partkey"))
+      .limit(k)
+  }
+
   /** Mergeable per-month partial for [[caMonthly]]: revenue kept as an
     * exact integer-cents SUM — the representation that merges
     * associatively (sum of sums), so partials computed at different times

@@ -24,6 +24,24 @@ object Serving {
       count("o_orderkey").as("achats"))
       .orderBy("jour")
 
+  /** Gap-filled [[daily]]: every calendar day between the first and last
+    * purchase appears, zero-filled where no orders landed — the dense
+    * series a dashboard or forecasting model consumes (a LEFT-join on a
+    * sparse series silently drops the zero days that matter most). The
+    * scaffold is `sequence(min, max, 1 day)` exploded from the one-row
+    * bounds aggregate — generated, never collected — and the join is at
+    * the serving grain (days), which stays bounded no matter how large
+    * the fact table grows. */
+  def dailyDense(fact: DataFrame): DataFrame = {
+    val d = daily(fact)
+    val scaffold = d.agg(min("jour").as("lo"), max("jour").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("jour"))
+    scaffold.join(d, Seq("jour"), "left")
+      .na.fill(0.0, Seq("ca")).na.fill(0L, Seq("achats"))
+      .orderBy("jour")
+  }
+
   /** gold_weekly (reference :126-139): key = week start (Monday), matching
     * pandas `to_period("W")` start == Spark/DuckDB `date_trunc('week')`. */
   def weekly(fact: DataFrame): DataFrame =

@@ -403,6 +403,19 @@ class GoldSpec extends SparkSpec {
       r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
   }
 
+  test("dailyDense fills calendar gaps with zero rows, endpoints inclusive") {
+    val fact = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.0, ts("2020-01-01 08:00:00"), "p"),
+      Row(2L, 1L, "O", 20.0, ts("2020-01-04 09:00:00"), "p"), // 3-day gap
+      Row(3L, 2L, "O", 5.0, ts("2020-01-04 10:00:00"), "p")))
+      .withColumn("jour", to_date(col("o_orderdate")))
+    val out = Serving.dailyDense(fact).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2020-01-01", 10.0, 1L), ("2020-01-02", 0.0, 0L),
+      ("2020-01-03", 0.0, 0L), ("2020-01-04", 25.0, 2L)))
+  }
+
   test("incremental kpis: algebraic fields exact, HLL estimate bounded, split-invariant") {
     val orders = Tables.orders(spark, sf)
     val cut = lit("1996-01-01 00:00:00").cast("timestamp")

@@ -80,4 +80,54 @@ class GraphSpec extends SparkSpec {
     assert(sizeSum == docs.count())
     out.unpersist()
   }
+
+  /** Ground truth: dense power iteration on the driver, same damping
+    * and rounds as the distributed loop. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val in = edges.groupBy(_._2).map { case (t, es) => t -> es.map(_._1) }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters)
+      r = nodes.map(v => v -> ((1 - d) / n +
+        d * in.getOrElse(v, Nil).map(s => r(s) / out(s)).sum)).toMap
+    r
+  }
+
+  test("pageRank matches the dense reference; mass conserved; symmetry respected") {
+    // asymmetric directed graph WITH both-direction edges for a core
+    // pair, a hub, and a chain — plus a symmetric triangle whose members
+    // must tie exactly
+    val edges: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (4L, 2L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (10L, 12L), (12L, 11L), (11L, 10L)) // symmetric triangle 10-11-12
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = refPageRank(edges, iters = 10)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, rank) =>
+      assert(math.abs(rank - ref(id)) < 1e-9, s"node $id: $rank vs ${ref(id)}")
+    }
+    // the symmetric triangle's members tie bit-for-bit
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    // chain/hub ordering: 1 receives from three nodes, 5 from none
+    assert(got(1L) > got(5L))
+  }
+
+  test("pageRank conserves rank mass on a dangling-free graph") {
+    // undirected co-purchase shape: every edge emitted both ways
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 8, undirected = true).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass leaked: $mass")
+    // the undirected fast path computes the same ranks as the general one
+    val general = Graph.pageRank(edges, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(r.getDouble(1) == general(r.getLong(0))))
+  }
 }
