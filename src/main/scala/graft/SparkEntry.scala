@@ -221,6 +221,11 @@ object SparkEntry {
     "ca_product" -> ((s, d) =>
       Gold.caProduct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
     "cohort_first_purchase" -> ((s, d) => Gold.cohort(fact(s, d))),
+    // retention triangle: per acquisition month, distinct clients active
+    // at each month offset (window-min cohort key, one client shuffle)
+    "cohort_retention" -> ((s, d) => Gold.cohortRetention(Tables.orders(s, d))),
+    // market-basket association: same-order part pairs scored by lift
+    "basket_pairs" -> ((s, d) => Gold.basketPairs(Tables.lineitem(s, d))),
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
     "ca_region" -> ((s, d) => Gold.caRegion(Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
@@ -1237,6 +1242,31 @@ object SparkEntry {
              row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1 AS pos,
              (row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1) // 64 AS shard
       FROM documents ORDER BY doc_id""",
+
+    "cohort_retention" -> s"""
+      WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS md
+        FROM orders WHERE $V),
+      c AS (SELECT o_custkey, md,
+                   min(md) OVER (PARTITION BY o_custkey) AS cd FROM o)
+      SELECT strftime(cd, '%Y-%m') AS cohort,
+             CAST(datediff('month', cd, md) AS BIGINT) AS month_offset,
+             count(DISTINCT o_custkey) AS active_clients
+      FROM c WHERE datediff('month', cd, md) <= 12
+      GROUP BY 1, 2 ORDER BY cohort, month_offset""",
+
+    "basket_pairs" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS total FROM items),
+      pairs AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS together
+        FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      freq AS (SELECT p, count(*) AS n FROM items GROUP BY 1)
+      SELECT p1, p2, together,
+             round(CAST(together AS DOUBLE) * (SELECT total FROM n) / (f1.n * f2.n), 6) AS lift
+      FROM pairs JOIN freq f1 ON p1 = f1.p JOIN freq f2 ON p2 = f2.p
+      ORDER BY lift DESC, p1, p2 LIMIT 20""",
 
     // the oracle may all-pairs a test-scale vocabulary; the engine may not
     "typo_pairs" -> """

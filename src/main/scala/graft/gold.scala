@@ -412,4 +412,55 @@ object Gold {
         moneySum(col("o_totalprice")).as("ca"))
       .orderBy("first_purchase_month")
   }
+
+  /** Cohort retention matrix — [[cohort]]'s follow-through: for each
+    * acquisition month, how many of its clients come back 1, 2, …
+    * `maxOffset` months later. The cohort key rides the same
+    * window-min-per-client idiom as [[cohort]] (one shuffle on the
+    * client key, no self-join); both sides of the offset are
+    * month-truncated, so `months_between` is exact whole months. The
+    * output is the classic retention triangle a growth dashboard plots. */
+  def cohortRetention(orders: DataFrame, maxOffset: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = validOrders(orders)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("md"))
+    val withCohort = o.withColumn("cd",
+      min("md").over(Window.partitionBy("o_custkey")))
+    withCohort
+      .withColumn("month_offset", months_between(col("md"), col("cd")).cast("long"))
+      .filter(col("month_offset") <= maxOffset)
+      .groupBy(date_format(col("cd"), "yyyy-MM").as("cohort"), col("month_offset"))
+      .agg(countDistinct("o_custkey").as("active_clients"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  /** Market-basket association: part pairs bought together in the same
+    * order, scored by lift = P(A,B) / (P(A)·P(B)). Pair generation is
+    * the per-basket self-join on the order key — quadratic only in the
+    * BASKET size (single-digit line counts), never in the catalog, and
+    * it shuffles 8-byte part keys. `minSupport` prunes the long noise
+    * tail before the frequency joins; the order total is the one driver
+    * scalar (same two-phase shape as the scoring thresholds). Lift > 1
+    * = bought together more than chance — the cross-sell signal. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3,
+      k: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = items.select("ok").distinct().count()
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("together"))
+      .filter(col("together") >= minSupport)
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.select(col("p").as("p1"), col("n").as("n1")), Seq("p1"))
+      .join(freq.select(col("p").as("p2"), col("n").as("n2")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("together"),
+        round(col("together").cast("double") * nOrders / (col("n1") * col("n2")), 6)
+          .as("lift"))
+      .orderBy(desc("lift"), col("p1"), col("p2"))
+      .limit(k)
+  }
 }

@@ -403,6 +403,38 @@ class GoldSpec extends SparkSpec {
       r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
   }
 
+  test("cohortRetention: offsets count distinct returners against the acquisition month") {
+    val orders = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.0, ts("2020-01-05 00:00:00"), "p"), // c1 cohort 2020-01
+      Row(2L, 1L, "O", 10.0, ts("2020-01-20 00:00:00"), "p"), // same month, not double-counted
+      Row(3L, 1L, "O", 10.0, ts("2020-03-01 00:00:00"), "p"), // back at offset 2
+      Row(4L, 2L, "O", 10.0, ts("2020-01-09 00:00:00"), "p"), // c2 cohort 2020-01, never returns
+      Row(5L, 3L, "O", 10.0, ts("2020-02-15 00:00:00"), "p"), // c3 cohort 2020-02
+      Row(6L, 3L, "O", 10.0, ts("2020-02-28 23:00:00"), "p")))
+    val out = Gold.cohortRetention(orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2020-01", 0L, 2L),   // both January clients active in month 0
+      ("2020-01", 2L, 1L),   // only c1 returns, two months later
+      ("2020-02", 0L, 1L)))
+  }
+
+  test("basketPairs: lift over chance, support threshold, basket-local pairing") {
+    import spark.implicits._
+    val li = Seq(
+      // parts 10 & 20 co-occur in 3 of 4 orders; 30 appears alone
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 30L), (4L, 30L)) // duplicate line: same part twice in one order
+      .toDF("l_orderkey", "l_partkey")
+    val out = Gold.basketPairs(li, minSupport = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // lift(10,20) = (3/4) / ((3/4)*(3/4)) = 4/3; the (10,30)/(20,30)
+    // pairs sit below minSupport and the duplicated 30-line counts once
+    assert(out == Seq((10L, 20L, 3L, 1.333333)))
+  }
+
   test("dailyDense fills calendar gaps with zero rows, endpoints inclusive") {
     val fact = ordersDf(Seq(
       Row(1L, 1L, "O", 10.0, ts("2020-01-01 08:00:00"), "p"),
