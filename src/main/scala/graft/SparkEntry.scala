@@ -236,6 +236,8 @@ object SparkEntry {
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
     // gap-filled dense daily series (generated scaffold, zero-filled)
     "gold_daily_dense" -> ((s, d) => Serving.dailyDense(fact(s, d))),
+    // rolling 7-day mean/stddev/z-score anomaly flags over the dense series
+    "gold_daily_anomaly" -> ((s, d) => Serving.dailyAnomaly(fact(s, d))),
     "gold_weekly" -> ((s, d) => Serving.weekly(fact(s, d))),
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
     // pd.cut-style interval labels (the serving contract's bucket keys)
@@ -745,6 +747,28 @@ object SparkEntry {
             FROM b)
       SELECT m.jour, coalesce(d.ca, 0.0) AS ca, coalesce(d.achats, 0) AS achats
       FROM m LEFT JOIN d ON m.jour = d.jour ORDER BY m.jour""",
+
+    "gold_daily_anomaly" -> s"""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca
+        FROM orders WHERE $V GROUP BY 1),
+      b AS (SELECT min(jour) AS lo, max(jour) AS hi FROM d),
+      m AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS jour
+            FROM b),
+      dense AS (SELECT m.jour, coalesce(d.ca, 0.0) AS ca
+                FROM m LEFT JOIN d ON m.jour = d.jour),
+      roll AS (
+        SELECT jour, ca,
+               round(avg(ca) OVER w, 6) AS ma7,
+               round(stddev_samp(ca) OVER w, 6) AS sd7
+        FROM dense
+        WINDOW w AS (ORDER BY jour ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT jour, ca, ma7, sd7,
+             round((ca - ma7) / nullif(sd7, 0.0), 6) AS z,
+             coalesce(abs(round((ca - ma7) / nullif(sd7, 0.0), 6)) > 3.0, false) AS is_anomaly
+      FROM roll ORDER BY jour""",
 
     "gold_weekly" -> s"""
       SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semaine,

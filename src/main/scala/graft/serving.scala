@@ -42,6 +42,34 @@ object Serving {
       .orderBy("jour")
   }
 
+  /** Rolling 7-day revenue anomaly flags over the DENSE daily series
+    * (composes [[dailyDense]] — calendar alignment matters: on the
+    * sparse series a 7-ROW frame silently spans more than 7 days).
+    * Frame-spec window (rowsBetween) per day: mean and sample stddev of
+    * the 7 PRECEDING days — the current row is excluded from its own
+    * baseline, both because a spike must not contaminate the statistics
+    * it is judged against and because an inclusive trailing window caps
+    * a lone spike's z at (n−1)/√n ≈ 2.27, below any useful threshold.
+    * Like [[monthlyGrowth]], the global-order window runs
+    * single-partition BY DESIGN: the daily grain is bounded (~365
+    * rows/year) no matter how large the fact table grows — a
+    * serving-grain op, not a fact-grain one. Guards: a constant or
+    * empty baseline (sd 0 / first day) yields null z via nullif, never
+    * a division blow-up, and flags false. */
+  def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("jour").rowsBetween(-7, -1)
+    dailyDense(fact)
+      .withColumn("ma7", round(avg("ca").over(w), 6))
+      .withColumn("sd7", round(stddev_samp(col("ca")).over(w), 6))
+      .withColumn("z", round((col("ca") - col("ma7")) /
+        nullif(col("sd7"), lit(0.0)), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .select("jour", "ca", "ma7", "sd7", "z", "is_anomaly")
+      .orderBy("jour")
+  }
+
   /** gold_weekly (reference :126-139): key = week start (Monday), matching
     * pandas `to_period("W")` start == Spark/DuckDB `date_trunc('week')`. */
   def weekly(fact: DataFrame): DataFrame =

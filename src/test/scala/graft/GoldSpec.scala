@@ -448,6 +448,23 @@ class GoldSpec extends SparkSpec {
       ("2020-01-03", 0.0, 0L), ("2020-01-04", 25.0, 2L)))
   }
 
+  test("dailyAnomaly: spike flagged, flat window yields null z, frames calendar-aligned") {
+    // 13 flat days at 10.0, then a spike; the two-day gap before the
+    // spike must enter the frame as zeros (dense series), not be skipped
+    val rows = (1 to 13).map(i =>
+      Row(i.toLong, 1L, "O", 10.0, ts(f"2020-01-$i%02d 08:00:00"), "p")) :+
+      Row(99L, 1L, "O", 500.0, ts("2020-01-16 08:00:00"), "p")
+    val fact = ordersDf(rows).withColumn("jour", to_date(col("o_orderdate")))
+    val out = Serving.dailyAnomaly(fact).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    // constant early window: sd 0 -> z null, not flagged
+    assert(out("2020-01-05").isNullAt(4) && !out("2020-01-05").getBoolean(5))
+    // the spike day is flagged
+    assert(out("2020-01-16").getBoolean(5))
+    // gap days exist and carry ca = 0 (calendar alignment)
+    assert(out.contains("2020-01-14") && out("2020-01-14").getDouble(1) == 0.0)
+  }
+
   test("incremental kpis: algebraic fields exact, HLL estimate bounded, split-invariant") {
     val orders = Tables.orders(spark, sf)
     val cut = lit("1996-01-01 00:00:00").cast("timestamp")

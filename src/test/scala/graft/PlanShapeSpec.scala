@@ -154,7 +154,8 @@ class PlanShapeSpec extends SparkSpec {
     // join-based — a cross/nested-loop join here is a silent 100 TB
     // regression
     for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram",
-        "dedup_embedding_lsh", "knn_lsh", "dedup_clusters", "typo_pairs")) {
+        "dedup_embedding_lsh", "knn_lsh", "dedup_clusters", "typo_pairs",
+        "basket_pairs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
