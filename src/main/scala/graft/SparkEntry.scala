@@ -229,6 +229,10 @@ object SparkEntry {
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
     "ca_region" -> ((s, d) => Gold.caRegion(Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
+    // per-group top-k: window rank over the (region, product) aggregate
+    "top_products_per_region" -> ((s, d) => Gold.topProductsPerRegion(
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "ca_supplier_nation" -> ((s, d) => Gold.caSupplierNation(Tables.lineitem(s, d),
       Tables.supplier(s, d), Tables.nation(s, d))),
 
@@ -722,6 +726,23 @@ object SparkEntry {
       LEFT JOIN nation ON c_nationkey = n_nationkey
       LEFT JOIN region ON n_regionkey = r_regionkey
       WHERE $V GROUP BY 1 ORDER BY ca DESC, region""",
+
+    "top_products_per_region" -> s"""
+      WITH bp AS (
+        SELECT coalesce(r_name, 'Inconnu') AS region, p_name AS produit,
+               ${ms("l_extendedprice")} AS ca
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN part ON l_partkey = p_partkey
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        WHERE $V GROUP BY 1, 2)
+      SELECT region, produit, ca, rang FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY region
+                         ORDER BY ca DESC, produit) AS INTEGER) AS rang
+        FROM bp)
+      WHERE rang <= 3 ORDER BY region, rang""",
 
     "ca_supplier_nation" -> s"""
       SELECT n_name AS supplier_nation, ${ms("l_extendedprice")} AS ca

@@ -377,6 +377,38 @@ object Gold {
       .agg(moneySum(col("o_totalprice")).as("ca"))
       .orderBy(desc("ca"), col("region"))
 
+  /** Per-group top-k: the 3 best-selling products inside EACH region —
+    * the window-rank shape, distinct from the global top-k
+    * (TakeOrderedAndProject) the serving queries use. The aggregation
+    * reduces to (region, product) grain FIRST, so the rank window
+    * partitions a frame that is already dim-sized — never the line
+    * grain — and the k-filter drops everything else before the
+    * presentation sort. row_number with a product tie-break (not rank)
+    * keeps the cut deterministic when revenues tie. */
+  def topProductsPerRegion(orders: DataFrame, lineitem: DataFrame,
+      part: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byProduct = validOrders(orders)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(part.select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy(coalesce(col("r_name"), lit("Inconnu")).as("region"),
+        col("p_name").as("produit"))
+      .agg(moneySum(col("l_extendedprice")).as("ca"))
+    byProduct
+      .withColumn("rang", row_number().over(
+        Window.partitionBy("region").orderBy(desc("ca"), col("produit"))))
+      .filter(col("rang") <= k)
+      .orderBy("region", "rang")
+  }
+
   /** Revenue by supplier nation — line grain through the supplier dim.
     * `supplier` carries NO broadcast hint: it is SF-proportional (10k rows
     * per TPC-H SF → ~10⁹ rows at the 100 TB posture), so a forced hint

@@ -403,6 +403,28 @@ class GoldSpec extends SparkSpec {
       r.getAs[Double]("v"))).toSeq == Seq((1L, "a", 2.5), (2L, "b", -1.0)))
   }
 
+  test("topProductsPerRegion: per-group cut, revenue ties broken by product name") {
+    import spark.implicits._
+    val orders = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.0, ts("2020-01-01 00:00:00"), "p"),
+      Row(2L, 2L, "O", 10.0, ts("2020-01-02 00:00:00"), "p")))
+    val li = Seq(
+      (1L, 100L, 50.0), (1L, 200L, 50.0), (1L, 300L, 20.0), (1L, 400L, 10.0),
+      (2L, 500L, 99.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val part = Seq((100L, "beta"), (200L, "alpha"), (300L, "gamma"),
+      (400L, "delta"), (500L, "omega")).toDF("p_partkey", "p_name")
+    val cust = custDf(Seq(Row(1L, "c1", 1, 0.0, "m"), Row(2L, "c2", 2, 0.0, "m")))
+    val nation = Seq((1, 10), (2, 20)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq((10, "EUROPE"), (20, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = Gold.topProductsPerRegion(orders, li, part, cust, nation, region)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSeq
+    // EUROPE: alpha/beta tie at 50 -> name ascending; delta (4th) cut
+    assert(out == Seq(
+      ("ASIA", "omega", 1),
+      ("EUROPE", "alpha", 1), ("EUROPE", "beta", 2), ("EUROPE", "gamma", 3)))
+  }
+
   test("cohortRetention: offsets count distinct returners against the acquisition month") {
     val orders = ordersDf(Seq(
       Row(1L, 1L, "O", 10.0, ts("2020-01-05 00:00:00"), "p"), // c1 cohort 2020-01
