@@ -224,6 +224,9 @@ object SparkEntry {
     // retention triangle: per acquisition month, distinct clients active
     // at each month offset (window-min cohort key, one client shuffle)
     "cohort_retention" -> ((s, d) => Gold.cohortRetention(Tables.orders(s, d))),
+    // the same triangle PIVOTed wide (explicit value list — no
+    // discovery pass, fixed schema at any scale)
+    "cohort_retention_pivot" -> ((s, d) => Gold.cohortRetentionPivot(Tables.orders(s, d))),
     // market-basket association: same-order part pairs scored by lift
     "basket_pairs" -> ((s, d) => Gold.basketPairs(Tables.lineitem(s, d))),
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
@@ -1299,6 +1302,22 @@ object SparkEntry {
              count(DISTINCT o_custkey) AS active_clients
       FROM c WHERE datediff('month', cd, md) <= 12
       GROUP BY 1, 2 ORDER BY cohort, month_offset""",
+
+    "cohort_retention_pivot" -> s"""
+      WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS md
+        FROM orders WHERE $V),
+      c AS (SELECT o_custkey, md,
+                   min(md) OVER (PARTITION BY o_custkey) AS cd FROM o),
+      r AS (SELECT strftime(cd, '%Y-%m') AS cohort,
+                   datediff('month', cd, md) AS off,
+                   count(DISTINCT o_custkey) AS ac
+            FROM c WHERE datediff('month', cd, md) <= 12 GROUP BY 1, 2)
+      SELECT cohort,
+             ${(0 to 12).map(i =>
+                 s"CAST(coalesce(sum(CASE WHEN off = $i THEN ac END), 0) AS BIGINT) AS m$i")
+               .mkString(",\n             ")}
+      FROM r GROUP BY cohort ORDER BY cohort""",
 
     "basket_pairs" -> """
       WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

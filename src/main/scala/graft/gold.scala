@@ -466,6 +466,24 @@ object Gold {
       .orderBy("cohort", "month_offset")
   }
 
+  /** [[cohortRetention]] reshaped wide — the PIVOT operator: one row per
+    * cohort, one column per month offset (m0..m12), the triangle a
+    * dashboard renders directly. The offset values are passed
+    * EXPLICITLY: `pivot(col)` without values runs an extra distinct
+    * pass over the data to discover the columns, and an unbounded
+    * discovered set can blow the schema up at scale — a fixed horizon
+    * is both the business contract and the safe plan (one aggregation,
+    * no discovery job). Zero-filled like any retention report: an
+    * absent (cohort, offset) cell means nobody came back, not null. */
+  def cohortRetentionPivot(orders: DataFrame, maxOffset: Int = 12): DataFrame =
+    cohortRetention(orders, maxOffset)
+      .groupBy("cohort")
+      .pivot("month_offset", (0 to maxOffset).map(Integer.valueOf))
+      .sum("active_clients")
+      .na.fill(0L)
+      .select(col("cohort") +: (0 to maxOffset).map(i => col(s"$i").as(s"m$i")): _*)
+      .orderBy("cohort")
+
   /** Market-basket association: part pairs bought together in the same
     * order, scored by lift = P(A,B) / (P(A)·P(B)). Pair generation is
     * the per-basket self-join on the order key — quadratic only in the

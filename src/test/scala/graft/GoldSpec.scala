@@ -470,6 +470,20 @@ class GoldSpec extends SparkSpec {
       ("2020-01-03", 0.0, 0L), ("2020-01-04", 25.0, 2L)))
   }
 
+  test("cohortRetentionPivot: wide triangle, zero-filled cells, fixed columns") {
+    val orders = ordersDf(Seq(
+      Row(1L, 1L, "O", 10.0, ts("2020-01-05 00:00:00"), "p"),
+      Row(2L, 1L, "O", 10.0, ts("2020-03-01 00:00:00"), "p"),  // offset 2
+      Row(3L, 2L, "O", 10.0, ts("2020-01-09 00:00:00"), "p")))
+    val out = Gold.cohortRetentionPivot(orders)
+    assert(out.columns.toSeq == "cohort" +: (0 to 12).map(i => s"m$i"))
+    val row = out.collect().head
+    assert(row.getString(0) == "2020-01")
+    assert(row.getLong(1) == 2L)   // m0: both clients
+    assert(row.getLong(2) == 0L)   // m1: nobody (zero-filled, not null)
+    assert(row.getLong(3) == 1L)   // m2: client 1 returns
+  }
+
   test("dailyAnomaly: spike flagged, flat window yields null z, frames calendar-aligned") {
     // 13 flat days at 10.0, then a spike; the two-day gap before the
     // spike must enter the frame as zeros (dense series), not be skipped
