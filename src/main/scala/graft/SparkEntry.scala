@@ -227,6 +227,9 @@ object SparkEntry {
     // the same triangle PIVOTed wide (explicit value list — no
     // discovery pass, fixed schema at any scale)
     "cohort_retention_pivot" -> ((s, d) => Gold.cohortRetentionPivot(Tables.orders(s, d))),
+    // ...and UNPIVOTed back: hash-matches cohort_retention's own oracle,
+    // proving the reshapes are mutual inverses
+    "cohort_retention_melt" -> ((s, d) => Gold.cohortRetentionMelt(Tables.orders(s, d))),
     // market-basket association: same-order part pairs scored by lift
     "basket_pairs" -> ((s, d) => Gold.basketPairs(Tables.lineitem(s, d))),
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
@@ -1292,6 +1295,19 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
 
     "cohort_retention" -> s"""
+      WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS md
+        FROM orders WHERE $V),
+      c AS (SELECT o_custkey, md,
+                   min(md) OVER (PARTITION BY o_custkey) AS cd FROM o)
+      SELECT strftime(cd, '%Y-%m') AS cohort,
+             CAST(datediff('month', cd, md) AS BIGINT) AS month_offset,
+             count(DISTINCT o_custkey) AS active_clients
+      FROM c WHERE datediff('month', cd, md) <= 12
+      GROUP BY 1, 2 ORDER BY cohort, month_offset""",
+
+    // the melt round-trips to the long grain: same oracle as cohort_retention
+    "cohort_retention_melt" -> s"""
       WITH o AS (
         SELECT o_custkey, date_trunc('month', o_orderdate) AS md
         FROM orders WHERE $V),

@@ -484,6 +484,24 @@ object Gold {
       .select(col("cohort") +: (0 to maxOffset).map(i => col(s"$i").as(s"m$i")): _*)
       .orderBy("cohort")
 
+  /** The inverse reshape — UNPIVOT/melt: the wide triangle back to the
+    * long (cohort, offset, count) grain. Melting is a zero-shuffle
+    * per-row expansion (each wide row yields 13 long rows map-side);
+    * dropping the zero-filled cells restores exactly
+    * [[cohortRetention]]'s sparse output, which is what hash-checks
+    * this query against the SAME oracle — a machine-checked proof the
+    * two reshapes are mutual inverses. */
+  def cohortRetentionMelt(orders: DataFrame, maxOffset: Int = 12): DataFrame =
+    cohortRetentionPivot(orders, maxOffset)
+      .unpivot(Array(col("cohort")),
+        (0 to maxOffset).map(i => col(s"m$i")).toArray,
+        "off", "active_clients")
+      .filter(col("active_clients") > 0)
+      .select(col("cohort"),
+        substring(col("off"), 2, 8).cast("long").as("month_offset"),
+        col("active_clients"))
+      .orderBy("cohort", "month_offset")
+
   /** Market-basket association: part pairs bought together in the same
     * order, scored by lift = P(A,B) / (P(A)·P(B)). Pair generation is
     * the per-basket self-join on the order key — quadratic only in the
