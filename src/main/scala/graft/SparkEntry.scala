@@ -273,6 +273,25 @@ object SparkEntry {
     // same aggregate as a Structured Streaming job (watermark + window +
     // memory sink), checked against the same oracle
     "events_stream" -> ((s, d) => Streams.eventsHourlyStreamed(s, d)),
+    // S1-family completeness: line-delimited JSON SOURCE (the landing-
+    // zone ingest format CSV/parquet don't cover) — events serialized to
+    // .json once per (session, dataset), read back with an explicit
+    // schema (never inference: an inference pass is a full extra scan,
+    // and a malformed row silently widens types), aggregated, and
+    // hash-checked against the parquet path's oracle. Timestamps and
+    // doubles must survive the text round trip exactly or the hash breaks.
+    "events_hourly_json" -> ((s, d) => {
+      val dir = jsonMemo.getOrElseUpdate((s.hashCode, d), {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+        sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
+        Tables.events(s, d).write.mode("overwrite").json(tmp.toString)
+        tmp.toString
+      })
+      s.read.schema(Tables.events(s, d).schema).json(dir)
+        .groupBy(date_trunc("hour", col("ts")).as("heure"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("heure", "event_type")
+    }),
     // stream-stream inner join (event-time range + two-sided watermark):
     // click->purchase attribution, checked against the batch-join oracle
     "events_attribution" -> ((s, d) => Streams.attributionStreamed(s, d)),
@@ -496,6 +515,11 @@ object SparkEntry {
   // gates the reader; rewriting the fixture per bench pass would time
   // the writer instead
   private val csvMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  // one line-delimited JSON copy of events per (session, sfDir), same
+  // rationale as csvMemo
+  private val jsonMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The corpus-half dedup index (what a production ingest job maintains):
@@ -892,6 +916,12 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
 
     "events_stream" -> """
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    // the JSON ingest path must agree with the parquet path exactly
+    "events_hourly_json" -> """
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
