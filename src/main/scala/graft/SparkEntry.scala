@@ -347,12 +347,21 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
+    // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
+    "tfidf_top_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d))),
+    "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d))),
+
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", s.hashCode, d),
       Ml.knnIvf(Tables.embeddings(s, d)).cache())),
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
+    // int8 scalar-quantized corpus, asymmetric full-precision probes;
+    // rows-only — the codebook fold is float math — LlmSpec gates
+    // recall@5 vs knn_bruteforce
+    "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", s.hashCode, d),
+      Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
     // stream-static broadcast join: event stream enriched with the
@@ -425,6 +434,11 @@ object SparkEntry {
     "product_rank" -> ((s, d) =>
       Gold.productRank(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
+    // strict ordered funnel: view -> first later click -> first later purchase
+    "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
+    // time-range join (interval predicate family): per-purchase trailing-
+    // hour click count via window-sized time bins as the equi-join key
+    "events_range_join" -> ((s, d) => Serving.clicksBeforePurchase(Tables.events(s, d))),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
     // same as-of semantics through the custom whole-operator plan
@@ -1318,6 +1332,39 @@ object SparkEntry {
       WHERE word <> ''
       GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
 
+    // shares vocab_top's tokenization shape; both engines rank on the
+    // 9dp-ROUNDED tf*ln(N/df) with a lexical tie-break
+    "tfidf_top_terms" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+                   FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+              round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 9) AS score
+            FROM tf JOIN dfq USING (word) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+            FROM s)
+      SELECT doc_id, rk, word, tf, df, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // identical arithmetic shape to Search.bm25 (k1=1.2, b=0.75,
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)), N/avglen over docs with tokens)
+    "bm25_search" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+                   FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE word <> ''),
+      dl AS (SELECT doc_id, count(*) AS len FROM tok2 GROUP BY 1),
+      st AS (SELECT count(*) AS n, avg(len) AS avglen FROM dl),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM tok2
+             WHERE word IN ('spark', 'shuffle', 'join') GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      c AS (SELECT tf.doc_id,
+              ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+                * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / st.avglen)) AS contrib
+            FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
+      SELECT doc_id, round(sum(contrib), 9) AS score, count(*) AS n_terms
+      FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+
     "shuffle_deterministic" -> s"""
       SELECT doc_id,
              row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1 AS pos,
@@ -1411,6 +1458,36 @@ object SparkEntry {
              CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    // strict ordered funnel — each step's min-ts must fall AFTER the
+    // previous step's; integer/integer division is double in both engines
+    "event_funnel" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT n_view, n_click, n_purchase,
+             round(n_click / n_view, 6) AS conv_click,
+             round(n_purchase / n_click, 6) AS conv_purchase
+      FROM (SELECT (SELECT count(*) FROM v) AS n_view,
+                   (SELECT count(*) FROM c) AS n_click,
+                   (SELECT count(*) FROM p) AS n_purchase)""",
+
+    // the oracle states the interval predicate directly; the engine's
+    // time-bin equi-join must produce the identical match set
+    "events_range_join" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                 FROM events),
+      p AS (SELECT event_id, user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS c_ts FROM e WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, count(*) AS n_clicks
+            FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE AND c.c_ts < p.p_ts
+            GROUP BY 1)
+      SELECT p.event_id, p.user_id, p.p_ts, coalesce(m.n_clicks, 0) AS n_clicks
+      FROM p LEFT JOIN m USING (event_id) ORDER BY p.event_id""",
 
     "events_asof_price" -> """
       WITH u AS (

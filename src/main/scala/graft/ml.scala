@@ -63,6 +63,54 @@ object Ml {
       .orderBy("probe_id", "rank")
   }
 
+  /** Scalar-quantized (int8) approximate nearest neighbor — the STORAGE
+    * scale path next to the compute tiers (Llm.knnLsh prunes candidates,
+    * [[knnIvf]] prunes cells; this shrinks the vectors themselves). Each
+    * dimension is affinely mapped to 0..255 by its global [min, max];
+    * a 100 TB float corpus becomes 25 TB of bytes plus a dim-sized
+    * codebook, and at that scale the quantized copy is what every
+    * scoring pass scans. Search is asymmetric (standard SQ practice):
+    * probes keep full precision, corpus vectors are dequantized to their
+    * cell centers on the fly — the reconstruction is map-side arithmetic
+    * inside the scoring pass, never a second materialized float copy.
+    *
+    * The per-dim [min, max] codebook is one posexplode → per-dimension
+    * agg (a shuffle of DIM rows) folded to a driver literal — the same
+    * two-phase shape as the scoring thresholds. Gated rows-only + a
+    * LlmSpec recall floor vs knnBruteforce (8-bit SQ loses ~1e-2 of
+    * cosine resolution; recall@5 on the synthetic vectors stays ≈1). */
+  def knnQuantized(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val dims = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("pos").collect()
+    val lo = typedlit(dims.map(_.getAs[Double]("lo")).toSeq)
+    val span = typedlit(dims.map { r =>
+      val s = r.getAs[Double]("hi") - r.getAs[Double]("lo")
+      if (s > 0) s else 1.0 // degenerate constant dim: all codes 0, exact
+    }.toSeq)
+    // q in 0..255; dequantized center = lo + (q + 0.5) * span/256
+    val codes = e.withColumn("q", zip_with(col("emb"),
+      sequence(lit(0), lit(dims.length - 1)), (x, i) =>
+        least(floor((x - element_at(lo, i + 1)) / element_at(span, i + 1) * 256),
+          lit(255.0)).cast("int")))
+    val deq = codes.select(col("vec_id"), zip_with(col("q"),
+      sequence(lit(0), lit(dims.length - 1)), (q, i) =>
+        element_at(lo, i + 1) +
+          (q.cast("double") + 0.5) * element_at(span, i + 1) / 256.0).as("emb"))
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pemb"))
+    probes.crossJoin(deq).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarity.cosine_sim(col("pemb"), col("emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("sim"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Supervised twin of the reference's heuristic repurchase score
     * (reference scripts/train_predictor.py:133-146 hard-codes the blend
     * 0.45·freq + 0.30·recency + 0.15·monetary + 0.10·diversity): learn

@@ -428,4 +428,70 @@ object Serving {
         "duration_sec", "n_events", "total_value")
       .orderBy("user_id", "session_seq")
   }
+
+  /** Ordered conversion funnel over the event log: first view, first
+    * click AFTER that view, first purchase AFTER that click — the strict
+    * event-sequence semantics (a purchase preceding the user's first
+    * click does not convert), not the loose "did all three ever happen".
+    *
+    * Scale shape: each step is a type-filtered user-grain aggregate
+    * (min-ts is algebraic — map-side combine collapses each partition to
+    * one row per user before the shuffle), and the step joins are
+    * user-grain ⋈ user-grain. Nothing is ever materialized at event
+    * grain past the first filter, and no window funnels the log through
+    * a single partition. Output: one row of step counts + conversion
+    * rates. */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val counts = v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase")))
+    counts.select(col("n_view"), col("n_click"), col("n_purchase"),
+      round(col("n_click") / col("n_view"), 6).as("conv_click"),
+      round(col("n_purchase") / col("n_click"), 6).as("conv_purchase"))
+  }
+
+  /** Time-range join: for every purchase, the count of the same user's
+    * clicks in the trailing `windowMin` minutes — the interval-predicate
+    * join family (the third temporal join next to AsOfJoinExec's
+    * nearest-match and the stream-stream attribution range join).
+    *
+    * A naive `p JOIN c ON user AND c.ts BETWEEN …` gives Spark only the
+    * equi-key; per-user the match is a nested loop, and a power user's
+    * whole history lands in one task. The scale shape here quantizes
+    * time into window-sized bins: clicks take their own bin, each
+    * purchase probes (bin-1, bin), and the equi-join key becomes
+    * (user, bin) — any one task now holds at most two bins of one user's
+    * clicks, however hot the user. A click can match at most one of the
+    * two probed bins (they are distinct and the click has exactly one),
+    * so no dedup pass is needed; the exact interval predicate filters
+    * the bin-coarse candidates. Purchases with zero trailing clicks
+    * survive via the final left join at purchase grain. */
+  def clicksBeforePurchase(events: DataFrame, windowMin: Int = 60): DataFrame = {
+    val winMicros = windowMin * 60L * 1000000L
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      .withColumn("bin", floor(col("c_us") / winMicros))
+    val probes = purchases
+      .withColumn("p_us", unix_micros(col("p_ts").cast("timestamp")))
+      .withColumn("bin", explode(array(
+        floor(col("p_us") / winMicros) - 1, floor(col("p_us") / winMicros))))
+    val matched = probes.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") >= col("p_us") - winMicros && col("c_us") < col("p_us"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+    purchases.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("p_ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
 }

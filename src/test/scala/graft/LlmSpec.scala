@@ -180,6 +180,20 @@ class LlmSpec extends SparkSpec {
     assert((bf & lsh).size.toDouble / bf.size >= 0.8)
   }
 
+  test("knnQuantized: int8 SQ recall@5 vs brute force >= 0.9") {
+    // deterministic (affine codebook from global per-dim min/max, no
+    // randomness): 8-bit cells lose ~1e-2 of cosine resolution, far
+    // below the synthetic corpus's neighbor gaps — measured recall 1.0;
+    // the 0.9 floor leaves room only for genuine quantizer regressions
+    val e = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = pairs(Llm.knnBruteforce(e))
+    val sq = pairs(Ml.knnQuantized(e))
+    assert(bf.nonEmpty)
+    assert((bf & sq).size.toDouble / bf.size >= 0.9)
+  }
+
   test("cosine_sim registered as a SQL function") {
     graft.functions.CosineSimilarity.register(spark)
     val r = spark.sql(

@@ -148,6 +148,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("events_range_join: interval predicate rides a (user, bin) equi-join") {
+    // the whole point of the time-bin quantization is that Spark gets a
+    // hash-joinable key — an interval-only join degenerates to a
+    // nested-loop over each user's history
+    val p = plan("events_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bm25_search: per-term df is broadcast, postings never join-shuffled twice") {
+    val p = plan("bm25_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("bucketed scale tiers never degenerate to all-pairs") {
     // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
     // design; every bucketed/banded tier must keep candidate generation

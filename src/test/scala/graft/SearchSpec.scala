@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Literal-semantics gates for the round-7 additions: TF-IDF / BM25 text
+  * ranking, the strict ordered event funnel, and the time-bin range join.
+  * Each test pins the operator's contract on a hand-built corpus where
+  * every number is derivable by hand — the DuckDB oracle already checks
+  * engine-vs-engine agreement at sf0.01; these check the semantics are
+  * the INTENDED ones, not merely consistent. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("tfidfTopTerms: exact tf*ln(N/df) scores, score-desc/word-asc ranking") {
+    val d = docs((0L, "a a b"), (1L, "a c"), (2L, "c c c d"))
+    val out = Search.tfidfTopTerms(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("word"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score"))).toMap
+    def s(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 0: b = 1*ln(3/1) beats a = 2*ln(3/2)
+    assert(out((0L, 1L)) == ("b", 1L, 1L, s(math.log(3.0))))
+    assert(out((0L, 2L)) == ("a", 2L, 2L, s(2 * math.log(1.5))))
+    // doc 1: a and c tie exactly (same tf, same df) — lexical order breaks it
+    assert(out((1L, 1L))._1 == "a" && out((1L, 2L))._1 == "c")
+    assert(out((1L, 1L))._4 == out((1L, 2L))._4)
+    // doc 2: c = 3*ln(3/2) beats d = ln(3)
+    assert(out((2L, 1L)) == ("c", 3L, 2L, s(3 * math.log(1.5))))
+    assert(out.size == 6)
+  }
+
+  test("tfidfTopTerms: k caps each document's terms") {
+    val d = docs((0L, "a b c d e f"))
+    assert(Search.tfidfTopTerms(d, k = 2).count() == 2)
+  }
+
+  test("bm25: exact one-term scores, length normalization orders docs") {
+    // df(q)=2 of N=3, avglen=(3+6+3)/3=4; idf = ln(1 + 1.5/2.5)
+    val d = docs((0L, "q q q"), (1L, "q z z z z z"), (2L, "z z z"))
+    val out = Search.bm25(d, query = Seq("q")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L)) // doc 2 never matches
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def expected(tf: Long, len: Long) =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / 4.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("score"), r.getAs[Long]("n_terms"))).toMap
+    assert(byId(0L) == (expected(3, 3), 1L))
+    assert(byId(1L) == (expected(1, 6), 1L))
+    assert(byId(0L)._1 > byId(1L)._1)
+  }
+
+  test("bm25: same tf, shorter document wins") {
+    val d = docs((0L, "q a"), (1L, "q a a a a a a a"))
+    val out = Search.bm25(d, query = Seq("q")).collect()
+    assert(out.head.getAs[Long]("doc_id") == 0L)
+  }
+
+  private def events(rows: (Long, Long, String, String)*) =
+    rows.toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+
+  test("eventFunnel: steps are strictly ordered, not merely present") {
+    val e = events(
+      // user 1: full ordered funnel
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 11:00:00", "click"),
+      (3L, 1L, "2024-01-01 12:00:00", "purchase"),
+      // user 2: click BEFORE first view — never enters the click step,
+      // so its later purchase can't convert either
+      (4L, 2L, "2024-01-01 09:00:00", "click"),
+      (5L, 2L, "2024-01-01 10:00:00", "view"),
+      (6L, 2L, "2024-01-01 11:00:00", "purchase"),
+      // user 3: purchase lands between view and first click — view and
+      // click count, the purchase does not
+      (7L, 3L, "2024-01-01 10:00:00", "view"),
+      (8L, 3L, "2024-01-01 10:30:00", "purchase"),
+      (9L, 3L, "2024-01-01 11:00:00", "click"),
+      // user 4: view only
+      (10L, 4L, "2024-01-01 10:00:00", "view"))
+    val r = Serving.eventFunnel(e).head()
+    assert(r.getAs[Long]("n_view") == 4L)
+    assert(r.getAs[Long]("n_click") == 2L)
+    assert(r.getAs[Long]("n_purchase") == 1L)
+    assert(r.getAs[Double]("conv_click") == 0.5)
+    assert(r.getAs[Double]("conv_purchase") == 0.5)
+  }
+
+  test("clicksBeforePurchase: closed-open [t-60min, t) bounds, bin-crossing match, zero row") {
+    val e = events(
+      (100L, 1L, "2024-01-01 12:00:00", "purchase"),
+      (1L, 1L, "2024-01-01 11:00:00", "click"),   // exactly 60 min before: in
+      (2L, 1L, "2024-01-01 11:59:59", "click"),   // in
+      (3L, 1L, "2024-01-01 12:00:00", "click"),   // at purchase ts: out
+      (4L, 1L, "2024-01-01 10:59:59", "click"),   // 60m01s before: out
+      (5L, 2L, "2024-01-01 11:30:00", "click"),   // other user: out
+      // purchase mid-bin whose window reaches into the previous hour bin
+      (200L, 3L, "2024-01-01 12:30:00", "purchase"),
+      (6L, 3L, "2024-01-01 11:45:00", "click"),   // previous bin, in window
+      // purchase with no clicks at all still appears
+      (300L, 4L, "2024-01-01 12:00:00", "purchase"))
+    val out = Serving.clicksBeforePurchase(e).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_clicks")).toMap
+    assert(out == Map(100L -> 2L, 200L -> 1L, 300L -> 0L))
+  }
+}
