@@ -281,7 +281,9 @@ object Gold {
       .distinct()
     val edges = cp.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(cp.select(col("p").as("src"), col("c").as("dst")))
-    Graph.pageRank(edges, iters, undirected = true)
+    // preDeduped: cp is distinct and the parity encoding makes the two
+    // union branches disjoint (even->odd vs odd->even src)
+    Graph.pageRank(edges, iters, undirected = true, preDeduped = true)
       .filter(pmod(col("id"), lit(2)) === 1)
       .select(((col("id") - 1) / 2).cast("long").as("p_partkey"),
         round(col("rank"), 9).as("rank"))

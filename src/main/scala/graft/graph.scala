@@ -112,16 +112,28 @@ object Graph {
     * geometrically — the standard budget (damping 0.85, ~10 rounds for
     * 3-digit stability) is predictable, which a 100 TB scheduler wants. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      damping: Double = 0.85, undirected: Boolean = false): DataFrame = {
-    // the distinct looks skippable for pre-deduplicated callers, but its
-    // shuffle is what gives the round loop an evenly-hashed, compactly-
-    // partitioned edge frame — measured 2-3x slower per round without it
-    val e = edges
+      damping: Double = 0.85, undirected: Boolean = false,
+      preDeduped: Boolean = false): DataFrame = {
+    val cast = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    // hash-partition the edge frame on src — the distribution every
+    // round's contribution join and the degree aggregate both require —
+    // and let localCheckpoint's LogicalRDD carry that partitioning into
+    // the loop: the 2|E| frame is exchanged once HERE, not per round.
+    // distinct() alone (the previous shape) partitioned on (src, dst) —
+    // the right balance but the wrong key, so every round re-shuffled
+    // the full edge set. Callers whose construction already guarantees
+    // uniqueness (productRank's parity-encoded bipartite expansion) skip
+    // the dedup pass entirely via preDeduped.
+    val e = (if (preDeduped) cast else cast.distinct())
+      .repartition(col("src"))
       .localCheckpoint()
-    // materialized once — every round joins through it
+    // degree rides WITH the edges: joined once at build (both sides
+    // already hash(src) — no exchange), so the round loop joins one
+    // frame, not two. Division stays rank/deg, bit-identical to the
+    // two-join formulation.
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ew = e.join(outDeg, Seq("src")).localCheckpoint()
     // `undirected` callers emitted both directions, so every node is a
     // src and the node set IS outDeg's key set — that skips a 2|E|-row
     // union-distinct. General digraphs (sink-only nodes possible) take
@@ -133,10 +145,17 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // the rank vector is |V| rows of (long, double); below ~4M nodes
+    // (~64 MB) broadcasting it turns the round join map-side — the only
+    // per-round shuffle left is the contribution sum. Past that, fall
+    // back to the shuffle join, where ew's pinned hash(src) partitioning
+    // keeps the exchange on the |V|-row ranks side only. A driver-scalar
+    // gate, decided once from the count we already took.
+    val broadcastRanks = n <= 4000000L
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, col("src") === col("id"))
-        .join(outDeg, Seq("src"))
+      val rk = if (broadcastRanks) broadcast(ranks) else ranks
+      val contribs = ew.join(rk, col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
       ranks = nodes.join(contribs, Seq("id"), "left")
