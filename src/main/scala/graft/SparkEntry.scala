@@ -436,6 +436,14 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     // strict ordered funnel: view -> first later click -> first later purchase
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
+    // batch hopping-window aggregate (hourly totals every 15 min)
+    "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
+    // set-operation family: year-over-year customer overlap — fused
+    // one-pass flags, the Intersect/Except operator form (same oracle),
+    // and the mergeable-sketch tier (rows-only + error-bound spec)
+    "customer_overlap" -> ((s, d) => Gold.customerOverlap(Tables.orders(s, d))),
+    "customer_overlap_sets" -> ((s, d) => Gold.customerOverlapSets(Tables.orders(s, d))),
+    "customer_overlap_approx" -> ((s, d) => Gold.customerOverlapApprox(Tables.orders(s, d))),
     // time-range join (interval predicate family): per-purchase trailing-
     // hour click count via window-sized time bins as the equi-join key
     "events_range_join" -> ((s, d) => Serving.clicksBeforePurchase(Tables.events(s, d))),
@@ -1458,6 +1466,44 @@ object SparkEntry {
              CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    // hopping windows: every event belongs to exactly slide-ratio (4)
+    // windows; starts computed by exact integer-µs floor arithmetic —
+    // epoch-aligned, matching Spark's window() origin
+    "events_hopping" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                  - i * CAST(900000000 AS BIGINT)) AS w_start, value
+            FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+      SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM x GROUP BY 1 ORDER BY w_start""",
+
+    // the oracle states the set semantics with INTERSECT/EXCEPT; the
+    // engine's fused flag-aggregate must reproduce them exactly
+    "customer_overlap" -> s"""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE $V AND year(o_orderdate) = 1995),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE $V AND year(o_orderdate) = 1996)
+      SELECT n_both, n_only_first, n_only_second,
+             round(n_both / (n_both + n_only_first + n_only_second), 6) AS jaccard
+      FROM (SELECT
+        (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+        (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_first,
+        (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_second)""",
+
+    // Spark's Intersect/Except operator form must agree with the fused pass
+    "customer_overlap_sets" -> s"""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE $V AND year(o_orderdate) = 1995),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE $V AND year(o_orderdate) = 1996)
+      SELECT n_both, n_only_first, n_only_second,
+             round(n_both / (n_both + n_only_first + n_only_second), 6) AS jaccard
+      FROM (SELECT
+        (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+        (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_first,
+        (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_second)""",
 
     // strict ordered funnel — each step's min-ts must fall AFTER the
     // previous step's; integer/integer division is double in both engines

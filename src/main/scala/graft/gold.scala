@@ -533,4 +533,70 @@ object Gold {
       .orderBy(desc("lift"), col("p1"), col("p2"))
       .limit(k)
   }
+
+  private def yearCustomers(orders: DataFrame, y: Int) =
+    validOrders(orders).filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+
+  /** Customer-set overlap between two order years — the set-operation
+    * family (INTERSECT / EXCEPT semantics), in the fused one-pass shape:
+    * both years scanned once, per-customer membership flags from a
+    * single customer-keyed aggregate, set cardinalities as conditional
+    * sums of those flags. ONE shuffle total; the naive intersect+except²
+    * formulation scans the fact three times and runs three semi/anti
+    * join shuffles for the same four numbers.
+    * [[customerOverlapSets]] IS that formulation, kept as the
+    * operator-level proof that Spark's Intersect/Except rewrite produces
+    * identical results (same oracle). */
+  def customerOverlap(orders: DataFrame, y1: Int = 1995, y2: Int = 1996): DataFrame =
+    validOrders(orders)
+      .filter(year(col("o_orderdate")).isin(y1, y2))
+      .groupBy("o_custkey")
+      .agg(max(when(year(col("o_orderdate")) === y1, 1L).otherwise(0L)).as("in1"),
+        max(when(year(col("o_orderdate")) === y2, 1L).otherwise(0L)).as("in2"))
+      .agg(sum(col("in1") * col("in2")).as("n_both"),
+        sum(col("in1") * (lit(1L) - col("in2"))).as("n_only_first"),
+        sum(col("in2") * (lit(1L) - col("in1"))).as("n_only_second"))
+      .select(col("n_both"), col("n_only_first"), col("n_only_second"),
+        round(col("n_both") /
+          (col("n_both") + col("n_only_first") + col("n_only_second")), 6)
+          .as("jaccard"))
+
+  /** [[customerOverlap]] through Dataset.intersect / Dataset.except —
+    * Catalyst rewrites them to left-semi / left-anti joins over the
+    * distinct key sets. Three fact scans and three join shuffles for the
+    * same row: correct, operator-complete, and deliberately NOT the
+    * scale shape (the doc on [[customerOverlap]] is the design note). */
+  def customerOverlapSets(orders: DataFrame, y1: Int = 1995, y2: Int = 1996): DataFrame = {
+    val a = yearCustomers(orders, y1)
+    val b = yearCustomers(orders, y2)
+    a.intersect(b).agg(count(lit(1)).as("n_both"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_first")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_second")))
+      .select(col("n_both"), col("n_only_first"), col("n_only_second"),
+        round(col("n_both") /
+          (col("n_both") + col("n_only_first") + col("n_only_second")), 6)
+          .as("jaccard"))
+  }
+
+  /** Sketch tier of [[customerOverlap]]: one HLL++ sketch per year from
+    * a single scan, |A∩B| by inclusion-exclusion over the mergeable
+    * union sketch. Constant memory per year regardless of customer
+    * count, and the per-year sketches are exactly what an incremental
+    * refresh persists (the kpis_incremental pattern) — overlap between
+    * ANY two stored segments then costs two sketch unions, no rescan.
+    * Gated rows-only + a GoldSpec relative-error bound vs the exact
+    * tier (inclusion-exclusion compounds the ~1.6% HLL error). */
+  def customerOverlapApprox(orders: DataFrame, y1: Int = 1995, y2: Int = 1996): DataFrame =
+    validOrders(orders)
+      .filter(year(col("o_orderdate")).isin(y1, y2))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(
+        max(when(col("yr") === y1, hll_sketch_estimate(col("sk")))).as("n_first"),
+        max(when(col("yr") === y2, hll_sketch_estimate(col("sk")))).as("n_second"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_union"))
+      .select(col("n_first"), col("n_second"), col("n_union"),
+        greatest(col("n_first") + col("n_second") - col("n_union"), lit(0L))
+          .as("n_both_approx"))
 }

@@ -429,6 +429,22 @@ object Serving {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Hopping (sliding) window aggregate in BATCH: hourly totals
+    * re-evaluated every 15 minutes — Spark's `window(ts, "1 hour",
+    * "15 minutes")` expands each event into its 4 covering windows
+    * row-locally (a generator, no shuffle), then one window-keyed
+    * aggregation. The streaming twin is eventsHourlyStreamed's window;
+    * this is the same operator over the at-rest table, e.g. for
+    * backfilling a dashboard the stream maintains forward. Shuffle
+    * volume is slide-ratio × events — bounded, and the window key is
+    * time-uniform so no reducer hot-spots. */
+  def eventsHopping(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
+      .orderBy("w_start")
+
   /** Ordered conversion funnel over the event log: first view, first
     * click AFTER that view, first purchase AFTER that click — the strict
     * event-sequence semantics (a purchase preceding the user's first

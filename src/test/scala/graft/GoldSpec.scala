@@ -542,4 +542,58 @@ class GoldSpec extends SparkSpec {
     assert(merged == full)
     assert(merged == Seq("2020-01|30.03", "2020-02|30.33", "2020-03|40.4"))
   }
+
+  private def overlapOrders() = ordersDf(Seq(
+    // cust 1: both years; cust 2: 1994 only (twice — distinct must dedup);
+    // cust 3: 1995 only; cust 4: both but its 1995 order is INVALID
+    // (price 0) so it must land in only-1994; cust 5: out-of-range year
+    Row(1L, 1L, "F", 10.0, ts("1994-03-01 00:00:00"), "1-URGENT"),
+    Row(2L, 1L, "F", 10.0, ts("1995-03-01 00:00:00"), "1-URGENT"),
+    Row(3L, 2L, "F", 10.0, ts("1994-04-01 00:00:00"), "1-URGENT"),
+    Row(4L, 2L, "F", 10.0, ts("1994-05-01 00:00:00"), "1-URGENT"),
+    Row(5L, 3L, "F", 10.0, ts("1995-06-01 00:00:00"), "1-URGENT"),
+    Row(6L, 4L, "F", 10.0, ts("1994-07-01 00:00:00"), "1-URGENT"),
+    Row(7L, 4L, "F", 0.0, ts("1995-07-01 00:00:00"), "1-URGENT"),
+    Row(8L, 5L, "F", 10.0, ts("1993-07-01 00:00:00"), "1-URGENT")))
+
+  test("customerOverlap: membership flags reproduce INTERSECT/EXCEPT, invalid orders excluded") {
+    val expected = Seq(1L, 2L, 1L, 0.25) // both={1}, only94={2,4}, only95={3}
+    val fused = Gold.customerOverlap(overlapOrders(), 1994, 1995).head()
+    assert(fused.toSeq == expected)
+    // the Intersect/Except operator form returns the identical row
+    val sets = Gold.customerOverlapSets(overlapOrders(), 1994, 1995).head()
+    assert(sets.toSeq == expected)
+  }
+
+  test("customerOverlapApprox: inclusion-exclusion estimate within 5% of exact") {
+    val orders = Tables.orders(spark, sf)
+    val exact = Gold.customerOverlap(orders).head()
+    val approx = Gold.customerOverlapApprox(orders).head()
+    val exactBoth = exact.getAs[Long]("n_both").toDouble
+    val estBoth = approx.getAs[Long]("n_both_approx").toDouble
+    assert(exactBoth > 0)
+    // HLL at default lgK=12 is ~1.6% 1σ per sketch; inclusion-exclusion
+    // over three estimates compounds it — 5% is the honest bound
+    assert(math.abs(estBoth - exactBoth) / exactBoth <= 0.05,
+      s"approx $estBoth vs exact $exactBoth")
+    val exactU = exactBoth + exact.getAs[Long]("n_only_first") +
+      exact.getAs[Long]("n_only_second")
+    assert(math.abs(approx.getAs[Long]("n_union") - exactU) / exactU <= 0.05)
+  }
+
+  test("eventsHopping: each event lands in exactly its 4 covering windows") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 2.0),   // exactly on a window start
+      (2L, 1L, "2024-01-01 10:14:59", "view", 1.0))   // same 15-min bucket
+      .toDF("event_id", "user_id", "t", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Serving.eventsHopping(e).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("w_start").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    // both events share the 15-min bucket, so every window holds both
+    assert(out.map(_._1).toSeq == Seq("2024-01-01 09:15:00.0", "2024-01-01 09:30:00.0",
+      "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0"))
+    assert(out.forall(_._2 == (2L, 3.0)))
+  }
 }
