@@ -438,6 +438,8 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
     // batch hopping-window aggregate (hourly totals every 15 min)
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
+    // semi-structured: typed from_json extraction of the props column
+    "events_props" -> ((s, d) => Serving.eventsPropsAgg(Tables.events(s, d))),
     // set-operation family: year-over-year customer overlap — fused
     // one-pass flags, the Intersect/Except operator form (same oracle),
     // and the mergeable-sketch tier (rows-only + error-bound spec)
@@ -1477,6 +1479,12 @@ object SparkEntry {
             FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
       SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM x GROUP BY 1 ORDER BY w_start""",
+
+    "events_props" -> """
+      SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+             count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1 ORDER BY k""",
 
     // the oracle states the set semantics with INTERSECT/EXCEPT; the
     // engine's fused flag-aggregate must reproduce them exactly

@@ -429,6 +429,27 @@ object Serving {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Semi-structured extraction over the `props` JSON column: one
+    * `from_json` parse per row with an EXPLICIT schema into a typed
+    * struct, then an ordinary typed aggregation. The two anti-patterns
+    * this shape avoids at scale: per-field `get_json_object` (re-scans
+    * the JSON string once per extracted field) and schema inference
+    * (a full extra pass over 100 TB before the real one starts).
+    * Malformed JSON degrades to a NULL group, never a failed job. */
+  def eventsPropsAgg(events: DataFrame): DataFrame =
+    events
+      .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k"),
+        col("user_id"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("k")
+
   /** Hopping (sliding) window aggregate in BATCH: hourly totals
     * re-evaluated every 15 minutes — Spark's `window(ts, "1 hour",
     * "15 minutes")` expands each event into its 4 covering windows

@@ -89,6 +89,21 @@ class SearchSpec extends SparkSpec {
     assert(r.getAs[Double]("conv_purchase") == 0.5)
   }
 
+  test("eventsPropsAgg: typed extraction, malformed JSON degrades to the NULL group") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, """{"k": 7}""", 1.0), (2L, """{"k": 7}""", 2.0),
+      (3L, """{"k": 9}""", 4.0),
+      (4L, """not json""", 8.0), (5L, """{"k": "x"}""", 16.0))
+      .toDF("user_id", "props", "value")
+    val out = Serving.eventsPropsAgg(e).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(out(7) == (2L, 3.0))
+    assert(out(9) == (1L, 4.0))
+    assert(out(-1) == (2L, 24.0)) // unparseable and type-mismatched rows
+  }
+
   test("clicksBeforePurchase: closed-open [t-60min, t) bounds, bin-crossing match, zero row") {
     val e = events(
       (100L, 1L, "2024-01-01 12:00:00", "purchase"),
