@@ -362,6 +362,8 @@ object SparkEntry {
     // recall@5 vs knn_bruteforce
     "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", s.hashCode, d),
       Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
+    // per-label centroid aggregation, long form (the IVF-training shape)
+    "label_centroids" -> ((s, d) => Ml.labelCentroids(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
     // stream-static broadcast join: event stream enriched with the
@@ -1479,6 +1481,13 @@ object SparkEntry {
             FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
       SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM x GROUP BY 1 ORDER BY w_start""",
+
+    // zipped unnest ranks 0-based, matching posexplode
+    "label_centroids" -> """
+      SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS mean_x, count(*) AS n
+      FROM (SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2 ORDER BY label, pos""",
 
     "events_props" -> """
       SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,

@@ -63,6 +63,23 @@ object Ml {
       .orderBy("probe_id", "rank")
   }
 
+  /** Per-label embedding centroids in LONG form (label, dim, mean) —
+    * the vector aggregation under IVF coarse-quantizer training and
+    * cluster labeling, kept at the (label, dim) grain deliberately:
+    * the row-local posexplode feeds a plain hash aggregate with
+    * map-side partial sums on small fixed-width keys, which scales to
+    * any corpus, while reassembling arrays (collect_list per label)
+    * concentrates whole centroids in single reducers and adds an
+    * ordering hazard for zero analytical gain. Exactly oracle-checkable,
+    * unlike the iterative KMeans the quantizer tiers run on top. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   /** Scalar-quantized (int8) approximate nearest neighbor — the STORAGE
     * scale path next to the compute tiers (Llm.knnLsh prunes candidates,
     * [[knnIvf]] prunes cells; this shrinks the vectors themselves). Each
