@@ -126,14 +126,12 @@ object Graph {
     // uniqueness (productRank's parity-encoded bipartite expansion) skip
     // the dedup pass entirely via preDeduped.
     val e = (if (preDeduped) cast else cast.distinct())
-      .repartition(col("src"))
       .localCheckpoint()
-    // degree rides WITH the edges: joined once at build (both sides
-    // already hash(src) — no exchange), so the round loop joins one
-    // frame, not two. Division stays rank/deg, bit-identical to the
-    // two-join formulation.
+    // |V|-grain frames first: degree (partial agg collapses each task to
+    // its distinct srcs before the exchange) and the node set, so the
+    // node COUNT — the scalar every sizing decision below keys on — is
+    // known before any 2|E| frame is built.
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val ew = e.join(outDeg, Seq("src")).localCheckpoint()
     // `undirected` callers emitted both directions, so every node is a
     // src and the node set IS outDeg's key set — that skips a 2|E|-row
     // union-distinct. General digraphs (sink-only nodes possible) take
@@ -145,13 +143,21 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    // the rank vector is |V| rows of (long, double); below ~4M nodes
-    // (~64 MB) broadcasting it turns the round join map-side — the only
-    // per-round shuffle left is the contribution sum. Past that, fall
-    // back to the shuffle join, where ew's pinned hash(src) partitioning
-    // keeps the exchange on the |V|-row ranks side only. A driver-scalar
-    // gate, decided once from the count we already took.
+    // |V| rows of (long, double) is ~64 MB at 4M nodes: below that, both
+    // the degree attach AND the per-round rank join go map-side
+    // (broadcast), so the edge frame is never exchanged at all — the
+    // only per-round shuffle is the contribution sum. Past 4M, degree
+    // rides with the edges via one explicit hash(src) exchange that
+    // localCheckpoint pins for every round's shuffle join (the exchange
+    // then lands on the |V|-row ranks side only). One driver scalar
+    // decides both, and it was free.
     val broadcastRanks = n <= 4000000L
+    // degree rides WITH the edges either way: rounds join ONE frame.
+    // Division stays rank/deg, bit-identical to the two-join formulation.
+    val ew =
+      (if (broadcastRanks) e.join(broadcast(outDeg), Seq("src"))
+       else e.repartition(col("src")).join(outDeg, Seq("src")))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val rk = if (broadcastRanks) broadcast(ranks) else ranks
