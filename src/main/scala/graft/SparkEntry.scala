@@ -442,6 +442,23 @@ object SparkEntry {
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
     // semi-structured: typed from_json extraction of the props column
     "events_props" -> ((s, d) => Serving.eventsPropsAgg(Tables.events(s, d))),
+    // streaming twin of events_hopping (same oracle): sliding window
+    // under a watermark, state = slide-ratio x live windows
+    "events_hopping_stream" -> ((s, d) => Streams.eventsHoppingStreamed(s, d)),
+    // the SQL surface as a first-class API: the ca_monthly semantics as
+    // pure SQL TEXT over the registered views (Catalyst plans it to the
+    // same shape as the DataFrame form; same oracle)
+    "sql_ca_monthly" -> ((s, d) => {
+      Catalog.registerTables(s, d)
+      s.sql(s"""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS mois,
+               -- 100.0D: a bare 100.0 parses as DECIMAL in SQL text (unlike
+               -- the DataFrame API's lit(100.0)) and would change ca's type
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS ca
+        FROM orders
+        WHERE o_totalprice > 0 AND o_totalprice <= ${Gold.MaxAmount}
+        GROUP BY 1 ORDER BY mois""")
+    }),
     // set-operation family: year-over-year customer overlap — fused
     // one-pass flags, the Intersect/Except operator form (same oracle),
     // and the mergeable-sketch tier (rows-only + error-bound spec)
@@ -1488,6 +1505,19 @@ object SparkEntry {
       FROM (SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS pos
             FROM embeddings)
       GROUP BY 1, 2 ORDER BY label, pos""",
+
+    // streaming twin shares the batch hopping oracle
+    "events_hopping_stream" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                  - i * CAST(900000000 AS BIGINT)) AS w_start, value
+            FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+      SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM x GROUP BY 1 ORDER BY w_start""",
+
+    "sql_ca_monthly" -> s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
+      FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
 
     "events_props" -> """
       SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,

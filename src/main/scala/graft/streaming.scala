@@ -485,6 +485,32 @@ object Streams extends Serializable {
     spark.table(name).orderBy("heure", "event_type")
   }
 
+  /** Streaming twin of the batch hopping-window aggregate
+    * (Serving.eventsHopping): the SAME `window(ts, 1h, 15min)` operator
+    * under a watermark — each event expands row-locally into its 4
+    * covering windows before the stateful aggregation, so state size is
+    * slide-ratio × live windows, and the watermark bounds "live".
+    * Materialized to completion and checked against the batch query's
+    * own DuckDB oracle, proving the sliding operator agrees between the
+    * at-rest and in-motion paths. */
+  def eventsHoppingStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = sinkName(spark, "graft_hopping_stream")
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("w_start")
+  }
+
   /** Stream-static enrichment (the standard production shape for joining
     * a fact stream to slowly-changing dims): the event stream left-joins
     * the broadcast customer→nation dim — stateless, re-resolved per

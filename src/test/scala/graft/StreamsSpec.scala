@@ -19,6 +19,16 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamed hopping windows equal the batch sliding aggregate") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("w_start", date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("w_start")
+      .collect().map(_.mkString("|")).toSeq
+    val batch = canon(Serving.eventsHopping(Tables.events(spark, sf)))
+    val streamed = canon(Streams.eventsHoppingStreamed(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("multimodal decode: deterministic stub, frame fan-out, feature norm 1") {
     val docs = Tables.documents(spark, sf)
     val feats = Multimodal.multimodalFeatures(docs)
