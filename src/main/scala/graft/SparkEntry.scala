@@ -345,6 +345,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     // degenerate-text filter: per-doc 3-gram self-repetition
     "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
+    // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
+    "doc_logprob" -> ((s, d) => Llm.unigramLogProb(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
@@ -1360,6 +1362,19 @@ object SparkEntry {
             FROM documents)
       WHERE word <> ''
       GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
+
+    // same tokenization; ln n - ln N mirrors the Scala shape exactly
+    "doc_logprob" -> """
+      WITH tf AS (SELECT doc_id, word, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY 1, 2),
+      uni AS (SELECT word, sum(tf) AS n FROM tf GROUP BY 1),
+      tot AS (SELECT sum(n) AS total FROM uni)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(sum(tf * (ln(n) - ln(total))) / sum(tf), 6) AS avg_logprob
+      FROM tf JOIN uni USING (word) CROSS JOIN tot
+      GROUP BY 1 ORDER BY doc_id""",
 
     // shares vocab_top's tokenization shape; both engines rank on the
     // 9dp-ROUNDED tf*ln(N/df) with a lexical tie-break

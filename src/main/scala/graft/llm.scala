@@ -509,6 +509,37 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model quality score — the classic cheap LM filter
+    * for training corpora (score each document by its mean token
+    * log-probability under the corpus's own unigram distribution;
+    * gibberish and vocabulary-poor boilerplate sit far from the corpus
+    * mode in opposite directions). ln p(w) = ln n(w) − ln N with N a
+    * driver-folded scalar, so the per-token term needs only the
+    * vocab-grain count join.
+    *
+    * Scale shape: one explode → (doc, word) tf aggregate (map-side
+    * combine), the corpus unigram counts re-aggregate THAT frame at
+    * vocab grain, and the score join is tf-grain ⋈ vocab-grain on the
+    * word key — postings-shaped, like bm25. The per-doc mean weights
+    * each token occurrence (Σ tf·ln p / Σ tf), computed from the tf
+    * frame, never re-exploded. 6dp rounding on both engines: the
+    * double sum over a document's distinct words is partition-order
+    * nondeterministic at ~1e-14, far inside 6dp. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tf = spread(documents)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("word").agg(sum("tf").as("n"))
+    val total = uni.agg(sum("n")).head().getLong(0)
+    tf.join(uni, "word")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round((sum(col("tf") * (log(col("n")) - math.log(total.toDouble))) /
+          sum(col("tf"))), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Self-repetition score — the standard degenerate-text filter in
     * training-data pipelines (machine-generated or boilerplate text
     * repeats its own n-grams). Per document: total / distinct 3-gram

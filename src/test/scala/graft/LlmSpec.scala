@@ -180,6 +180,20 @@ class LlmSpec extends SparkSpec {
     assert((bf & lsh).size.toDouble / bf.size >= 0.8)
   }
 
+  test("unigramLogProb: exact occurrence-weighted mean under the corpus unigram LM") {
+    import spark.implicits._
+    // n(a)=3, n(b)=1, N=4
+    val d = Seq((0L, "a a b"), (1L, "a")).toDF("doc_id", "text")
+    val out = Llm.unigramLogProb(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    def s(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == (3L, s((2 * math.log(3.0 / 4) + math.log(1.0 / 4)) / 3)))
+    assert(out(1L) == (1L, s(math.log(3.0 / 4))))
+    // the common-word-only doc scores higher than the one with a rare word
+    assert(out(1L)._2 > out(0L)._2)
+  }
+
   test("knnQuantized: int8 SQ recall@5 vs brute force >= 0.9") {
     // deterministic (affine codebook from global per-dim min/max, no
     // randomness): 8-bit cells lose ~1e-2 of cosine resolution, far
