@@ -424,6 +424,25 @@ object SparkEntry {
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
     "ca_cube" -> ((s, d) => Serving.caCube(fact(s, d))),
+    // explicit GROUPING SETS: only the grains asked for, no grand total
+    "ca_grouping_sets" -> ((s, d) => Serving.caGroupingSets(fact(s, d))),
+    // S-family: ORC source/sink round trip, same gate shape as csv_roundtrip
+    "orc_roundtrip" -> ((s, d) => {
+      val dir = orcMemo.getOrElseUpdate((s.hashCode, d), {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
+        Tables.orders(s, d).write.mode("overwrite").orc(tmp.toString)
+        tmp.toString
+      })
+      s.read.schema(Tables.orders(s, d).schema).orc(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Tables.moneySum(col("o_totalprice")).as("total"),
+          countDistinct("o_custkey").as("n_customers"),
+          min("o_orderdate").as("first_date"),
+          max("o_orderdate").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
     "vocab_top" -> ((s, d) => Llm.vocabTop(Tables.documents(s, d))),
     // bounded-memory heavy-hitters tier: Misra-Gries candidates + exact
     // broadcast-filtered recount — same oracle as the exact tier
@@ -565,6 +584,10 @@ object SparkEntry {
   // one line-delimited JSON copy of events per (session, sfDir), same
   // rationale as csvMemo
   private val jsonMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  // one ORC copy of orders per (session, sfDir), same rationale as csvMemo
+  private val orcMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The corpus-half dedup index (what a production ingest job maintains):
@@ -1128,6 +1151,29 @@ object SparkEntry {
         min(o_orderdate) AS first_date,
         max(o_orderdate) AS last_date
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the ORC reader must reproduce the parquet-path aggregate exactly
+    "orc_roundtrip" -> s"""
+      SELECT o_orderstatus, count(*) AS n,
+        ${ms("o_totalprice")} AS total,
+        count(DISTINCT o_custkey) AS n_customers,
+        min(o_orderdate) AS first_date,
+        max(o_orderdate) AS last_date
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "ca_grouping_sets" -> s"""
+      WITH f AS (
+        SELECT coalesce(n_name, 'Inconnu') AS pays,
+               year(o_orderdate) AS annee, o_totalprice
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE $V)
+      SELECT coalesce(pays, 'ALL') AS pays,
+             CAST(coalesce(annee, -1) AS BIGINT) AS annee,
+             ${ms("o_totalprice")} AS ca
+      FROM f GROUP BY GROUPING SETS ((pays, annee), (pays), (annee))
+      ORDER BY pays, annee""",
 
     "table_profile" -> """
       SELECT * FROM (

@@ -26,6 +26,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ca_grouping_sets: explicit grains, still one Expand and one agg shuffle") {
+    val p = plan("ca_grouping_sets")
+    assert(count(p, "Expand") == 1, p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    // three explicit sets — the Expand emits 3 rows per input, not
+    // cube's 4 (no grand-total grain was asked for). Checked on a
+    // literal frame: executing anything plan-equal to the memoized fact
+    // here would materialize its registered cache and flip every later
+    // plan gate to InMemoryTableScan
+    import spark.implicits._
+    val lit = Seq(("FRANCE", 1995L, 10.0), ("PERU", 1996L, 20.0))
+      .toDF("pays", "annee", "o_totalprice")
+    val rows = Serving.caGroupingSets(lit).collect()
+    assert(!rows.exists(r => r.getString(0) == "ALL" && r.getLong(1) == -1L))
+    assert(rows.length == 6) // 2 exact + 2 pays-only + 2 annee-only grains
+  }
+
   test("client_features: one agg shuffle + two-phase distinct, no extra join exchange") {
     val p = plan("client_features")
     // custkey agg (1) + exact countDistinct's (custkey, partkey) dedupe
