@@ -456,6 +456,10 @@ object SparkEntry {
     // power iteration isn't oracle-reproducible — GraphSpec pins values)
     "product_rank" -> ((s, d) =>
       Gold.productRank(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // single-source BFS over the co-purchase graph — the oracle-checked
+    // iterative graph op (exact distances vs a recursive CTE)
+    "copurchase_distance" -> ((s, d) =>
+      Gold.copurchaseDistance(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     // strict ordered funnel: view -> first later click -> first later purchase
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
@@ -1585,6 +1589,25 @@ object SparkEntry {
              count(*) AS n_events, count(DISTINCT user_id) AS n_users,
              round(sum(value), 2) AS total_value
       FROM events GROUP BY 1 ORDER BY k""",
+
+    // depth-bounded recursive UNION keeps every (node, dist) pair it
+    // reaches; min() collapses to BFS's first-reach distance. Both
+    // engines bound depth identically (emit dist <= 10)
+    "copurchase_distance" -> s"""
+      WITH RECURSIVE cp AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE $V),
+      e AS (SELECT c AS a, p AS b FROM cp UNION ALL SELECT p, c FROM cp),
+      s AS (SELECT min(p) AS seed FROM cp),
+      bfs AS (
+        SELECT seed AS node, 0 AS dist FROM s
+        UNION
+        SELECT e.b, bfs.dist + 1 FROM bfs JOIN e ON e.a = bfs.node
+        WHERE bfs.dist < 10)
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+             CAST(CASE WHEN node % 2 = 0 THEN node // 2 ELSE (node - 1) // 2 END AS BIGINT) AS node_key,
+             CAST(min(dist) AS BIGINT) AS dist
+      FROM bfs GROUP BY 1, 2 ORDER BY dist, kind, node_key""",
 
     // the oracle states the set semantics with INTERSECT/EXCEPT; the
     // engine's fused flag-aggregate must reproduce them exactly

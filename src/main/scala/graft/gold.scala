@@ -534,6 +534,33 @@ object Gold {
       .limit(k)
   }
 
+  /** Single-source BFS over the customer—part co-purchase graph (the
+    * same parity-encoded bipartite frame productRank walks), seeded at
+    * the smallest part node: "how many hops of shared purchasing
+    * separate every customer/product from this product". The
+    * oracle-checked member of the iterative-graph family —
+    * [[Graph.bfsDistances]] against DuckDB's depth-bounded recursive
+    * CTE, exact distances, no float tolerance. */
+  def copurchaseDistance(orders: DataFrame, lineitem: DataFrame,
+      maxDepth: Int = 10): DataFrame = {
+    val cp = validOrders(orders).select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = cp.select(col("c").as("a"), col("p").as("b"))
+      .unionByName(cp.select(col("p").as("a"), col("c").as("b")))
+    val seed = cp.agg(min("p")).head().getLong(0)
+    Graph.bfsDistances(edges, seed, maxDepth)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("part")).as("kind"),
+        when(pmod(col("node"), lit(2)) === 0, col("node") / 2)
+          .otherwise((col("node") - 1) / 2).cast("long").as("node_key"),
+        col("dist"))
+      .orderBy("dist", "kind", "node_key")
+  }
+
   private def yearCustomers(orders: DataFrame, y: Int) =
     validOrders(orders).filter(year(col("o_orderdate")) === y)
       .select(col("o_custkey")).distinct()

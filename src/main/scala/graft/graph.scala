@@ -172,4 +172,45 @@ object Graph {
     }
     ranks.orderBy(desc("rank"), col("id"))
   }
+
+  /** Single-source BFS distances over a directed edge list (`a`, `b`) —
+    * frontier expansion as DataFrame rounds: join the frontier through
+    * the edges, anti-join out already-visited nodes, repeat until the
+    * frontier drains or `maxDepth`. Exactly min-distance by
+    * construction (a node is labeled the first time it is reached), and
+    * — unlike the float power iteration — exactly oracle-checkable
+    * (DuckDB reproduces it with a depth-bounded recursive CTE + min()).
+    *
+    * Scale shape: edges are hash-partitioned on the probe key once and
+    * pinned via localCheckpoint (the pageRank discipline); each round
+    * shuffles only the frontier (≤ one BFS level) and the visited set,
+    * never re-exchanging the 2|E| frame. The per-round `count()` action
+    * is the termination probe — one scalar per level, the price of a
+    * data-dependent loop. */
+  def bfsDistances(edges: DataFrame, source: Long, maxDepth: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .repartition(col("a"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = dist
+    var d = 0L
+    var done = false
+    while (!done && d < maxDepth) {
+      val next = frontier.join(e, frontier("node") === e("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+        d += 1
+      }
+    }
+    dist
+  }
 }

@@ -130,4 +130,18 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     out.foreach(r => assert(r.getDouble(1) == general(r.getLong(0))))
   }
+
+  test("bfsDistances: first-reach levels, unreachable excluded, depth bound") {
+    // 1-2-3-4 chain with a shortcut 1-3; node 9 disconnected from 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val out = Graph.bfsDistances(edges, source = 1L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    // the shortcut wins: 3 is at 1 hop, 4 at 2 — and 9/10 never appear
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // depth bound truncates the frontier, keeping what was reached
+    val bounded = Graph.bfsDistances(edges, source = 1L, maxDepth = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(bounded == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }
