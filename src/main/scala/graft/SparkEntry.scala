@@ -72,6 +72,19 @@ object SparkEntry {
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     memoFrame("ngramPairs", s, d)(Llm.ngramJaccardPairsFrom(docShingles(s, d)))
 
+  /** The parity-encoded co-purchase pair frame both graph queries walk
+    * (product_rank's PageRank, copurchase_distance's BFS): the
+    * line-grain orders⋈lineitem join + distinct runs once per session. */
+  private def copurchase(s: SparkSession, d: String): DataFrame =
+    memoFrame("copurchase", s, d)(Gold.copurchasePairs(
+      Tables.orders(s, d), Tables.lineitem(s, d)))
+
+  /** The (doc_id, word, tf) term-frequency frame the text-ranking
+    * queries share (tfidf_top_terms, doc_logprob): one corpus explode +
+    * aggregate per session. */
+  private def docTf(s: SparkSession, d: String): DataFrame =
+    memoFrame("docTf", s, d)(Search.docTermFreq(Tables.documents(s, d)))
+
   private def feats(s: SparkSession, d: String): DataFrame =
     // cached: the threshold percentiles force one execution, scoring a
     // second, and three queries share the chain
@@ -346,11 +359,12 @@ object SparkEntry {
     // degenerate-text filter: per-doc 3-gram self-repetition
     "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
     // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
-    "doc_logprob" -> ((s, d) => Llm.unigramLogProb(Tables.documents(s, d))),
+    "doc_logprob" -> ((s, d) => Llm.unigramLogProbFrom(docTf(s, d))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
-    "tfidf_top_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d))),
+    "tfidf_top_terms" -> ((s, d) =>
+      Search.tfidfTopTermsFrom(docTf(s, d), Tables.documents(s, d).count())),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d))),
 
     // -- similarity search over embeddings --
@@ -454,12 +468,11 @@ object SparkEntry {
     "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
     // co-purchase PageRank (iterative graph ranking; rows-only — float
     // power iteration isn't oracle-reproducible — GraphSpec pins values)
-    "product_rank" -> ((s, d) =>
-      Gold.productRank(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "product_rank" -> ((s, d) => Gold.productRankFrom(copurchase(s, d))),
     // single-source BFS over the co-purchase graph — the oracle-checked
     // iterative graph op (exact distances vs a recursive CTE)
     "copurchase_distance" -> ((s, d) =>
-      Gold.copurchaseDistance(Tables.orders(s, d), Tables.lineitem(s, d))),
+      Gold.copurchaseDistanceFrom(copurchase(s, d))),
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     // strict ordered funnel: view -> first later click -> first later purchase
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),

@@ -272,13 +272,23 @@ object Gold {
     * spaces cannot collide. Gated rows-only (iterative float ranks are
     * not oracle-reproducible) + GraphSpec reference-value and
     * mass-conservation pins. */
-  def productRank(orders: DataFrame, lineitem: DataFrame, k: Int = 50,
-      iters: Int = 5): DataFrame = {
-    val cp = validOrders(orders).select("o_orderkey", "o_custkey")
+  /** Distinct (customer, part) co-purchase pairs, parity-encoded into
+    * one node-id space (even = customer·2, odd = part·2+1) — the shared
+    * bipartite frame both graph queries walk ([[productRank]],
+    * [[copurchaseDistance]]); SparkEntry memoizes it so the line-grain
+    * join + distinct runs once per session. */
+  def copurchasePairs(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    validOrders(orders).select("o_orderkey", "o_custkey")
       .join(lineitem.select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
       .distinct()
+
+  def productRank(orders: DataFrame, lineitem: DataFrame, k: Int = 50,
+      iters: Int = 5): DataFrame =
+    productRankFrom(copurchasePairs(orders, lineitem), k, iters)
+
+  def productRankFrom(cp: DataFrame, k: Int = 50, iters: Int = 5): DataFrame = {
     val edges = cp.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(cp.select(col("p").as("src"), col("c").as("dst")))
     // preDeduped: cp is distinct and the parity encoding makes the two
@@ -542,12 +552,10 @@ object Gold {
     * [[Graph.bfsDistances]] against DuckDB's depth-bounded recursive
     * CTE, exact distances, no float tolerance. */
   def copurchaseDistance(orders: DataFrame, lineitem: DataFrame,
-      maxDepth: Int = 10): DataFrame = {
-    val cp = validOrders(orders).select("o_orderkey", "o_custkey")
-      .join(lineitem.select("l_orderkey", "l_partkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
-      .distinct()
+      maxDepth: Int = 10): DataFrame =
+    copurchaseDistanceFrom(copurchasePairs(orders, lineitem), maxDepth)
+
+  def copurchaseDistanceFrom(cp: DataFrame, maxDepth: Int = 10): DataFrame = {
     val edges = cp.select(col("c").as("a"), col("p").as("b"))
       .unionByName(cp.select(col("p").as("a"), col("c").as("b")))
     val seed = cp.agg(min("p")).head().getLong(0)

@@ -197,17 +197,32 @@ object Graph {
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
     var d = 0L
+    var reached = 1L
     var done = false
     while (!done && d < maxDepth) {
-      val next = frontier.join(e, frontier("node") === e("a"))
-        .select(col("b").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+      // the frontier and the visited set are node-grain; while they fit
+      // the broadcast budget (same 4M gate as pageRank's rank vector,
+      // tracked from the counts the termination probe already takes),
+      // both the expansion join and the visited anti-join go map-side —
+      // the only per-round shuffle is the neighbor distinct
+      val small = reached <= 4000000L
+      val fr = if (small) broadcast(frontier) else frontier
+      // anti-join BEFORE distinct: the visited filter is map-side (under
+      // the broadcast gate) while distinct is the round's one shuffle —
+      // in late rounds most neighbors are already visited, so filtering
+      // first shrinks the shuffle to the genuinely-new nodes
+      val next = e.join(fr, e("a") === fr("node"))
+        .select(col("b").as("node"))
+        .join(if (small) broadcast(dist) else dist, Seq("node"), "left_anti")
+        .distinct()
         .withColumn("dist", lit(d + 1))
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      val n = next.count()
+      if (n == 0) done = true
       else {
         dist = dist.union(next).localCheckpoint()
         frontier = next
+        reached += n
         d += 1
       }
     }

@@ -525,11 +525,11 @@ object Llm {
     * frame, never re-exploded. 6dp rounding on both engines: the
     * double sum over a document's distinct words is partition-order
     * nondeterministic at ~1e-14, far inside 6dp. */
-  def unigramLogProb(documents: DataFrame): DataFrame = {
-    val tf = spread(documents)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+  def unigramLogProb(documents: DataFrame): DataFrame =
+    unigramLogProbFrom(Search.docTermFreq(documents))
+
+  /** [[unigramLogProb]] over a prebuilt [[Search.docTermFreq]] frame. */
+  def unigramLogProbFrom(tf: DataFrame): DataFrame = {
     val uni = tf.groupBy("word").agg(sum("tf").as("n"))
     val total = uni.agg(sum("n")).head().getLong(0)
     tf.join(uni, "word")

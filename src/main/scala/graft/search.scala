@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
 object Search {
 
   private def tokens(documents: DataFrame): DataFrame =
-    documents
+    Llm.spread(documents)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
+
+  /** The (doc_id, word, tf) term-frequency frame — the one corpus-sized
+    * pass every text-ranking operator starts from ([[tfidfTopTerms]],
+    * [[bm25]]'s exact shape, [[Llm.unigramLogProbFrom]]); SparkEntry
+    * memoizes it so the explode + aggregate runs once per session. */
+  def docTermFreq(documents: DataFrame): DataFrame =
+    tokens(documents).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
 
   /** Top-k TF-IDF terms per document. idf = ln(N / df) over raw df
     * (every word occurs somewhere, so df ≥ 1 and the ratio is finite).
@@ -40,10 +47,11 @@ object Search {
     * broadcast hint because a 100 TB corpus's vocabulary is itself large
     * while the Zipf head that actually matters still fits a shuffle.
     */
-  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    val n = documents.count() // one metadata-cheap action; the oracle inlines count(*)
-    val tf = tokens(documents).groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("tf"))
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame =
+    tfidfTopTermsFrom(docTermFreq(documents), documents.count(), k)
+
+  /** [[tfidfTopTerms]] over a prebuilt [[docTermFreq]] frame. */
+  def tfidfTopTermsFrom(tf: DataFrame, n: Long, k: Int = 3): DataFrame = {
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), col("word"))
     tf.join(df, "word")
