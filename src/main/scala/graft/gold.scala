@@ -524,9 +524,12 @@ object Gold {
     * = bought together more than chance — the cross-sell signal. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3,
       k: Int = 20): DataFrame = {
-    val items = lineitem
+    // cached: the frame feeds BOTH sides of the self-join, the order
+    // count, and the per-item frequencies — uncached, the scan+distinct
+    // executes four times (join sides get no automatic CSE)
+    val items = CacheOnce(lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+      .distinct())
     val nOrders = items.select("ok").distinct().count()
     val pairs = items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
