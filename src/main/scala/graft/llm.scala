@@ -531,7 +531,12 @@ object Llm {
   /** [[unigramLogProb]] over a prebuilt [[Search.docTermFreq]] frame. */
   def unigramLogProbFrom(tf: DataFrame): DataFrame = {
     val uni = tf.groupBy("word").agg(sum("tf").as("n"))
-    val total = uni.agg(sum("n")).head().getLong(0)
+    val totalRow = uni.agg(sum("n")).head()
+    // an all-empty corpus has no tokens: no documents to score, not an NPE
+    if (totalRow.isNullAt(0))
+      return tf.limit(0).select(col("doc_id"),
+        lit(0L).as("n_tokens"), lit(0.0).as("avg_logprob"))
+    val total = totalRow.getLong(0)
     tf.join(uni, "word")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"),
