@@ -1659,8 +1659,8 @@ object SparkEntry {
       p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
             WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
       SELECT n_view, n_click, n_purchase,
-             round(n_click / n_view, 6) AS conv_click,
-             round(n_purchase / n_click, 6) AS conv_purchase
+             round(CASE WHEN n_view > 0 THEN n_click / n_view END, 6) AS conv_click,
+             round(CASE WHEN n_click > 0 THEN n_purchase / n_click END, 6) AS conv_purchase
       FROM (SELECT (SELECT count(*) FROM v) AS n_view,
                    (SELECT count(*) FROM c) AS n_click,
                    (SELECT count(*) FROM p) AS n_purchase)""",

@@ -505,9 +505,13 @@ object Serving {
     val counts = v.agg(count(lit(1)).as("n_view")).crossJoin(
       c.agg(count(lit(1)).as("n_click"))).crossJoin(
       p.agg(count(lit(1)).as("n_purchase")))
+    // guarded: a funnel with an empty step reports NULL conversion, not
+    // an ANSI divide-by-zero failure
     counts.select(col("n_view"), col("n_click"), col("n_purchase"),
-      round(col("n_click") / col("n_view"), 6).as("conv_click"),
-      round(col("n_purchase") / col("n_click"), 6).as("conv_purchase"))
+      round(when(col("n_view") > 0, col("n_click") / col("n_view")), 6)
+        .as("conv_click"),
+      round(when(col("n_click") > 0, col("n_purchase") / col("n_click")), 6)
+        .as("conv_purchase"))
   }
 
   /** Time-range join: for every purchase, the count of the same user's

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck equivalence for the temporal event operators: random
+  * event streams (shared timestamps, clicks exactly on window bounds,
+  * users with one event type only) checked against brute-force driver
+  * references. The time-bin range join's subtlety is the bin
+  * quantization — the reference states the raw interval predicate, so
+  * any bin-edge slip (wrong probe bin, double count, boundary
+  * inclusion) falsifies immediately. */
+object EventsProps extends Properties("Events") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+
+  // minutes offset from a base hour; small ranges force same-bin and
+  // adjacent-bin collisions, exact-boundary deltas (60 min apart), ties
+  private val genEvent = for {
+    user <- Gen.choose(1L, 3L)
+    kind <- Gen.oneOf("click", "purchase", "view")
+    mins <- Gen.choose(0, 200)
+    secs <- Gen.oneOf(0, 1, 59)
+  } yield (user, kind, mins, secs)
+
+  private val genEvents = for {
+    n <- Gen.choose(1, 25)
+    es <- Gen.listOfN(n, genEvent)
+  } yield es.zipWithIndex.map { case ((u, k, m, s), i) =>
+    (i.toLong, u, k, m * 60L + s)
+  }
+
+  private def ts(offsetSec: Long): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .plusSeconds(offsetSec))
+
+  private def toDf(es: Seq[(Long, Long, String, Long)]) = {
+    import spark.implicits._
+    es.map { case (id, u, k, off) => (id, u, k, ts(off)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  property("clicksBeforePurchase equals the brute-force interval join") =
+    Prop.forAll(genEvents) { es =>
+      val purchases = es.filter(_._3 == "purchase")
+      val clicks = es.filter(_._3 == "click")
+      val expected = purchases.map { case (id, u, _, pOff) =>
+        id -> clicks.count { case (_, cu, _, cOff) =>
+          cu == u && cOff >= pOff - 3600 && cOff < pOff
+        }.toLong
+      }.toMap
+      val got = Serving.clicksBeforePurchase(toDf(es)).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_clicks")).toMap
+      got == expected
+    }
+
+  property("eventFunnel equals the brute-force strict-order walk") =
+    Prop.forAll(genEvents) { es =>
+      def firstAfter(u: Long, kind: String, after: Long): Option[Long] = {
+        val cands = es.collect {
+          case (_, eu, k, off) if eu == u && k == kind && off > after => off
+        }
+        if (cands.isEmpty) None else Some(cands.min)
+      }
+      val users = es.map(_._2).distinct
+      val v = users.flatMap(u =>
+        es.collect { case (_, eu, k, off) if eu == u && k == "view" => off }
+          .minOption.map(u -> _)).toMap
+      val c = v.flatMap { case (u, tv) => firstAfter(u, "click", tv).map(u -> _) }
+      val p = c.flatMap { case (u, tc) => firstAfter(u, "purchase", tc).map(u -> _) }
+      val r = Serving.eventFunnel(toDf(es)).head()
+      if (v.isEmpty)
+        r.getAs[Long]("n_view") == 0L
+      else
+        r.getAs[Long]("n_view") == v.size.toLong &&
+          r.getAs[Long]("n_click") == c.size.toLong &&
+          r.getAs[Long]("n_purchase") == p.size.toLong
+    }
+}
