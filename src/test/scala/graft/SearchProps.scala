@@ -54,6 +54,40 @@ object SearchProps extends Properties("Search") {
       got == expected
     }
 
+  // short alphabet + short words force dense deletion-neighborhood
+  // collisions: substitutions, insertions, deletions, and the FALSE
+  // candidates the exact verify must reject (distance-2 words that
+  // still share a deletion variant, e.g. "abc" ~ "cba" via gen overlap)
+  private val genVocabDoc = for {
+    n <- Gen.choose(1, 10)
+    ws <- Gen.listOfN(n, for {
+      len <- Gen.choose(3, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+  } yield ws.mkString(" ")
+
+  property("typoPairs finds exactly the levenshtein<=1 pairs (no candidate misses)") =
+    Prop.forAll(genVocabDoc) { text =>
+      import spark.implicits._
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val vocab = text.toLowerCase.split("\\s+").filter(_.length >= 3).distinct.sorted
+      val expected = (for {
+        i <- vocab.indices; j <- (i + 1) until vocab.length
+        if lev(vocab(i), vocab(j)) <= 1
+      } yield (vocab(i), vocab(j), lev(vocab(i), vocab(j)).toLong)).toSet
+      val got = Llm.typoPairs(Seq((1L, text)).toDF("id", "text"), "text").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      got == expected
+    }
+
   property("unigramLogProb matches a driver reference on random corpora") =
     Prop.forAll(genCorpus) { corpus =>
       import spark.implicits._
