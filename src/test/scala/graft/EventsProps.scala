@@ -58,6 +58,43 @@ object EventsProps extends Properties("Events") {
       got == expected
     }
 
+  property("eventsHopping equals the per-event 4-window expansion") =
+    Prop.forAll(genEvents) { es =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val df = toDf(es).withColumn("value", lit(1.0))
+      // reference: each event belongs to windows starting at its 15-min
+      // floor minus 0..3 slides; count per start
+      val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      val expected = es.flatMap { case (_, _, _, off) =>
+        val bucket = (base + off) / 900 * 900
+        (0 to 3).map(i => bucket - i * 900L)
+      }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+      val got = Serving.eventsHopping(df).collect().map(r =>
+        r.getAs[Timestamp]("w_start").getTime / 1000 ->
+          r.getAs[Long]("n_events")).toMap
+      got == expected
+    }
+
+  property("customerOverlap flag-aggregate equals driver set algebra (and the Intersect form)") =
+    Prop.forAll(Gen.listOfN(12, for {
+      cust <- Gen.choose(1L, 5L)
+      year <- Gen.oneOf(1994, 1995, 1996)
+      price <- Gen.oneOf(0.0, 10.0) // 0.0 = invalid, must be excluded
+    } yield (cust, year, price))) { rows =>
+      import spark.implicits._
+      val orders = rows.zipWithIndex.map { case ((c, y, p), i) =>
+        (i.toLong, c, "F", p, Timestamp.valueOf(s"$y-06-01 00:00:00"), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val a = rows.collect { case (c, 1994, p) if p > 0 => c }.toSet
+      val b = rows.collect { case (c, 1995, p) if p > 0 => c }.toSet
+      val expected = Seq((a & b).size.toLong, (a -- b).size.toLong, (b -- a).size.toLong)
+      val fused = Gold.customerOverlap(orders, 1994, 1995).head()
+      val sets = Gold.customerOverlapSets(orders, 1994, 1995).head()
+      fused.toSeq.take(3) == expected && sets.toSeq.take(3) == expected
+    }
+
   property("eventFunnel equals the brute-force strict-order walk") =
     Prop.forAll(genEvents) { es =>
       def firstAfter(u: Long, kind: String, after: Long): Option[Long] = {
