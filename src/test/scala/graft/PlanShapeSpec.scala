@@ -179,6 +179,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("customer_overlap: the fused flag-aggregate is ONE customer-keyed shuffle") {
+    // the doc claims single-shuffle vs the 3-scan intersect/except form —
+    // enforce it (the final 1-row agg needs no exchange; SinglePartition)
+    val p = plan("customer_overlap")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_hopping: row-local window expansion, one time-keyed shuffle") {
+    val p = plan("events_hopping")
+    // the ×4 expansion must stay inside the scan stage (no Expand-then-
+    // exchange-then-expand), with one aggregation exchange + the ORDER BY
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed scale tiers never degenerate to all-pairs") {
     // the exact tiers (dedup_embedding, knn_bruteforce) are O(N²) by
     // design; every bucketed/banded tier must keep candidate generation
