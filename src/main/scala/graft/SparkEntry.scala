@@ -360,6 +360,9 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
     // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
     "doc_logprob" -> ((s, d) => Llm.unigramLogProbFrom(docTf(s, d))),
+    // capstone keep/drop decisions with first-match-wins reasons
+    "corpus_filter" -> ((s, d) => Llm.corpusFilter(
+      Tables.documents(s, d), Llm.unigramLogProbFrom(docTf(s, d)))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
@@ -681,6 +684,60 @@ object SparkEntry {
     })
 
   // ------------------------------------------------------------- oracle SQL
+
+    // quality-family oracle bodies, shared with the corpus_filter capstone
+  private val textStatsSql = """
+      WITH s AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords
+        FROM documents),
+      s2 AS (
+        SELECT *,
+          round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+          round(n_stopwords * 1.0 / greatest(n_words, 1), 6) AS stopword_ratio,
+          round(n_letters * 1.0 / greatest(n_words, 1), 6) AS avg_word_len
+        FROM s)
+      SELECT *,
+        (4000 * least(n_words, 100)
+         + least((1500000 * n_stopwords) // greatest(n_words, 1), 300000)
+         + (300000 - least((3000000 * n_punct) // greatest(n_chars, 1), 300000))
+        ) / CAST(1000000 AS DOUBLE) AS quality_score
+      FROM s2 ORDER BY doc_id"""
+  private val repetitionSql = """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      g AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_repeat
+            FROM g GROUP BY 1)
+      SELECT d.doc_id,
+        coalesce(a.n_ngrams, 0) AS n_ngrams,
+        coalesce(a.n_distinct, 0) AS n_distinct,
+        coalesce(a.max_repeat, 0) AS max_repeat,
+        CASE WHEN coalesce(a.n_ngrams, 0) > 0
+             THEN round(1.0 - a.n_distinct * 1.0 / a.n_ngrams, 6)
+             ELSE 0.0 END AS repeat_frac
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
+  private val logProbSql = """
+      WITH tf AS (SELECT doc_id, word, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY 1, 2),
+      uni AS (SELECT word, sum(tf) AS n FROM tf GROUP BY 1),
+      tot AS (SELECT sum(n) AS total FROM uni)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(sum(tf * (ln(n) - ln(total))) / sum(tf), 6) AS avg_logprob
+      FROM tf JOIN uni USING (word) CROSS JOIN tot
+      GROUP BY 1 ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "silver_orders" -> s"""
@@ -1209,25 +1266,7 @@ object SparkEntry {
           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
       ORDER BY column_name""",
 
-    "repetition_score" -> """
-      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
-      sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
-             WHERE len(ws) >= 3),
-      g AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
-      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
-                   CAST(count(*) AS BIGINT) AS n_distinct,
-                   CAST(max(c) AS BIGINT) AS max_repeat
-            FROM g GROUP BY 1)
-      SELECT d.doc_id,
-        coalesce(a.n_ngrams, 0) AS n_ngrams,
-        coalesce(a.n_distinct, 0) AS n_distinct,
-        coalesce(a.max_repeat, 0) AS max_repeat,
-        CASE WHEN coalesce(a.n_ngrams, 0) > 0
-             THEN round(1.0 - a.n_distinct * 1.0 / a.n_ngrams, 6)
-             ELSE 0.0 END AS repeat_frac
-      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
-      ORDER BY d.doc_id""",
+    "repetition_score" -> repetitionSql,
 
     "sample_mix" -> """
       WITH s AS (SELECT doc_id, source,
@@ -1305,28 +1344,7 @@ object SparkEntry {
         fill - n_tokens AS tok_offset
       FROM pack ORDER BY grp, seq_id, tok_offset""",
 
-    "text_stats" -> """
-      WITH s AS (
-        SELECT doc_id,
-          CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
-          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
-          CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords
-        FROM documents),
-      s2 AS (
-        SELECT *,
-          round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
-          round(n_stopwords * 1.0 / greatest(n_words, 1), 6) AS stopword_ratio,
-          round(n_letters * 1.0 / greatest(n_words, 1), 6) AS avg_word_len
-        FROM s)
-      SELECT *,
-        (4000 * least(n_words, 100)
-         + least((1500000 * n_stopwords) // greatest(n_words, 1), 300000)
-         + (300000 - least((3000000 * n_punct) // greatest(n_chars, 1), 300000))
-        ) / CAST(1000000 AS DOUBLE) AS quality_score
-      FROM s2 ORDER BY doc_id""",
+    "text_stats" -> textStatsSql,
 
     "lang_id" -> """
       WITH h AS (
@@ -1427,17 +1445,25 @@ object SparkEntry {
       GROUP BY 1 ORDER BY n DESC, word LIMIT 50""",
 
     // same tokenization; ln n - ln N mirrors the Scala shape exactly
-    "doc_logprob" -> """
-      WITH tf AS (SELECT doc_id, word, count(*) AS tf
-                  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
-                        FROM documents)
-                  WHERE word <> '' GROUP BY 1, 2),
-      uni AS (SELECT word, sum(tf) AS n FROM tf GROUP BY 1),
-      tot AS (SELECT sum(n) AS total FROM uni)
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-             round(sum(tf * (ln(n) - ln(total))) / sum(tf), 6) AS avg_logprob
-      FROM tf JOIN uni USING (word) CROSS JOIN tot
-      GROUP BY 1 ORDER BY doc_id""",
+    "doc_logprob" -> logProbSql,
+
+    // the capstone composes the three audited quality oracles verbatim —
+    // identical thresholds and first-match-wins reason order as the engine
+    "corpus_filter" -> s"""
+      WITH ts AS (SELECT doc_id, quality_score FROM ($textStatsSql)),
+      rep AS (SELECT doc_id, repeat_frac FROM ($repetitionSql)),
+      lp AS (SELECT doc_id, avg_logprob FROM ($logProbSql)),
+      j AS (SELECT ts.doc_id, ts.quality_score, rep.repeat_frac, lp.avg_logprob
+            FROM ts JOIN rep USING (doc_id) LEFT JOIN lp USING (doc_id)),
+      d AS (SELECT *,
+              CASE WHEN quality_score < 0.5 THEN 'low_quality'
+                   WHEN repeat_frac > 0.05 THEN 'repetitive'
+                   WHEN avg_logprob IS NULL OR avg_logprob < -3.6 THEN 'unusual_lm'
+                   ELSE 'keep' END AS reason
+            FROM j)
+      SELECT doc_id, quality_score, repeat_frac, avg_logprob, reason,
+             CAST(reason = 'keep' AS BIGINT) AS keep
+      FROM d ORDER BY doc_id""",
 
     // shares vocab_top's tokenization shape; both engines rank on the
     // 9dp-ROUNDED tf*ln(N/df) with a lexical tie-break

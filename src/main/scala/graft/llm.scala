@@ -545,6 +545,35 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Capstone corpus filter — the production composition of the quality
+    * family: every document gets a keep/drop decision with a
+    * first-match-wins reason (heuristic quality floor → self-repetition
+    * ceiling → unigram-LM band), the shape a training-data pipeline
+    * actually materializes before sampling. Each component is its own
+    * audited operator ([[textStats]], [[repetitionScore]],
+    * [[unigramLogProbFrom]]); this joins their doc-grain outputs — three
+    * doc-keyed frames, so the joins are dimension-sized, and the LM
+    * score arrives via the shared term-frequency frame. A document the
+    * LM never saw (no tokens) fails the LM band, not the job. */
+  def corpusFilter(documents: DataFrame, logProb: DataFrame,
+      minQuality: Double = 0.5, maxRepeat: Double = 0.05,
+      minLogProb: Double = -3.6): DataFrame = {
+    val q = textStats(documents).select("doc_id", "quality_score")
+    val r = repetitionScore(documents).select("doc_id", "repeat_frac")
+    val l = logProb.select("doc_id", "avg_logprob")
+    val reason =
+      when(col("quality_score") < minQuality, "low_quality")
+        .when(col("repeat_frac") > maxRepeat, "repetitive")
+        .when(col("avg_logprob").isNull || col("avg_logprob") < minLogProb,
+          "unusual_lm")
+        .otherwise("keep")
+    q.join(r, Seq("doc_id")).join(l, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"), col("repeat_frac"),
+        col("avg_logprob"), reason.as("reason"))
+      .withColumn("keep", (col("reason") === "keep").cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Self-repetition score — the standard degenerate-text filter in
     * training-data pipelines (machine-generated or boilerplate text
     * repeats its own n-grams). Per document: total / distinct 3-gram

@@ -194,6 +194,35 @@ class LlmSpec extends SparkSpec {
     assert(out(1L)._2 > out(0L)._2)
   }
 
+  test("corpusFilter: every reason reachable, first-match-wins priority") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and a dog sat in the big tree"), // clean
+      (1L, "a b c a b c a b c a b c a b c"),         // repetitive
+      (2L, "zz yy ww vv uu tt"))                     // rare vocabulary
+      .toDF("doc_id", "text")
+    val lp = Llm.unigramLogProb(docs)
+    def vals(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double](c)).toMap
+    val q = vals(Llm.textStats(docs).select($"doc_id", $"quality_score"), "quality_score")
+    val rep = vals(Llm.repetitionScore(docs).select($"doc_id", $"repeat_frac"), "repeat_frac")
+    val l = vals(lp, "avg_logprob")
+    def reasons(minQ: Double, maxR: Double, minL: Double) =
+      Llm.corpusFilter(docs, lp, minQ, maxR, minL).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reason"), r.getAs[Long]("keep"))).toMap
+    // thresholds calibrated from the measured values so each rule fires
+    // on exactly one doc: doc 1 repeats, doc 2 is LM-unusual, doc 0 keeps
+    assert(rep(1L) > rep(0L) && l(2L) < l(0L))
+    val r1 = reasons(q.values.min - 1, (rep(0L) + rep(1L)) / 2, (l(0L) + l(2L)) / 2)
+    assert(r1(0L) == ("keep", 1L))
+    assert(r1(1L)._1 == "repetitive" && r1(1L)._2 == 0L)
+    assert(r1(2L)._1 == "unusual_lm")
+    // priority: a doc failing every rule reports the FIRST (quality)
+    val r2 = reasons(q.values.max + 1, -1.0, 999.0)
+    assert(r2.values.forall(_ == ("low_quality", 0L)))
+  }
+
   test("knnQuantized: int8 SQ recall@5 vs brute force >= 0.9") {
     // deterministic (affine codebook from global per-dim min/max, no
     // randomness): 8-bit cells lose ~1e-2 of cosine resolution, far
