@@ -85,6 +85,14 @@ object SparkEntry {
   private def docTf(s: SparkSession, d: String): DataFrame =
     memoFrame("docTf", s, d)(Search.docTermFreq(Tables.documents(s, d)))
 
+  /** Quality-family frames shared by their per-metric queries AND the
+    * corpus_filter capstone — one text-stats scan and one 3-gram pass
+    * per session. */
+  private def textStatsF(s: SparkSession, d: String): DataFrame =
+    memoFrame("textStats", s, d)(Llm.textStats(Tables.documents(s, d)))
+  private def repetitionF(s: SparkSession, d: String): DataFrame =
+    memoFrame("repetition", s, d)(Llm.repetitionScore(Tables.documents(s, d)))
+
   private def feats(s: SparkSession, d: String): DataFrame =
     // cached: the threshold percentiles force one execution, scoring a
     // second, and three queries share the chain
@@ -336,7 +344,7 @@ object SparkEntry {
     // recall floor in LlmSpec)
     "dedup_embedding" -> ((s, d) => Llm.dedupEmbedding(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Llm.dedupEmbeddingLsh(Tables.embeddings(s, d))),
-    "text_stats" -> ((s, d) => Llm.textStats(Tables.documents(s, d))),
+    "text_stats" -> ((s, d) => textStatsF(s, d)),
     // training-data hygiene: benchmark 3-gram decontamination (broadcast
     // bench set, corpus never shuffled) + PII detection/redaction stats
     "decontaminate" -> ((s, d) => Llm.decontaminate(Tables.documents(s, d))),
@@ -357,12 +365,13 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => Llm.piiScrub(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => Llm.langId(Tables.documents(s, d))),
     // degenerate-text filter: per-doc 3-gram self-repetition
-    "repetition_score" -> ((s, d) => Llm.repetitionScore(Tables.documents(s, d))),
+    "repetition_score" -> ((s, d) => repetitionF(s, d)),
     // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
     "doc_logprob" -> ((s, d) => Llm.unigramLogProbFrom(docTf(s, d))),
-    // capstone keep/drop decisions with first-match-wins reasons
-    "corpus_filter" -> ((s, d) => Llm.corpusFilter(
-      Tables.documents(s, d), Llm.unigramLogProbFrom(docTf(s, d)))),
+    // capstone keep/drop decisions with first-match-wins reasons, all
+    // three component frames shared with their per-metric queries
+    "corpus_filter" -> ((s, d) => Llm.corpusFilterFrom(
+      textStatsF(s, d), repetitionF(s, d), Llm.unigramLogProbFrom(docTf(s, d)))),
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
@@ -479,6 +488,8 @@ object SparkEntry {
     "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
     // strict ordered funnel: view -> first later click -> first later purchase
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
+    // first-order event-type transition matrix (Markov bigrams)
+    "event_transitions" -> ((s, d) => Serving.eventTransitions(Tables.events(s, d))),
     // batch hopping-window aggregate (hourly totals every 15 min)
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
     // semi-structured: typed from_json extraction of the props column
@@ -1674,6 +1685,23 @@ object SparkEntry {
         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
         (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_first,
         (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_second)""",
+
+    // consecutive pairs under the deterministic (ts, event_id) ordering;
+    // n/total is bigint/bigint -> double in both engines
+    "event_transitions" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      x AS (SELECT event_type AS next_type,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_type
+            FROM e),
+      pairs AS (SELECT prev_type, next_type, count(*) AS n FROM x
+                WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM pairs GROUP BY 1)
+      SELECT pairs.prev_type, pairs.next_type, pairs.n,
+             round(pairs.n / t.total, 6) AS p
+      FROM pairs JOIN t USING (prev_type)
+      ORDER BY prev_type, next_type""",
 
     // strict ordered funnel — each step's min-ts must fall AFTER the
     // previous step's; integer/integer division is double in both engines

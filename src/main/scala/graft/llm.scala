@@ -557,9 +557,18 @@ object Llm {
     * LM never saw (no tokens) fails the LM band, not the job. */
   def corpusFilter(documents: DataFrame, logProb: DataFrame,
       minQuality: Double = 0.5, maxRepeat: Double = 0.05,
+      minLogProb: Double = -3.6): DataFrame =
+    corpusFilterFrom(textStats(documents), repetitionScore(documents),
+      logProb, minQuality, maxRepeat, minLogProb)
+
+  /** [[corpusFilter]] over prebuilt component frames (what SparkEntry
+    * feeds from its shared memos — the stats scan and the 3-gram pass
+    * then run once per session across all their consumers). */
+  def corpusFilterFrom(stats: DataFrame, repetition: DataFrame,
+      logProb: DataFrame, minQuality: Double = 0.5, maxRepeat: Double = 0.05,
       minLogProb: Double = -3.6): DataFrame = {
-    val q = textStats(documents).select("doc_id", "quality_score")
-    val r = repetitionScore(documents).select("doc_id", "repeat_frac")
+    val q = stats.select("doc_id", "quality_score")
+    val r = repetition.select("doc_id", "repeat_frac")
     val l = logProb.select("doc_id", "avg_logprob")
     val reason =
       when(col("quality_score") < minQuality, "low_quality")

@@ -481,6 +481,28 @@ object Serving {
       .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
       .orderBy("w_start")
 
+  /** First-order event-type transition matrix (Markov bigrams): per
+    * user, consecutive event pairs under a deterministic (ts, event_id)
+    * ordering; per (prev, next) pair the count and its share of the
+    * prev-type's outgoing transitions — the sequence-model view of the
+    * log that the funnel's fixed path specializes. One user-keyed window
+    * pass (the same shuffle sessionization pays) and one pair-grain
+    * aggregate; the share re-aggregates the PAIR frame (event-type² rows),
+    * never the log. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("total"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") / col("total"), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Ordered conversion funnel over the event log: first view, first
     * click AFTER that view, first purchase AFTER that click — the strict
     * event-sequence semantics (a purchase preceding the user's first

@@ -104,6 +104,25 @@ class SearchSpec extends SparkSpec {
     assert(out(-1) == (2L, 24.0)) // unparseable and type-mismatched rows
   }
 
+  test("eventTransitions: per-user consecutive pairs, event_id breaks ts ties, shares sum to 1") {
+    val e = events(
+      // user 1: view -> click -> purchase; the click and purchase share a
+      // timestamp, so event_id (2 < 3) must decide the order
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 11:00:00", "click"),
+      (3L, 1L, "2024-01-01 11:00:00", "purchase"),
+      // user 2: view -> view -> click; no cross-user pair with user 1
+      (4L, 2L, "2024-01-01 09:00:00", "view"),
+      (5L, 2L, "2024-01-01 10:00:00", "view"),
+      (6L, 2L, "2024-01-01 11:00:00", "click"))
+    val out = Serving.eventTransitions(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(out == Map(
+      ("view", "click") -> (2L, 0.666667), ("view", "view") -> (1L, 0.333333),
+      ("click", "purchase") -> (1L, 1.0)))
+  }
+
   test("clicksBeforePurchase: closed-open [t-60min, t) bounds, bin-crossing match, zero row") {
     val e = events(
       (100L, 1L, "2024-01-01 12:00:00", "purchase"),
