@@ -490,6 +490,8 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
     // first-order event-type transition matrix (Markov bigrams)
     "event_transitions" -> ((s, d) => Serving.eventTransitions(Tables.events(s, d))),
+    // top per-session event-type paths (journey analysis)
+    "session_paths" -> ((s, d) => Serving.sessionPaths(Tables.events(s, d))),
     // batch hopping-window aggregate (hourly totals every 15 min)
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
     // semi-structured: typed from_json extraction of the props column
@@ -1685,6 +1687,23 @@ object SparkEntry {
         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
         (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_first,
         (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_second)""",
+
+    // ordered string_agg mirrors the engine's in-aggregate struct sort
+    "session_paths" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+            FROM x),
+      z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq FROM y),
+      p AS (SELECT user_id, session_seq,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM z GROUP BY 1, 2)
+      SELECT path, count(*) AS n_sessions FROM p
+      GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""",
 
     // consecutive pairs under the deterministic (ts, event_id) ordering;
     // n/total is bigint/bigint -> double in both engines

@@ -481,6 +481,37 @@ object Serving {
       .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
       .orderBy("w_start")
 
+  /** Top user journeys: the most common per-session event-type PATHS
+    * (path analysis — what the transition matrix marginalizes away and
+    * the funnel fixes in advance). Sessions split on the 30-min gap
+    * like eventSessions, but under a (ts, event_id) ordering because
+    * here order ties change the output string. The per-session path is
+    * built by sorting each session's (ts, id, type) structs INSIDE the
+    * aggregate — collect_list order is partition-dependent, sort_array
+    * makes it deterministic — and path frequencies re-aggregate the
+    * session-grain frame. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800,
+      k: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    tagged.groupBy("user_id", "session_seq")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        s => s("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(k)
+  }
+
   /** First-order event-type transition matrix (Markov bigrams): per
     * user, consecutive event pairs under a deterministic (ts, event_id)
     * ordering; per (prev, next) pair the count and its share of the

@@ -104,6 +104,21 @@ class SearchSpec extends SparkSpec {
     assert(out(-1) == (2L, 24.0)) // unparseable and type-mismatched rows
   }
 
+  test("sessionPaths: gap splits, in-session order by (ts, event_id), path counts") {
+    val e = events(
+      // user 1, session A: view>click (tied ts — ids 1 < 2 decide);
+      // then a 31-min gap opens session B: view
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:00", "click"),
+      (3L, 1L, "2024-01-01 10:31:00", "view"),
+      // user 2: one session view>click (29-min gap stays inside)
+      (4L, 2L, "2024-01-01 09:00:00", "view"),
+      (5L, 2L, "2024-01-01 09:29:00", "click"))
+    val out = Serving.sessionPaths(e).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sessions")).toMap
+    assert(out == Map("view>click" -> 2L, "view" -> 1L))
+  }
+
   test("eventTransitions: per-user consecutive pairs, event_id breaks ts ties, shares sum to 1") {
     val e = events(
       // user 1: view -> click -> purchase; the click and purchase share a
