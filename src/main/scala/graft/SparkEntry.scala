@@ -492,6 +492,27 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => Serving.eventTransitions(Tables.events(s, d))),
     // top per-session event-type paths (journey analysis)
     "session_paths" -> ((s, d) => Serving.sessionPaths(Tables.events(s, d))),
+    // gaps-and-islands -> SCD2 validity intervals (single exchange)
+    "user_state_intervals" -> ((s, d) =>
+      Serving.userStateIntervals(Tables.events(s, d))),
+    // RANGE-frame rolling 7 calendar days over sparse daily pre-aggregates
+    "events_rolling_range" -> ((s, d) =>
+      Serving.eventsRollingRange(Tables.events(s, d))),
+    // batch MERGE INTO: keyed changeset (U/D ops) applied to a base
+    // snapshot via one key-unique full-outer join
+    "merge_upsert" -> ((s, d) => Gold.mergeUpsert(
+      Gold.mergeBase(Tables.orders(s, d), "1995-12-31"),
+      Gold.mergeChanges(Tables.orders(s, d), "1995-12-31"))),
+    // triangle membership over the part-part co-occurrence graph
+    // (ordered-wedge enumeration; rank/reach/cohesion triple complete)
+    "copurchase_triangles" -> ((s, d) =>
+      Gold.copurchaseTriangles(Tables.lineitem(s, d))),
+    // first BPE merge round: char-pair counts at VOCAB grain off the
+    // shared term-frequency frame (pair expansion never sees the corpus)
+    "bpe_pairs" -> ((s, d) => Llm.bpePairsFrom(docTf(s, d))),
+    // iterated greedy merge learning (rows-only: the fold rewrite has no
+    // SQL statement; LlmSpec hand-computes the merge table)
+    "bpe_learn" -> ((s, d) => Llm.bpeLearn(docTf(s, d))),
     // batch hopping-window aggregate (hourly totals every 15 min)
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
     // semi-structured: typed from_json extraction of the props column
@@ -1511,6 +1532,51 @@ object SparkEntry {
       SELECT doc_id, round(sum(contrib), 9) AS score, count(*) AS n_terms
       FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
 
+    // MERGE semantics stated as the full-outer-join rewrite: matched U
+    // accumulates, matched D drops, unmatched U inserts, unmatched D no-ops
+    "merge_upsert" -> s"""
+      WITH base AS (SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(round(o_totalprice*100)) AS BIGINT) AS cents
+             FROM orders WHERE $V AND o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+      chg AS (SELECT o_custkey, count(*) AS c_n,
+               CAST(sum(round(o_totalprice*100)) AS BIGINT) AS c_cents,
+               CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+             FROM orders WHERE $V AND o_orderdate > DATE '1995-12-31' GROUP BY 1, 4)
+      SELECT coalesce(base.o_custkey, chg.o_custkey) AS o_custkey,
+             CAST(coalesce(base.n_orders, 0) + coalesce(chg.c_n, 0) AS BIGINT) AS n_orders,
+             round((coalesce(base.cents, 0) + coalesce(chg.c_cents, 0)) / 100.0, 2) AS total
+      FROM base FULL JOIN chg ON base.o_custkey = chg.o_custkey
+      WHERE chg.op IS NULL OR chg.op = 'U'
+      ORDER BY o_custkey""",
+
+    // ordered-wedge triangle enumeration (a<b<c); every triangle counts
+    // once for each of its three corners
+    "copurchase_triangles" -> """
+      WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT x.p AS a, y.p AS b
+            FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+      t AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT p_partkey, count(*) AS n_triangles
+      FROM (SELECT a AS p_partkey FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+      GROUP BY 1 ORDER BY n_triangles DESC, p_partkey LIMIT 20""",
+
+    // pair counts weighted by word frequency; tokenization identical to
+    // vocab_top's; generate_series(1,0) is empty so 1-char words vanish
+    "bpe_pairs" -> """
+      WITH v AS (SELECT word, count(*) AS n
+                 FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+                       FROM documents)
+                 WHERE word <> '' GROUP BY 1),
+      p AS (SELECT substr(word, i, 2) AS pair, n
+            FROM (SELECT word, n, unnest(generate_series(1, length(word) - 1)) AS i
+                  FROM v))
+      SELECT pair, CAST(sum(n) AS BIGINT) AS n
+      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""",
+
     "shuffle_deterministic" -> s"""
       SELECT doc_id,
              row_number() OVER (ORDER BY (doc_id + 7) * ${Prep.KnuthC} % 4294967296, doc_id) - 1 AS pos,
@@ -1722,7 +1788,37 @@ object SparkEntry {
       FROM pairs JOIN t USING (prev_type)
       ORDER BY prev_type, next_type""",
 
-    // strict ordered funnel — each step's min-ts must fall AFTER the
+    // islands via lag-change flag + running sum; valid_to closed by lead
+    "user_state_intervals" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      x AS (SELECT *, CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg FROM e),
+      z AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS state_seq FROM x),
+      g AS (SELECT user_id, state_seq, min(event_type) AS state,
+              min(ts) AS valid_from, count(*) AS n_events
+            FROM z GROUP BY 1, 2)
+      SELECT user_id, state_seq, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY state_seq) AS valid_to,
+             n_events
+      FROM g ORDER BY user_id, state_seq""",
+
+    // RANGE frame over integer epoch days — interval look-back across
+    // sparse dates (a rows-frame would widen across gaps)
+    "events_rolling_range" -> """
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+               CAST(sum(round(value*100)) AS BIGINT) AS cents
+             FROM events GROUP BY 1, 2),
+      x AS (SELECT *, (d - DATE '1970-01-01') AS dd FROM daily)
+      SELECT event_type, d, n, round(cents / 100.0, 2) AS total,
+             CAST(sum(n) OVER w AS BIGINT) AS roll_n,
+             round(CAST(sum(cents) OVER w AS BIGINT) / 100.0, 2) AS roll_total
+      FROM x
+      WINDOW w AS (PARTITION BY event_type ORDER BY dd
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, d""",
     // previous step's; integer/integer division is double in both engines
     "event_funnel" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

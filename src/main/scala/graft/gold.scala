@@ -637,4 +637,97 @@ object Gold {
       .select(col("n_first"), col("n_second"), col("n_union"),
         greatest(col("n_first") + col("n_second") - col("n_union"), lit(0L))
           .as("n_both_approx"))
+
+  // ------------------------------------------------------------ batch MERGE
+
+  /** Batch MERGE INTO semantics — the row-level upsert/delete every
+    * warehouse maintenance job needs and the reference only has in its
+    * Mongo upsert sink (load_to_mongo.py:38-52, `replace_one(upsert=
+    * True)`): apply a keyed changeset to a base snapshot in ONE pass.
+    *
+    *   - matched  + op U → UPDATE (here accumulate: base + delta — any
+    *     WHEN MATCHED expression slots into the same frame)
+    *   - matched  + op D → DELETE
+    *   - unmatched + op U → INSERT
+    *   - unmatched + op D → no-op (delete of an absent key)
+    *
+    * Shape: one full-outer join on the merge key. Both inputs arrive
+    * aggregated BY that key (each at most one row per key), so the join
+    * is key-unique on both sides — no row explosion — and when the base
+    * is a bucketed/partitioned table the changeset shuffle is the only
+    * exchange. Money accumulates in exact integer cents (long + long),
+    * divided once on output: adding two rounded doubles would reintroduce
+    * the partition-order fp noise [[Tables.moneySum]] exists to kill. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes, base("o_custkey") === changes("o_custkey"), "full_outer")
+      .filter(changes("op").isNull || changes("op") === "U")
+      .select(
+        coalesce(base("o_custkey"), changes("o_custkey")).as("o_custkey"),
+        (coalesce(base("n_orders"), lit(0L)) + coalesce(changes("c_n"), lit(0L)))
+          .as("n_orders"),
+        round((coalesce(base("cents"), lit(0L)) + coalesce(changes("c_cents"), lit(0L)))
+          / 100.0, 2).as("total"))
+      .orderBy("o_custkey")
+
+  /** Per-customer base snapshot through `cutoff` for [[mergeUpsert]]:
+    * cents stay integer so update accumulation is exact. */
+  def mergeBase(orders: DataFrame, cutoff: String): DataFrame =
+    validOrders(orders).filter(col("o_orderdate") <= lit(cutoff).cast("date"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(Tables.cents(col("o_totalprice"))).as("cents"))
+
+  /** Deterministic CDC changeset after `cutoff`: per-customer deltas,
+    * op = D for every 7th key (a stand-in for the op column a real CDC
+    * feed carries — Debezium/engine-agnostic, no randomness). */
+  def mergeChanges(orders: DataFrame, cutoff: String): DataFrame =
+    validOrders(orders).filter(col("o_orderdate") > lit(cutoff).cast("date"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("c_n"), sum(Tables.cents(col("o_totalprice"))).as("c_cents"))
+      .withColumn("op", when(col("o_custkey") % 7 === 0, lit("D")).otherwise(lit("U")))
+
+  // ------------------------------------------------------- triangle counting
+
+  /** Distinct part–part co-occurrence edges (two parts in the same order),
+    * kept ordered a &lt; b so every undirected edge exists exactly once.
+    * Same per-basket self-join shape as [[basket_pairs]]; TPC-H baskets
+    * are ≤7 lines so the quadratic blow-up is bounded — at open-web scale
+    * cap basket size first (the [[Skew]] note). */
+  def itemPairEdges(lineitem: DataFrame): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle membership over the co-occurrence graph — the
+    * third graph operator next to PageRank (rank) and BFS (reach):
+    * cohesion. Standard ordered-wedge enumeration: with edges kept
+    * a &lt; b, wedges are e1(a,b) ⋈ e2(b,c) (so a &lt; b &lt; c — each
+    * triangle materializes exactly once, no /6 correction), closed by a
+    * join against the (a,c) edge. Every triangle contributes to all
+    * three corners; top-k by membership, partkey tie-break.
+    *
+    * Scale shape: two equi-joins on edge endpoints — both plain shuffle
+    * joins that AQE can re-plan; the wedge frame never aggregates more
+    * than one mid-node's neighborhood per task. The known hazard is a
+    * celebrity node (deg² wedges on one key) — the mitigation at that
+    * point is degree-ordering (orient edges low-degree → high-degree),
+    * noted here, not needed at TPC-H degree distributions. */
+  def copurchaseTriangles(lineitem: DataFrame, k: Int = 20): DataFrame =
+    copurchaseTrianglesFrom(itemPairEdges(lineitem), k)
+
+  def copurchaseTrianglesFrom(e: DataFrame, k: Int = 20): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.select(col("a").as("b2"), col("b").as("c")).as("e2"),
+        col("e1.b") === col("e2.b2"))
+      .join(e.select(col("a").as("a3"), col("b").as("c3")).as("e3"),
+        col("e1.a") === col("e3.a3") && col("e2.c") === col("e3.c3"))
+      .select(col("e1.a"), col("e1.b"), col("e2.c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("p_partkey"))
+      .limit(k)
+  }
 }

@@ -650,6 +650,92 @@ object Llm {
       .orderBy(desc("n"), col("word"))
       .limit(k)
 
+  /** First BPE merge round: adjacent character-pair frequencies over the
+    * corpus, each word's pairs weighted by the word's total occurrence
+    * count — the statistic a byte-pair-encoding tokenizer build computes
+    * to pick its next merge.
+    *
+    * Scale shape: the corpus-sized pass is the shared (doc, word, tf)
+    * frame ([[Search.docTermFreq]], memoized by SparkEntry); this
+    * operator re-aggregates it to the VOCABULARY grain first and only
+    * then explodes characters — pair expansion runs over |vocab| rows,
+    * not over 100 TB of text. That vocab-not-corpus pivot is what makes
+    * iterated merge rounds feasible at scale: each round is a window
+    * over the (word, n) frame, never a re-scan.
+    * [[bpeLearn]] iterates this statistic into an actual merge table;
+    * LlmSpec pins both semantics on literal data. */
+  def bpePairsFrom(tf: DataFrame, k: Int = 50): DataFrame =
+    explodeOnce(tf.groupBy("word").agg(sum("tf").as("n")),
+      // sequence(1, len-1) with len<2 would run DESCENDING (Spark defaults
+      // step to -1 when start > stop) — guard 1-char words to an empty array
+      expr("""CASE WHEN char_length(word) < 2 THEN CAST(array() AS ARRAY<STRING>)
+             |ELSE transform(sequence(1, char_length(word) - 1),
+             |               i -> substring(word, i, 2)) END""".stripMargin),
+      "pair", col("n"))
+      .groupBy("pair")
+      .agg(sum("n").as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(k)
+
+  /** Iterated BPE merge learning — `rounds` greedy merge picks, the loop
+    * a tokenizer build actually runs. Each round: count adjacent symbol
+    * pairs over the weighted vocabulary (zip_with over the symbol
+    * arrays), pick the global top pair (count desc, then lexicographic —
+    * deterministic under ties), rewrite every word's symbol array with a
+    * left-to-right non-overlapping `aggregate` fold ("aaa" under (a,a)
+    * → ["aa","a"], the standard greedy semantics), repeat.
+    *
+    * The per-round driver hop is ONE row (the winning pair — the same
+    * scalar-to-driver shape as the global-max A4 pattern); everything
+    * else stays distributed at VOCABULARY grain, so 100 TB of corpus
+    * costs exactly one (doc, word, tf) pass up front and nothing per
+    * round. The merge rewrite is built with Column lambdas, not
+    * interpolated SQL text — corpus tokens containing quotes can't
+    * break the expression. Rows-only gate (DuckDB has no fold to state
+    * the rewrite); LlmSpec hand-computes the merge table on literal
+    * words. */
+  def bpeLearn(tf: DataFrame, rounds: Int = 5): DataFrame = {
+    val session = tf.sparkSession
+    import session.implicits._
+    var vocab = tf.groupBy("word").agg(sum("tf").as("n"))
+      .select(expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+        .as("syms"), col("n"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(explode(when(size(col("syms")) >= 2,
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            expr("slice(syms, 2, size(syms) - 1)"),
+            (a, b) => struct(a.as("x"), b.as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"),
+          col("n"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("n").as("n"))
+        .orderBy(desc("n"), col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, x, y, n))
+        vocab = vocab.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(x) && s === lit(y),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+            .otherwise(concat(acc, array(s)))).as("syms"), col("n"))
+          // each round's plan stacks a fold on the last; sever the
+          // lineage so round k doesn't re-run rounds 1..k-1's rewrites
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "x", "y", "n").orderBy("round")
+  }
+
   /** [[vocabTop]]'s bounded-memory scale tier. The exact form's hazard at
     * corpus scale is not the shuffle (partial aggregation bounds that to
     * |vocab per partition|) but the partial-aggregation HASH MAP itself:

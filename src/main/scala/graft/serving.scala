@@ -534,6 +534,60 @@ object Serving {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Gaps-and-islands → SCD2-style validity intervals: collapse each
+    * user's consecutive runs of the same event_type into
+    * [valid_from, valid_to) state rows, valid_to = next state's
+    * valid_from, NULL while current — the change-history shape a
+    * slowly-changing dimension build emits from an event feed.
+    *
+    * Scale shape: ONE user-keyed exchange feeds everything. The lag +
+    * running-sum windows share a (user_id | ts, event_id) sort; the
+    * island aggregate groups by (user_id, state_seq), which hash
+    * partitioning on user_id already clusters (subset rule — no second
+    * exchange); the closing lead window repartitions nothing either.
+    * PlanShapeSpec pins the single-exchange claim. */
+  def userStateIntervals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byUser).isNull ||
+          lag("event_type", 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("state_seq",
+        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "state_seq")
+      // event_type is constant within an island; min() keeps the agg
+      // algebraic instead of first() (order-dependent)
+      .agg(min("event_type").as("state"), min("ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead("valid_from", 1)
+        .over(Window.partitionBy("user_id").orderBy("state_seq")))
+      .select("user_id", "state_seq", "state", "valid_from", "valid_to", "n_events")
+      .orderBy("user_id", "state_seq")
+  }
+
+  /** Rolling 7-day totals per event type with a RANGE frame over epoch
+    * days — interval semantics over SPARSE dates: a day with no
+    * predecessor still looks back 6 calendar days, where the rows-frame
+    * form ([[dailyAnomaly]]) would silently widen across gaps. The
+    * window runs over the daily pre-aggregate (|types|×|days| rows), so
+    * the per-partition frame scan is trivially small no matter the log
+    * size; counts and cents both sum exactly (long), one division on
+    * output. */
+  def eventsRollingRange(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(Tables.cents(col("value"))).as("cents"))
+      .withColumn("dd", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy("event_type").orderBy("dd").rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("d"), col("n"),
+        round(col("cents") / 100.0, 2).as("total"),
+        sum("n").over(w).as("roll_n"),
+        round(sum("cents").over(w) / 100.0, 2).as("roll_total"))
+      .orderBy("event_type", "d")
+  }
+
   /** Ordered conversion funnel over the event log: first view, first
     * click AFTER that view, first purchase AFTER that click — the strict
     * event-sequence semantics (a purchase preceding the user's first

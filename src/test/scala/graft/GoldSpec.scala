@@ -596,4 +596,44 @@ class GoldSpec extends SparkSpec {
       "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0"))
     assert(out.forall(_._2 == (2L, 3.0)))
   }
+
+  test("mergeUpsert: all four MERGE branches, cents accumulate exactly") {
+    import spark.implicits._
+    val base = Seq((1L, 2L, 1010L), (2L, 1L, 500L), (7L, 3L, 700L))
+      .toDF("o_custkey", "n_orders", "cents")
+    val chg = Seq(
+      (1L, 1L, 245L, "U"),   // matched U  -> accumulate
+      (7L, 1L, 100L, "D"),   // matched D  -> delete
+      (9L, 2L, 400L, "U"),   // unmatched U -> insert
+      (14L, 1L, 100L, "D"))  // unmatched D -> no-op
+      .toDF("o_custkey", "c_n", "c_cents", "op")
+    val out = Gold.mergeUpsert(base, chg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    // 10.10 + 2.45 = 12.55 — exact in cents, where double addition of
+    // the rounded halves would be 12.549999…
+    assert(out.toSeq == Seq(
+      1L -> (3L, 12.55), 2L -> (1L, 5.0), 9L -> (2L, 4.0)))
+  }
+
+  test("mergeChanges: every 7th key tagged D, others U, cutoff honoured") {
+    val chg = Gold.mergeChanges(Tables.orders(spark, sf), "1995-12-31").collect()
+    assert(chg.nonEmpty)
+    assert(chg.forall(r =>
+      r.getAs[String]("op") == (if (r.getLong(0) % 7 == 0) "D" else "U")))
+  }
+
+  test("copurchaseTriangles: K4 gives 4 triangles (3 per corner), open wedge gives none") {
+    import spark.implicits._
+    val li = Seq(
+      // order 1 = K4 over parts 1..4 -> C(4,3)=4 triangles, 3 per node
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      // orders 2,3 build wedge 10-11-12 with NO closing 10-12 edge
+      (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L),
+      // order 4 repeats edge 1-2 (must dedupe, not double-count)
+      (4L, 1L), (4L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Gold.copurchaseTriangles(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }

@@ -490,4 +490,31 @@ class LlmSpec extends SparkSpec {
     val approx = Llm.vocabTopApprox(d, k = 10, m = 12).collect().map(_.mkString("|")).toSeq
     assert(exact.size == 10 && approx == exact, s"approx=$approx\nexact=$exact")
   }
+
+  test("bpePairsFrom: pairs weighted by word frequency, 1-char words contribute nothing") {
+    import spark.implicits._
+    val tf = Seq((1L, "low", 3L), (2L, "low", 2L), (1L, "lower", 2L), (2L, "l", 7L))
+      .toDF("doc_id", "word", "tf")
+    // low n=5 → lo,ow ×5 ; lower n=2 → lo,ow,we,er ×2 ; "l" → nothing
+    val out = Llm.bpePairsFrom(tf).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("lo" -> 7L, "ow" -> 7L, "er" -> 2L, "we" -> 2L))
+  }
+
+  test("bpeLearn: greedy rounds, merged symbols compose, non-overlapping left-to-right") {
+    import spark.implicits._
+    // vocabulary: "aaab"×3, "ab"×2.
+    // round 1 pairs: (a,a)×2·3=6  (a,b)×(3+2)=5 → merge (a,a)→"aa", n=6
+    //   rewrite: aaab→[aa,a,b] (greedy non-overlap), ab→[a,b]
+    // round 2 pairs: (aa,a)×3, (a,b)×3+2=5 → merge (a,b)→"ab", n=5
+    // round 3 pairs: (aa,a)×3, (aa,ab)… after rewrite aaab→[aa,a,b]→
+    //   wait: round-2 rewrite merges the (a,b) tail: [aa,ab]; ab→[ab]
+    // round 3 pairs: (aa,ab)×3 → merge, n=3
+    val tf = Seq((1L, "aaab", 3L), (2L, "ab", 2L)).toDF("doc_id", "word", "tf")
+    val out = Llm.bpeLearn(tf, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    // round 4 finds no pair anywhere (every word is one symbol) — the
+    // loop must stop at 3 merges, not emit a degenerate row
+  }
 }

@@ -208,4 +208,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
   }
+
+  test("user_state_intervals: ONE data exchange feeds both windows, the island agg and the lead") {
+    val p = plan("user_state_intervals")
+    // lag/running-sum windows share the (user_id | ts,event_id) sort; the
+    // (user_id, state_seq) aggregate and the lead window are clustered by
+    // the user_id partitioning already (subset rule) — a second hash
+    // exchange here means the fusion regressed
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    // the ORDER BY contract stays a single range exchange
+    assert(count(p, "Exchange rangepartitioning") == 1, p)
+  }
+
+  test("merge_upsert: full-outer join rides the two aggregate exchanges, filters pushed") {
+    val p = plan("merge_upsert")
+    // one exchange per aggregated side; the key-unique full-outer join
+    // must NOT add a third
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(count(p, "SortMergeJoin") == 1, p)
+    // cutoff + validity predicates reach both parquet scans
+    assert(count(p, "PushedFilters: [IsNotNull(o_totalprice), IsNotNull(o_orderdate)") == 2, p)
+  }
 }

@@ -155,4 +155,45 @@ class SearchSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_clicks")).toMap
     assert(out == Map(100L -> 2L, 200L -> 1L, 300L -> 0L))
   }
+
+  test("userStateIntervals: runs collapse, valid_to chains, revisited state opens a NEW island") {
+    val e = events(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "view"),    // same run
+      (3L, 1L, "2024-01-01 10:10:00", "click"),   // change
+      (4L, 1L, "2024-01-01 10:20:00", "view"),    // back to view — new island
+      // user 2: tied ts, event_id decides (5 < 6: click then view)
+      (6L, 2L, "2024-01-01 09:00:00", "view"),
+      (5L, 2L, "2024-01-01 09:00:00", "click"))
+    val out = Serving.userStateIntervals(e).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Long]("n_events")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "view",  Some("2024-01-01 10:10:00.0"), 2L),
+      (1L, 2L, "click", Some("2024-01-01 10:20:00.0"), 1L),
+      (1L, 3L, "view",  None,                          1L),
+      (2L, 1L, "click", Some("2024-01-01 09:00:00.0"), 1L),
+      (2L, 2L, "view",  None,                          1L)))
+  }
+
+  test("eventsRollingRange: calendar look-back, gaps NOT bridged, types isolated") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "view",  "2024-01-01 10:00:00", 1.0),
+      (2L, "view",  "2024-01-05 10:00:00", 2.0),  // 4 days later: inside 7d
+      (3L, "view",  "2024-01-20 10:00:00", 4.0),  // gap — a rows-frame would
+                                                  // wrongly reach back to Jan 5
+      (4L, "click", "2024-01-03 10:00:00", 8.0))  // other type: never leaks
+      .toDF("event_id", "event_type", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = Serving.eventsRollingRange(e).collect().map(r =>
+      (r.getString(0), r.getAs[java.sql.Date]("d").toString) ->
+        (r.getAs[Long]("roll_n"), r.getAs[Double]("roll_total"))).toMap
+    assert(out == Map(
+      ("view", "2024-01-01")  -> (1L, 1.0),
+      ("view", "2024-01-05")  -> (2L, 3.0),
+      ("view", "2024-01-20")  -> (1L, 4.0),
+      ("click", "2024-01-03") -> (1L, 8.0)))
+  }
 }
