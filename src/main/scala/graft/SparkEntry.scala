@@ -513,6 +513,40 @@ object SparkEntry {
     // iterated greedy merge learning (rows-only: the fold rewrite has no
     // SQL statement; LlmSpec hand-computes the merge table)
     "bpe_learn" -> ((s, d) => Llm.bpeLearn(docTf(s, d))),
+    // temperature-weighted domain-mixing plan (shares ∝ n^0.7)
+    "sample_temperature" -> ((s, d) => Prep.sampleTemperature(Tables.documents(s, d))),
+    // order-independent modular row checksum (migration validation: one
+    // scan, commutative combine, no sort)
+    "table_checksum" -> ((s, d) => Catalog.tableChecksum(Tables.orders(s, d))),
+    // Pearson correlations from exact decimal moment sums (mergeable form)
+    "feature_corr" -> ((s, d) => Gold.featureCorr(feats(s, d))),
+    // deterministic 50/50 experiment read-out with Welch's t
+    "ab_metrics" -> ((s, d) => Gold.abMetrics(Tables.orders(s, d))),
+    // robust (median/MAD) twin of gold_daily_anomaly
+    "gold_daily_anomaly_robust" -> ((s, d) =>
+      Serving.dailyAnomalyRobust(fact(s, d))),
+    // schema evolution: v1 files lack o_orderdate; the mergeSchema read
+    // must surface it as null for v1 rows and aggregate across both
+    "schema_evolution" -> ((s, d) => {
+      val (v1, v2) = evoMemo.getOrElseUpdate((s.hashCode, d), {
+        val base = java.nio.file.Files.createTempDirectory("graft_evo")
+        sys.addShutdownHook(Streams.deleteRec(base.toFile))
+        val o = Tables.orders(s, d)
+        o.filter(year(col("o_orderdate")) <= 1995).drop("o_orderdate")
+          .write.mode("overwrite").parquet(s"$base/v1")
+        o.filter(year(col("o_orderdate")) > 1995)
+          .write.mode("overwrite").parquet(s"$base/v2")
+        (s"$base/v1", s"$base/v2")
+      })
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Tables.moneySum(col("o_totalprice")).as("total"),
+          count(col("o_orderdate")).as("n_dated"),
+          min("o_orderdate").as("first_date"),
+          max("o_orderdate").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
     // batch hopping-window aggregate (hourly totals every 15 min)
     "events_hopping" -> ((s, d) => Serving.eventsHopping(Tables.events(s, d))),
     // semi-structured: typed from_json extraction of the props column
@@ -643,6 +677,11 @@ object SparkEntry {
   // one ORC copy of orders per (session, sfDir), same rationale as csvMemo
   private val orcMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  // two-generation parquet layout (v1 lacks o_orderdate) for the
+  // mergeSchema evolution read, same lifecycle as orcMemo
+  private val evoMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
 
   /** The corpus-half dedup index (what a production ingest job maintains):
     * doc-level sha2 hashes and (doc_id, n, shingle-hash) rows for
@@ -1531,6 +1570,128 @@ object SparkEntry {
             FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
       SELECT doc_id, round(sum(contrib), 9) AS score, count(*) AS n_terms
       FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // the Horner fold restated one step per CTE; DuckDB date-date is
+    // already integer days
+    "table_checksum" -> """
+      WITH s0 AS (SELECT o_orderkey % 2147483647 AS acc,
+               o_custkey % 2147483647 AS v1,
+               ascii(o_orderstatus) AS v2,
+               CAST(round(o_totalprice*100) AS BIGINT) % 2147483647 AS v3,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS v4
+             FROM orders),
+      s1 AS (SELECT (acc * 1000003 + v1) % 2147483647 AS acc, v2, v3, v4 FROM s0),
+      s2 AS (SELECT (acc * 1000003 + v2) % 2147483647 AS acc, v3, v4 FROM s1),
+      s3 AS (SELECT (acc * 1000003 + v3) % 2147483647 AS acc, v4 FROM s2),
+      s4 AS (SELECT (acc * 1000003 + v4) % 2147483647 AS acc FROM s3)
+      SELECT count(*) AS n_rows, CAST(sum(acc) AS BIGINT) AS checksum FROM s4""",
+
+    // keep_rate reads the ROUNDED share (the engine computes it from the
+    // published 6dp share, so the oracle must too)
+    "sample_temperature" -> """
+      WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      t AS (SELECT source, n_docs, pow(n_docs, 0.7) AS w FROM s)
+      SELECT source, n_docs, round(w, 6) AS weight,
+             round(w / sum(w) OVER (), 6) AS share,
+             round(least(1.0, 1000 * round(w / sum(w) OVER (), 6) / n_docs), 6)
+               AS keep_rate
+      FROM t ORDER BY source""",
+
+    // correlations restated from the same exact integer moments — never
+    // from a float-summing corr() aggregate
+    "feature_corr" -> s"""$featsCte,
+      mom AS (SELECT count(*) AS n,
+        sum(freq_12m) AS sx,
+        sum(CAST(round(monetary_12m*100) AS BIGINT)) AS sy,
+        sum(recency_days) AS sz,
+        sum(freq_12m*freq_12m) AS sxx,
+        sum(CAST(round(monetary_12m*100) AS BIGINT)*CAST(round(monetary_12m*100) AS BIGINT)) AS syy,
+        sum(recency_days*recency_days) AS szz,
+        sum(freq_12m*CAST(round(monetary_12m*100) AS BIGINT)) AS sxy,
+        sum(freq_12m*recency_days) AS sxz,
+        sum(CAST(round(monetary_12m*100) AS BIGINT)*recency_days) AS syz
+        FROM feats)
+      SELECT x_name, y_name, CAST(n AS BIGINT) AS n, corr FROM (
+        SELECT 'freq_12m' AS x_name, 'monetary_12m' AS y_name, n,
+          round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+            sqrt((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                 (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr
+        FROM mom
+        UNION ALL
+        SELECT 'freq_12m', 'recency_days', n,
+          round((n*CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sz AS DOUBLE)) /
+            sqrt((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                 (n*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))), 6)
+        FROM mom
+        UNION ALL
+        SELECT 'monetary_12m', 'recency_days', n,
+          round((n*CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sz AS DOUBLE)) /
+            sqrt((n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) *
+                 (n*CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))), 6)
+        FROM mom)
+      ORDER BY x_name, y_name""",
+
+    // the Welch read-out from exact cents moments; hash split identical
+    // to split_assign's integer twin
+    "ab_metrics" -> s"""
+      WITH s AS (SELECT
+          CASE WHEN floor(((o_custkey + 17) * 2654435761) % 4294967296 * 100
+                          / 4294967296) < 50 THEN 1 ELSE 0 END AS a,
+          CAST(round(o_totalprice*100) AS BIGINT) AS c
+        FROM orders WHERE $V),
+      m AS (SELECT
+          CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(1 - a) AS BIGINT) AS n_b,
+          sum(CASE WHEN a = 1 THEN c ELSE 0 END) AS s_a,
+          sum(CASE WHEN a = 0 THEN c ELSE 0 END) AS s_b,
+          sum(CASE WHEN a = 1 THEN c*c ELSE 0 END) AS ss_a,
+          sum(CASE WHEN a = 0 THEN c*c ELSE 0 END) AS ss_b
+        FROM s),
+      r AS (SELECT n_a, n_b,
+          CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+          CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+          (n_a * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE))
+            / (n_a * (n_a - 1)) / 10000.0 AS var_a,
+          (n_b * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE))
+            / (n_b * (n_b - 1)) / 10000.0 AS var_b
+        FROM m)
+      SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+             round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+             round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS welch_t
+      FROM r""",
+
+    // is_anomaly reads the ROUNDED z, like the engine's withColumn chain
+    "gold_daily_anomaly_robust" -> s"""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca
+        FROM orders WHERE $V GROUP BY 1),
+      b AS (SELECT min(jour) AS lo, max(jour) AS hi FROM d),
+      m AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS jour
+            FROM b),
+      sr AS (SELECT m.jour, coalesce(d.ca, 0.0) AS ca
+             FROM m LEFT JOIN d ON m.jour = d.jour),
+      st AS (SELECT quantile_cont(ca, 0.5) AS med FROM sr),
+      st2 AS (SELECT quantile_cont(abs(ca - (SELECT med FROM st)), 0.5) AS mad FROM sr),
+      z AS (SELECT jour, ca,
+              round((ca - (SELECT med FROM st)) /
+                nullif(1.4826 * (SELECT mad FROM st2), 0.0), 6) AS robust_z
+            FROM sr)
+      SELECT jour, ca, robust_z,
+             coalesce(abs(robust_z) > 3.5, false) AS is_anomaly
+      FROM z ORDER BY jour""",
+
+    // v1 rows (≤1995, written without the column) must read back as null
+    "schema_evolution" -> s"""
+      WITH u AS (SELECT o_orderstatus, o_totalprice,
+               CASE WHEN year(o_orderdate) > 1995 THEN o_orderdate END AS o_orderdate
+             FROM orders)
+      SELECT o_orderstatus, count(*) AS n,
+             ${ms("o_totalprice")} AS total,
+             count(o_orderdate) AS n_dated,
+             min(o_orderdate) AS first_date,
+             max(o_orderdate) AS last_date
+      FROM u GROUP BY 1 ORDER BY 1""",
 
     // MERGE semantics stated as the full-outer-join rewrite: matched U
     // accumulates, matched D drops, unmatched U inserts, unmatched D no-ops

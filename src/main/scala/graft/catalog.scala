@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SQL surface (reference serving read path, SURVEY §3 entry point 3: the
@@ -71,6 +71,32 @@ object Catalog {
       .selectExpr(
         s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct)")
       .orderBy("column_name")
+  }
+
+  /** Order-independent table checksum — the migration/backfill
+    * validation primitive: "did the copy preserve every row?" answered
+    * in ONE scan with NO sort and NO row movement beyond a 1-row
+    * partial per task. Each row folds its canonical column values into
+    * a modular polynomial hash (Horner over modulus M = 2³¹−1, every
+    * intermediate &lt; 2⁶² so neither engine's bigint overflows — DuckDB
+    * THROWS on bigint overflow, so wraparound hashes aren't portable);
+    * the table digest is the plain SUM of row hashes, which any
+    * partition order and any partial-aggregation tree reproduces
+    * bit-for-bit. Two snapshots match ⇔ (n_rows, checksum) match (up
+    * to the polynomial's collision bound; for adversarial settings
+    * swap in a crypto hash — the SHAPE, one scan + commutative
+    * combine, is the point at 100 TB). */
+  def tableChecksum(orders: DataFrame): DataFrame = {
+    val M = 2147483647L
+    val A = 1000003L
+    def step(acc: Column, v: Column): Column = (acc * A + v) % M
+    val h = step(step(step(step(
+      col("o_orderkey") % M,
+      col("o_custkey") % M),
+      ascii(col("o_orderstatus"))),
+      Tables.cents(col("o_totalprice")) % M),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))))
+    orders.agg(count(lit(1)).as("n_rows"), sum(h).as("checksum"))
   }
 
   /** The reference API's `fetch_collection` shape

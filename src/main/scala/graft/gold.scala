@@ -685,6 +685,85 @@ object Gold {
       .agg(count(lit(1)).as("c_n"), sum(Tables.cents(col("o_totalprice"))).as("c_cents"))
       .withColumn("op", when(col("o_custkey") % 7 === 0, lit("D")).otherwise(lit("U")))
 
+  // ------------------------------------------- moment statistics / experiments
+
+  /** Pairwise Pearson correlation over the client feature triple
+    * (freq_12m, monetary_12m, recency_days) — computed from EXACT
+    * integer moment sums (decimal(38,0) — monetary in cents), with the
+    * float formula applied once to the exact scalars. Spark's `corr`
+    * aggregate sums doubles, which is partition-order-dependent in the
+    * last ulps and breaks cross-engine hashing; exact moments are also
+    * the MERGEABLE form (partials from disjoint slices combine
+    * losslessly — the same argument as [[Tables.moneySum]]). One
+    * aggregate pass produces all nine moments; the three pair rows are
+    * unpacked from that single row. */
+  def featureCorr(feats: DataFrame): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = feats.select(
+      col("freq_12m").as("x"),
+      Tables.cents(col("monetary_12m")).as("y"),
+      col("recency_days").as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("z"))).as("sz"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("y") * col("y"))).as("syy"),
+        sum(d38(col("z") * col("z"))).as("szz"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("z"))).as("sxz"),
+        sum(d38(col("y") * col("z"))).as("syz"))
+    def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+      def dbl(c: String) = col(c).cast("double")
+      round((col("n") * dbl(sxy) - dbl(sx) * dbl(sy)) /
+        sqrt((col("n") * dbl(sxx) - dbl(sx) * dbl(sx)) *
+             (col("n") * dbl(syy) - dbl(sy) * dbl(sy))), 6)
+    }
+    m.select(col("n"), explode(array(
+        struct(lit("freq_12m").as("x_name"), lit("monetary_12m").as("y_name"),
+          corr("sx", "sy", "sxx", "syy", "sxy").as("corr")),
+        struct(lit("freq_12m").as("x_name"), lit("recency_days").as("y_name"),
+          corr("sx", "sz", "sxx", "szz", "sxz").as("corr")),
+        struct(lit("monetary_12m").as("x_name"), lit("recency_days").as("y_name"),
+          corr("sy", "sz", "syy", "szz", "syz").as("corr")))).as("p"))
+      .select(col("p.x_name").as("x_name"), col("p.y_name").as("y_name"),
+        col("n"), col("p.corr").as("corr"))
+      .orderBy("x_name", "y_name")
+  }
+
+  /** A/B experiment read-out: deterministic 50/50 customer split (the
+    * [[Prep.hashPct]] hash — assignment is a pure function of the key,
+    * reproducible across reruns and engines), per-arm order-value mean
+    * and sample variance from exact cents moments, Welch's t on top.
+    * One conditional-aggregation pass over orders; nothing larger than
+    * a single row ever crosses the wire. */
+  def abMetrics(orders: DataFrame, seed: Long = 17L): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val a = Prep.hashPct(col("o_custkey"), seed) < 50
+    val cts = Tables.cents(col("o_totalprice"))
+    def dbl(c: String) = col(c).cast("double")
+    def mean(s: String, n: String) = dbl(s) / col(n) / 100.0
+    // sample variance in dollars²: (n·Sxx − Sx²) / (n·(n−1)) / 100²
+    def vari(s: String, ss: String, n: String) =
+      (col(n) * dbl(ss) - dbl(s) * dbl(s)) /
+        (col(n) * (col(n) - 1)) / 10000.0
+    validOrders(orders)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+        sum(when(a, d38(cts)).otherwise(d38(lit(0)))).as("s_a"),
+        sum(when(!a, d38(cts)).otherwise(d38(lit(0)))).as("s_b"),
+        sum(when(a, d38(cts * cts)).otherwise(d38(lit(0)))).as("ss_a"),
+        sum(when(!a, d38(cts * cts)).otherwise(d38(lit(0)))).as("ss_b"))
+      .select(col("n_a"), col("n_b"),
+        round(mean("s_a", "n_a"), 6).as("mean_a"),
+        round(mean("s_b", "n_b"), 6).as("mean_b"),
+        round(vari("s_a", "ss_a", "n_a"), 6).as("var_a"),
+        round(vari("s_b", "ss_b", "n_b"), 6).as("var_b"),
+        round((mean("s_a", "n_a") - mean("s_b", "n_b")) /
+          sqrt(vari("s_a", "ss_a", "n_a") / col("n_a") +
+               vari("s_b", "ss_b", "n_b") / col("n_b")), 6).as("welch_t"))
+  }
+
   // ------------------------------------------------------- triangle counting
 
   /** Distinct part–part co-occurrence edges (two parts in the same order),
@@ -702,29 +781,53 @@ object Gold {
 
   /** Per-node triangle membership over the co-occurrence graph — the
     * third graph operator next to PageRank (rank) and BFS (reach):
-    * cohesion. Standard ordered-wedge enumeration: with edges kept
-    * a &lt; b, wedges are e1(a,b) ⋈ e2(b,c) (so a &lt; b &lt; c — each
-    * triangle materializes exactly once, no /6 correction), closed by a
-    * join against the (a,c) edge. Every triangle contributes to all
-    * three corners; top-k by membership, partkey tie-break.
+    * cohesion. Degree-rank-oriented wedge enumeration (the node-iterator
+    * orientation from Schank &amp; Wagner / Suri-Vassilvitskii's MapReduce
+    * variant): re-orient every undirected edge from its lower- to its
+    * higher-(degree, id) endpoint. Each triangle then has EXACTLY one
+    * corner with two out-edges — its minimum-rank node — so wedges are
+    * an out-edge self-join on that corner, closed by a semi-join against
+    * the oriented edge set (the closing edge is guaranteed oriented
+    * v→w because rank is a total order). One materialization per
+    * triangle, no /6 correction, and the wedge count is bounded by
+    * Σ C(outdeg,2) with outdeg ≤ √(2·|E|) — THE property that keeps a
+    * celebrity node from generating deg² wedges at 100 TB (its edges all
+    * point INTO it, so it spawns no wedges at all; its low-degree
+    * neighbors each spawn few).
     *
-    * Scale shape: two equi-joins on edge endpoints — both plain shuffle
-    * joins that AQE can re-plan; the wedge frame never aggregates more
-    * than one mid-node's neighborhood per task. The known hazard is a
-    * celebrity node (deg² wedges on one key) — the mitigation at that
-    * point is degree-ordering (orient edges low-degree → high-degree),
-    * noted here, not needed at TPC-H degree distributions. */
+    * Scale shape: degrees are node-grain (AQE broadcasts the attach at
+    * any realistic |V|/|E| ratio); the self-join's two sides are the
+    * SAME oriented frame keyed on the same column, so Spark reuses one
+    * exchange; the close is a left-semi (build side dedup-free, no
+    * output amplification). Membership counting explodes the (u,v,w)
+    * triple — three rows per triangle — into one node-grain aggregate. */
   def copurchaseTriangles(lineitem: DataFrame, k: Int = 20): DataFrame =
     copurchaseTrianglesFrom(itemPairEdges(lineitem), k)
 
   def copurchaseTrianglesFrom(e: DataFrame, k: Int = 20): DataFrame = {
-    val tri = e.as("e1")
-      .join(e.select(col("a").as("b2"), col("b").as("c")).as("e2"),
-        col("e1.b") === col("e2.b2"))
-      .join(e.select(col("a").as("a3"), col("b").as("c3")).as("e3"),
-        col("e1.a") === col("e3.a3") && col("e2.c") === col("e3.c3"))
-      .select(col("e1.a"), col("e1.b"), col("e2.c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // rank(x) = (deg(x), x): a total order, ties broken by id
+    val ranked = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // consumed three times (both wedge sides + the close) — without the
+    // explicit cache each consumer re-runs the edge build and both
+    // degree attaches (measured 3× the whole query's cost at sf0.1)
+    val oriented = CacheOnce(ranked.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
+        .as("s"))
+      .select(col("s.u").as("u"), col("s.w").as("w"), col("s.dw").as("dw")))
+    val tri = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dw") < col("y.dw") ||
+            (col("x.dw") === col("y.dw") && col("x.w") < col("y.w"))))
+      .select(col("x.u").as("u"), col("x.w").as("v"), col("y.w").as("w"))
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), col("p_partkey"))

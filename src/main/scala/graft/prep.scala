@@ -34,6 +34,27 @@ object Prep {
     floor(pmod((id + lit(seed)) * lit(KnuthC), lit(M32)) * lit(100L)
       / lit(M32)).cast("long")
 
+  /** Temperature-weighted domain-mixing plan: per-source sampling shares
+    * ∝ n^α (α &lt; 1 up-weights small domains — the multilingual/domain
+    * rebalancing rule from the mT5/XLM-R line of work), plus the keep
+    * rate that hits a `budget`-document target. This PLANS the mix;
+    * [[sampleMix]] executes it row-wise. One source-grain aggregate —
+    * the share normalization runs over the |sources| frame on a global
+    * window, never the corpus. Doubles survive cross-engine hashing
+    * because both sides round the same pow/ratio shapes to 6dp. */
+  def sampleTemperature(documents: DataFrame, alpha: Double = 0.7,
+      budget: Long = 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", pow(col("n_docs"), lit(alpha)))
+      .withColumn("share", round(col("weight") / sum("weight").over(w), 6))
+      .withColumn("keep_rate",
+        round(least(lit(1.0), lit(budget) * col("share") / col("n_docs")), 6))
+      .withColumn("weight", round(col("weight"), 6))
+      .orderBy("source")
+  }
+
   /** Source-stratified sampling to a target mix: keep a row iff its hash
     * percentile falls under its source's rate (percent, 0-100). The
     * decision is per-row arithmetic — no shuffle, no state, and adding a

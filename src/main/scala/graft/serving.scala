@@ -56,6 +56,27 @@ object Serving {
     * serving-grain op, not a fact-grain one. Guards: a constant or
     * empty baseline (sd 0 / first day) yields null z via nullif, never
     * a division blow-up, and flags false. */
+  /** Robust twin of [[dailyAnomaly]]: global median / MAD instead of the
+    * rolling mean / stddev — a true outlier day cannot drag its own
+    * baseline (breakdown point 50% vs 0%). Median and MAD are exact
+    * two-phase `percentile` scalars (the A9 literal pattern — two
+    * one-row driver hops over the date-grain series; the fact subtree is
+    * the session-cached frame, so neither pass rescans orders). A
+    * constant series has MAD 0 → null z and no flag, mirrored via
+    * nullif on both engines. 1.4826·MAD is the normal-consistency
+    * sigma; 3.5 the standard robust-z cut (Iglewicz-Hoaglin). */
+  def dailyAnomalyRobust(fact: DataFrame, threshold: Double = 3.5): DataFrame = {
+    val d = dailyDense(fact)
+    val med = d.select(expr("percentile(ca, 0.5)")).first().getDouble(0)
+    val mad = d.select(expr(s"percentile(abs(ca - $med), 0.5)")).first().getDouble(0)
+    d.withColumn("robust_z",
+        round((col("ca") - lit(med)) / nullif(lit(1.4826 * mad), lit(0.0)), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .select("jour", "ca", "robust_z", "is_anomaly")
+      .orderBy("jour")
+  }
+
   def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("jour").rowsBetween(-7, -1)

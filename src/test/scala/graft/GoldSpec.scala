@@ -597,6 +597,60 @@ class GoldSpec extends SparkSpec {
     assert(out.forall(_._2 == (2L, 3.0)))
   }
 
+  test("dailyAnomalyRobust: spike flagged, baseline days not, MAD from the dense series") {
+    // 14 alternating 10/12 days then a 500 spike: median 12 is NOT
+    // dragged by the outlier (the rolling-mean form's weakness), MAD = 2
+    val rows = (1 to 14).map(i =>
+      Row(i.toLong, 1L, "O", if (i % 2 == 1) 10.0 else 12.0,
+        ts(f"2020-01-$i%02d 08:00:00"), "p")) :+
+      Row(99L, 1L, "O", 500.0, ts("2020-01-15 08:00:00"), "p")
+    val fact = ordersDf(rows).withColumn("jour", to_date(col("o_orderdate")))
+    val out = Serving.dailyAnomalyRobust(fact).collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    assert(out("2020-01-15").getBoolean(3))                  // spike flagged
+    assert(!out("2020-01-01").getBoolean(3))                 // 10.0 day: normal
+    // median lands between the alternating levels: sorted 15 values =
+    // seven 10s, seven 12s, 500 → median 12.0, so a 12-day has z 0
+    assert(out("2020-01-02").getDouble(2) == 0.0)
+  }
+
+  test("featureCorr: exact ±1 on perfectly (anti)correlated literal features") {
+    import spark.implicits._
+    val feats = Seq((1L, 1.0, 30L), (2L, 2.0, 20L), (3L, 3.0, 10L))
+      .toDF("freq_12m", "monetary_12m", "recency_days")
+    val out = Gold.featureCorr(feats).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // exact moments make these EXACTLY ±1.0, not 0.999999…
+    assert(out(("freq_12m", "monetary_12m")) == (3L, 1.0))
+    assert(out(("freq_12m", "recency_days")) == (3L, -1.0))
+    assert(out(("monetary_12m", "recency_days")) == (3L, -1.0))
+  }
+
+  test("abMetrics: per-arm moments match a reference computation under the same hash") {
+    val rows = (1 to 40).map(i =>
+      Row(i.toLong, i.toLong, "O", 10.0 + i, ts("2020-01-01 08:00:00"), "p"))
+    val out = Gold.abMetrics(ordersDf(rows)).collect()(0)
+    // reference arms from the same published hash definition
+    def arm(ck: Long) = (((ck + 17) * 2654435761L) % 4294967296L) * 100 / 4294967296L < 50
+    val (a, b) = (1 to 40).map(i => (arm(i), 10.0 + i)).partition(_._1)
+    def stats(v: Seq[Double]) = {
+      val c = v.map(x => math.round(x * 100))
+      val (n, s, ss) = (c.size.toLong, c.sum, c.map(x => x * x).sum)
+      (n, s.toDouble / n / 100.0,
+        (n * ss.toDouble - s.toDouble * s.toDouble) / (n * (n - 1)) / 10000.0)
+    }
+    val ((na, ma, va), (nb, mb, vb)) = (stats(a.map(_._2)), stats(b.map(_._2)))
+    // same HALF_UP 6dp rounding as Spark's round()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_a") == na && out.getAs[Long]("n_b") == nb)
+    assert(out.getAs[Double]("mean_a") == r6(ma))
+    assert(out.getAs[Double]("var_b") == r6(vb))
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(out.getAs[Double]("welch_t") - t) < 1e-5)
+  }
+
   test("mergeUpsert: all four MERGE branches, cents accumulate exactly") {
     import spark.implicits._
     val base = Seq((1L, 2L, 1010L), (2L, 1L, 500L), (7L, 3L, 700L))

@@ -31,6 +31,25 @@ class PrepSpec extends SparkSpec {
     assert(out.collect().toSeq == Prep.sampleMix(docs, rates, 50).collect().toSeq)
   }
 
+  test("sampleTemperature: α<1 up-weights small sources, budget caps at 1.0, shares sum to 1") {
+    import spark.implicits._
+    val d = ((1 to 100).map(i => (i.toLong, "big")) :+ (101L, "tiny"))
+      .toDF("doc_id", "source")
+    val out = Prep.sampleTemperature(d, alpha = 0.7, budget = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+          r.getAs[Double]("keep_rate"))).toMap
+    val (nb, shareBig, rateBig) = out("big")
+    val (nt, shareTiny, rateTiny) = out("tiny")
+    assert(nb == 100L && nt == 1L)
+    // proportional share would be 1/101 ≈ 0.0099 — temperature lifts it
+    assert(shareTiny > 0.03 && shareTiny < 0.05)
+    assert(math.abs(shareBig + shareTiny - 1.0) < 2e-6)
+    // tiny source wants 50·share/1 ≈ 1.9 docs — capped to keep-everything
+    assert(rateTiny == 1.0)
+    assert(rateBig > 0.4 && rateBig < 0.5)
+  }
+
   test("samplePerSource returns exactly min(k, group size) per source, stably") {
     val out = Prep.samplePerSource(docs, k = 5)
     val per = out.groupBy("source").count()

@@ -178,6 +178,21 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("tableChecksum: layout-invariant, single-row-sensitive, cross-run stable") {
+    val o = Tables.orders(spark, sf)
+    val base = Catalog.tableChecksum(o).collect()(0)
+    // order independence: any repartition/shuffle layout sums identically
+    val shuffled = Catalog.tableChecksum(o.repartition(7)).collect()(0)
+    assert(base.getLong(0) == shuffled.getLong(0) &&
+      base.getLong(1) == shuffled.getLong(1))
+    // sensitivity: one flipped cent on one row moves the digest
+    val tampered = Catalog.tableChecksum(o.withColumn("o_totalprice",
+      when(col("o_orderkey") === 7L, col("o_totalprice") + 0.01)
+        .otherwise(col("o_totalprice")))).collect()(0)
+    assert(base.getLong(0) == tampered.getLong(0))
+    assert(base.getLong(1) != tampered.getLong(1))
+  }
+
   test("tableProfileApprox: null counts exact, HLL distincts in-bound, no Expand in plan") {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority")
