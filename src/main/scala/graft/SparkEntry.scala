@@ -518,6 +518,12 @@ object SparkEntry {
     // order-independent modular row checksum (migration validation: one
     // scan, commutative combine, no sort)
     "table_checksum" -> ((s, d) => Catalog.tableChecksum(Tables.orders(s, d))),
+    // the sampling capstone: EXECUTE the temperature plan (broadcast the
+    // |sources|-row rate table, ppm-hash keep decision per row)
+    "sample_mix_temperature" -> ((s, d) =>
+      Prep.sampleMixTemperature(Tables.documents(s, d))),
+    // OLS trend from exact mergeable moments (no solver, one pass)
+    "spend_trend" -> ((s, d) => Serving.spendTrend(fact(s, d))),
     // Pearson correlations from exact decimal moment sums (mergeable form)
     "feature_corr" -> ((s, d) => Gold.featureCorr(feats(s, d))),
     // deterministic 50/50 experiment read-out with Welch's t
@@ -1692,6 +1698,56 @@ object SparkEntry {
              min(o_orderdate) AS first_date,
              max(o_orderdate) AS last_date
       FROM u GROUP BY 1 ORDER BY 1""",
+
+    // plan rates restated verbatim, then the ppm keep decision per doc
+    "sample_mix_temperature" -> """
+      WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      t AS (SELECT source, n_docs, pow(n_docs, 0.7) AS w FROM s),
+      p AS (SELECT source,
+              round(least(1.0, 1000 * round(w / sum(w) OVER (), 6) / n_docs), 6)
+                AS keep_rate
+            FROM t),
+      p2 AS (SELECT source, keep_rate,
+               CAST(round(keep_rate * 1000000) AS BIGINT) AS keep_ppm FROM p),
+      j AS (SELECT d.source, d.doc_id, p2.keep_ppm, p2.keep_rate
+            FROM documents d JOIN p2 USING (source))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN floor(((doc_id + 23) * 2654435761) % 4294967296
+                              * 1000000 / 4294967296) < keep_ppm
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        min(keep_rate) AS keep_rate
+      FROM j GROUP BY 1 ORDER BY source""",
+
+    // the dense-series prologue, then OLS as ratios of exact moments
+    "spend_trend" -> s"""
+      WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS jour, ${ms("o_totalprice")} AS ca
+        FROM orders WHERE $V GROUP BY 1),
+      b AS (SELECT min(jour) AS lo, max(jour) AS hi FROM d),
+      m AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS jour
+            FROM b),
+      sr AS (SELECT m.jour, coalesce(d.ca, 0.0) AS ca
+             FROM m LEFT JOIN d ON m.jour = d.jour),
+      x0 AS (SELECT (jour - (SELECT min(jour) FROM sr)) AS x,
+               CAST(round(ca*100) AS BIGINT) AS y FROM sr),
+      mom AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM x0)
+      SELECT CAST(n AS BIGINT) AS n,
+        round(((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+               (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+              / 100.0, 6) AS slope_per_day,
+        round((CAST(sy AS DOUBLE)/n -
+               (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+               (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (CAST(sx AS DOUBLE)/n)) / 100.0, 6) AS intercept,
+        round(((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) *
+               (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) /
+              ((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+              6) AS r2
+      FROM mom""",
 
     // MERGE semantics stated as the full-outer-join rewrite: matched U
     // accumulates, matched D drops, unmatched U inserts, unmatched D no-ops

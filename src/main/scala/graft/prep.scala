@@ -55,6 +55,34 @@ object Prep {
       .orderBy("source")
   }
 
+  /** Fractional-granularity hash in [0, 1e6) ppm — [[hashPct]]'s shape
+    * with 10⁴× finer buckets, for rates that aren't whole percents. */
+  private[graft] def hashPpm(id: Column, seed: Long): Column =
+    floor(pmod((id + lit(seed)) * lit(KnuthC), lit(M32)) * lit(1000000L)
+      / lit(M32)).cast("long")
+
+  /** EXECUTE the [[sampleTemperature]] plan — the sampling capstone:
+    * plan rates land on the corpus via a broadcast join on `source`
+    * (the plan is |sources| rows by construction — always broadcastable,
+    * at any corpus size), and each row keeps iff its ppm hash falls
+    * under its source's keep rate. The 6dp rate converts to an exact
+    * integer ppm threshold, so the float never meets the comparison.
+    * Output at source grain: planned rate vs realized keep. */
+  def sampleMixTemperature(documents: DataFrame, alpha: Double = 0.7,
+      budget: Long = 1000L, seed: Long = 23L): DataFrame = {
+    val plan = sampleTemperature(documents, alpha, budget)
+      .select(col("source"), col("keep_rate"),
+        round(col("keep_rate") * 1000000).cast("long").as("keep_ppm"))
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hashPpm(col("doc_id"), seed) < col("keep_ppm"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        min("keep_rate").as("keep_rate"))
+      .orderBy("source")
+  }
+
   /** Source-stratified sampling to a target mix: keep a row iff its hash
     * percentile falls under its source's rate (percent, 0-100). The
     * decision is per-row arithmetic — no shuffle, no state, and adding a

@@ -77,6 +77,42 @@ object Serving {
       .orderBy("jour")
   }
 
+  /** OLS revenue trend over the dense daily series, fitted from EXACT
+    * integer moment sums (epoch-day x, cents y — the [[Gold.featureCorr]]
+    * discipline): slope/intercept/R² are closed-form ratios of five
+    * mergeable scalars, so the "model fit" is one aggregation pass that
+    * partials combine losslessly at any scale — no solver, no iteration,
+    * no nondeterministic float summation. Slope reported in dollars/day,
+    * intercept in dollars at the epoch-day origin of the series' first
+    * day (x is re-based to day 0 so the intercept is interpretable and
+    * the moments stay small). */
+  def spendTrend(fact: DataFrame): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def dbl(c: String) = col(c).cast("double")
+    dailyDense(fact)
+      .select(
+        (datediff(col("jour"), min(col("jour"))
+          .over(Window.rowsBetween(Long.MinValue, Long.MaxValue)))).as("x"),
+        Tables.cents(col("ca")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("y") * col("y"))).as("syy"),
+        sum(d38(col("x") * col("y"))).as("sxy"))
+      .select(col("n"),
+        round(((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (col("n") * dbl("sxx") - dbl("sx") * dbl("sx"))) / 100.0, 6)
+          .as("slope_per_day"),
+        round((dbl("sy") / col("n") -
+          (col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            (dbl("sx") / col("n"))) / 100.0, 6).as("intercept"),
+        round(((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) *
+               (col("n") * dbl("sxy") - dbl("sx") * dbl("sy"))) /
+          ((col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+           (col("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("r2"))
+  }
+
   def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("jour").rowsBetween(-7, -1)

@@ -614,6 +614,19 @@ class GoldSpec extends SparkSpec {
     assert(out("2020-01-02").getDouble(2) == 0.0)
   }
 
+  test("spendTrend: exact slope/intercept/R² on a literal linear series") {
+    // three consecutive days at 10/20/30: slope exactly 10 $/day,
+    // intercept 10, R² 1.0 — exact because the moments are integers
+    val rows = Seq(
+      Row(1L, 1L, "O", 10.0, ts("2020-01-01 08:00:00"), "p"),
+      Row(2L, 1L, "O", 20.0, ts("2020-01-02 08:00:00"), "p"),
+      Row(3L, 1L, "O", 30.0, ts("2020-01-03 08:00:00"), "p"))
+    val fact = ordersDf(rows).withColumn("jour", to_date(col("o_orderdate")))
+    val r = Serving.spendTrend(fact).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 10.0 && r.getDouble(3) == 1.0)
+  }
+
   test("featureCorr: exact ±1 on perfectly (anti)correlated literal features") {
     import spark.implicits._
     val feats = Seq((1L, 1.0, 30L), (2L, 2.0, 20L), (3L, 3.0, 10L))

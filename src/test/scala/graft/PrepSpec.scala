@@ -50,6 +50,27 @@ class PrepSpec extends SparkSpec {
     assert(rateBig > 0.4 && rateBig < 0.5)
   }
 
+  test("sampleMixTemperature: realized keeps track planned rates, capped source keeps all") {
+    import spark.implicits._
+    val d = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 404).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    val out = Prep.sampleMixTemperature(d, alpha = 0.7, budget = 120)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("keep_rate"))).toMap
+    val (nb, kb, rb) = out("big")
+    val (nt, kt, rt) = out("tiny")
+    // tiny source's budgeted ask (120·share/4) exceeds 1 → capped, all kept
+    assert(rt == 1.0 && kt == nt)
+    // uncapped source: realized fraction within hash noise of the plan
+    assert(rb > 0.2 && rb < 0.4)
+    assert(math.abs(kb.toDouble / nb - rb) < 0.08,
+      s"realized ${kb.toDouble / nb} vs planned $rb")
+    // determinism: the decision is a pure function of (doc_id, seed)
+    assert(Prep.sampleMixTemperature(d, 0.7, 120).collect().toSeq ==
+      Prep.sampleMixTemperature(d, 0.7, 120).collect().toSeq)
+  }
+
   test("samplePerSource returns exactly min(k, group size) per source, stably") {
     val out = Prep.samplePerSource(docs, k = 5)
     val per = out.groupBy("source").count()
