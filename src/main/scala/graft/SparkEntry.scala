@@ -560,6 +560,13 @@ object SparkEntry {
     // streaming twin of events_hopping (same oracle): sliding window
     // under a watermark, state = slide-ratio x live windows
     "events_hopping_stream" -> ((s, d) => Streams.eventsHoppingStreamed(s, d)),
+    // sliding 6h distinct users hourly — exact (6x event expansion)…
+    "events_sliding_uniques" -> ((s, d) =>
+      Serving.eventsSlidingUniques(Tables.events(s, d))),
+    // …and the mergeable tier: hour-grain HLL sketches, 6-way unions
+    // (expansion moves to the 24-rows/day sketch frame; one corpus pass)
+    "events_sliding_uniques_approx" -> ((s, d) =>
+      Serving.eventsSlidingUniquesApprox(Tables.events(s, d))),
     // the SQL surface as a first-class API: the ca_monthly semantics as
     // pure SQL TEXT over the registered views (Catalyst plans it to the
     // same shape as the DataFrame form; same oracle)
@@ -2004,6 +2011,14 @@ object SparkEntry {
              round(pairs.n / t.total, 6) AS p
       FROM pairs JOIN t USING (prev_type)
       ORDER BY prev_type, next_type""",
+
+    // each event expanded to its 6 covering hour-grid window starts
+    "events_sliding_uniques" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      x AS (SELECT date_trunc('hour', ts) - to_hours(off) AS w_start, user_id
+            FROM (SELECT ts, user_id, unnest(generate_series(0, 5)) AS off FROM e))
+      SELECT w_start, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      FROM x GROUP BY 1 ORDER BY w_start""",
 
     // islands via lag-change flag + running sum; valid_to closed by lead
     "user_state_intervals" -> """

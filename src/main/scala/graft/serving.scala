@@ -538,6 +538,45 @@ object Serving {
       .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
       .orderBy("w_start")
 
+  /** Sliding 6-hour distinct users, evaluated hourly — EXACT tier.
+    * `window(ts, 6h, 1h)` expands each event into its 6 covering
+    * windows, then a per-window exact countDistinct. Correct, and the
+    * 100 TB hazard is explicit: the expansion multiplies the event
+    * stream by window/slide (6×) BEFORE the distinct shuffle.
+    * [[eventsSlidingUniquesApprox]] is the tier that deletes that
+    * multiplier. */
+  def eventsSlidingUniques(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("n_users"))
+      .orderBy("w_start")
+
+  /** Sketch tier of [[eventsSlidingUniques]]: ONE pass builds an
+    * hour-grain HLL++ sketch per hour (24 rows/day, each a
+    * constant-size mergeable summary), then every sliding window is a
+    * union of its 6 covering hour sketches — the window/slide expansion
+    * moves from the EVENT stream to the HOUR-GRAIN sketch frame, so the
+    * corpus is scanned exactly once however fine the slide. This is
+    * also the incremental form: persist the hour sketches and a late
+    * hour re-union 6 rows, not 6 hours of events. Rows-only gate +
+    * StreamsSpec error bound against the exact tier. */
+  def eventsSlidingUniquesApprox(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), hll_sketch_agg(col("user_id")).as("sk"))
+    hourly
+      .select(explode(sequence(lit(0), lit(5))).as("off"),
+        col("h"), col("n_events"), col("sk"))
+      // hour h is covered by the 6 windows STARTING at h-5h … h
+      .select(expr("timestampadd(HOUR, -off, h)").as("w_start"),
+        col("n_events"), col("sk"))
+      .groupBy("w_start")
+      .agg(sum("n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_approx"))
+      .orderBy("w_start")
+  }
+
   /** Top user journeys: the most common per-session event-type PATHS
     * (path analysis — what the transition matrix marginalizes away and
     * the funnel fixes in advance). Sessions split on the 30-min gap

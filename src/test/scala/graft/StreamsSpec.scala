@@ -178,6 +178,30 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("eventsSlidingUniques: sketch tier matches window set, exact counts, bounded estimates") {
+    val e = Tables.events(spark, sf)
+    // window() and timestampadd disagree on the external temporal class
+    def key(a: Any): java.time.LocalDateTime = a match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case l: java.time.LocalDateTime => l
+    }
+    val exact = Serving.eventsSlidingUniques(e).collect()
+      .map(r => key(r.get(0)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"))).toMap
+    val approx = Serving.eventsSlidingUniquesApprox(e).collect()
+    // identical window set (a window exists iff it covers a nonempty hour)
+    assert(approx.map(r => key(r.get(0))).toSet == exact.keySet)
+    approx.foreach { r =>
+      val (nEv, nUs) = exact(key(r.get(0)))
+      // event counts re-sum hour partials exactly
+      assert(r.getAs[Long]("n_events") == nEv)
+      // HLL++ default rsd ~1.6% — allow 5 sigma + small-count slack
+      val est = r.getAs[Long]("n_users_approx")
+      assert(math.abs(est - nUs).toDouble / math.max(nUs, 1) <= 0.10,
+        s"${r.get(0)}: est=$est exact=$nUs")
+    }
+  }
+
   test("tableChecksum: layout-invariant, single-row-sensitive, cross-run stable") {
     val o = Tables.orders(spark, sf)
     val base = Catalog.tableChecksum(o).collect()(0)
