@@ -95,6 +95,58 @@ object EventsProps extends Properties("Events") {
       fused.toSeq.take(3) == expected && sets.toSeq.take(3) == expected
     }
 
+  property("userStateIntervals equals the driver-side run collapse") =
+    Prop.forAll(genEvents) { es =>
+      val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      // reference: per user, (ts, event_id)-sort, collapse equal-type
+      // runs, chain valid_to from the next run's first ts
+      val expected = es.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._4, e._1))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) {
+          case (acc, (_, _, k, off)) =>
+            if (acc.nonEmpty && acc.last._1 == k)
+              acc.init :+ ((k, acc.last._2, acc.last._3 + 1))
+            else acc :+ ((k, off, 1L))
+        }
+        runs.zipWithIndex.map { case ((state, from, n), i) =>
+          (u, (i + 1).toLong, state, from,
+            runs.lift(i + 1).map(_._2), n)
+        }
+      }.toSet
+      val got = Serving.userStateIntervals(toDf(es)).collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("state_seq"),
+          r.getAs[String]("state"),
+          r.getAs[Timestamp]("valid_from").getTime / 1000 - base,
+          Option(r.getAs[Timestamp]("valid_to")).map(_.getTime / 1000 - base),
+          r.getAs[Long]("n_events"))
+      }.toSet
+      got == expected
+    }
+
+  property("eventsRollingRange equals the per-day calendar look-back") =
+    Prop.forAll(genEvents) { es =>
+      import org.apache.spark.sql.functions.{col, lit}
+      // stretch minutes into days so the 7-day frame actually windows
+      val byDay = es.map { case (id, u, k, off) => (id, u, k, off / 10) }
+      val df = toDf(byDay.map { case (id, u, k, d) => (id, u, k, d * 86400L) })
+        .withColumn("value", lit(1.0))
+      val daily = byDay.groupBy { case (_, _, k, d) => (k, d) }
+        .map { case ((k, d), xs) => (k, d) -> xs.size.toLong }
+      val expected = daily.map { case ((k, d), _) =>
+        (k, d) -> daily.collect {
+          case ((k2, d2), n2) if k2 == k && d2 >= d - 6 && d2 <= d => n2
+        }.sum
+      }
+      val got = Serving.eventsRollingRange(df).collect().map { r =>
+        (r.getAs[String]("event_type"),
+          r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay -
+            java.time.LocalDate.of(2024, 1, 1).toEpochDay) ->
+          r.getAs[Long]("roll_n")
+      }.toMap
+      got == expected
+    }
+
   property("eventFunnel equals the brute-force strict-order walk") =
     Prop.forAll(genEvents) { es =>
       def firstAfter(u: Long, kind: String, after: Long): Option[Long] = {
