@@ -391,6 +391,9 @@ object SparkEntry {
     "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", s.hashCode, d),
       Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
     // per-label centroid aggregation, long form (the IVF-training shape)
+    // PCA decomposition over embeddings (rows-only: float eigen; spec
+    // gates determinism, ordering and the variance-ratio invariants)
+    "embedding_pca" -> ((s, d) => Ml.embeddingPca(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Ml.labelCentroids(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
@@ -560,6 +563,10 @@ object SparkEntry {
     // streaming twin of events_hopping (same oracle): sliding window
     // under a watermark, state = slide-ratio x live windows
     "events_hopping_stream" -> ((s, d) => Streams.eventsHoppingStreamed(s, d)),
+    // interval-overlap self-join: concurrent user-session pairs via
+    // hour-bin candidates + exact overlap verify + pair-key dedup
+    "session_overlaps" -> ((s, d) =>
+      Serving.sessionOverlaps(Tables.events(s, d))),
     // sliding 6h distinct users hourly — exact (6x event expansion)…
     "events_sliding_uniques" -> ((s, d) =>
       Serving.eventsSlidingUniques(Tables.events(s, d))),
@@ -2011,6 +2018,27 @@ object SparkEntry {
              round(pairs.n / t.total, 6) AS p
       FROM pairs JOIN t USING (prev_type)
       ORDER BY prev_type, next_type""",
+
+    // the oracle states the RAW symmetric-overlap predicate — any
+    // bin-replication slip (missed cross-bin pair, double count)
+    // hash-mismatches immediately
+    "session_overlaps" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      x AS (SELECT user_id, ts,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS ns
+            FROM x),
+      z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM y),
+      s AS (SELECT user_id, session_seq, min(ts) AS session_start,
+              max(ts) AS session_end FROM z GROUP BY 1, 2),
+      p AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+            FROM s a JOIN s b ON a.user_id < b.user_id
+              AND a.session_start <= b.session_end
+              AND b.session_start <= a.session_end)
+      SELECT user_a, user_b, count(*) AS n_overlaps
+      FROM p GROUP BY 1, 2 ORDER BY n_overlaps DESC, user_a, user_b LIMIT 20""",
 
     // each event expanded to its 6 covering hour-grid window starts
     "events_sliding_uniques" -> """

@@ -80,6 +80,36 @@ object Ml {
       .agg(round(avg("x"), 6).as("mean_x"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** PCA over the embedding corpus (spark.ml, k components): the
+    * decomposition next to [[labelCentroids]]' means — explained
+    * variance ratios per component plus each component's top-loading
+    * dimension. The fit is one covariance treeAggregate (a DIM×DIM
+    * matrix per partition, merged associatively — constant-size partials
+    * at any corpus scale) and an in-driver eigendecomposition of the
+    * tiny DIM×DIM result; projection would be a broadcast matrix
+    * multiply, never a shuffle. Outputs are SIGN-FREE (variance ratios,
+    * |loading| argmax) because eigenvector sign is arbitrary; gated
+    * rows-only (iterative/float linear algebra is not oracle-stable in
+    * the last ulps) + a StreamsSpec determinism/ordering gate. */
+  def embeddingPca(embeddings: DataFrame, k: Int = 2): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA => MlPCA}
+    import org.apache.spark.ml.functions.array_to_vector
+    val df = embeddings.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new MlPCA().setInputCol("features").setOutputCol("pc")
+      .setK(k).fit(df)
+    val ev = model.explainedVariance.toArray
+    val pc = model.pc // DIM × k, column-major
+    val rows = (0 until k).map { c =>
+      val loadings = (0 until pc.numRows).map(r => math.abs(pc(r, c)))
+      val top = loadings.indices.maxBy(loadings)
+      (c + 1, math.rint(ev(c) * 1e4) / 1e4, top, math.rint(loadings(top) * 1e3) / 1e3)
+    }
+    val s = embeddings.sparkSession
+    import s.implicits._
+    rows.toDF("component", "explained_variance", "top_dim", "top_abs_loading")
+  }
+
   /** Scalar-quantized (int8) approximate nearest neighbor — the STORAGE
     * scale path next to the compute tiers (Llm.knnLsh prunes candidates,
     * [[knnIvf]] prunes cells; this shrinks the vectors themselves). Each

@@ -538,6 +538,45 @@ object Serving {
       .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
       .orderBy("w_start")
 
+  /** Interval-OVERLAP self-join over user sessions: which user pairs
+    * were active at the same time, and how often. The missing member of
+    * the temporal-join family next to the point-in-range join
+    * ([[clicksBeforePurchase]]) and the as-of joins: both sides are
+    * INTERVALS and the predicate is symmetric overlap.
+    *
+    * Same bucketing discipline as the range join: each session
+    * replicates into its covering hour bins, candidates pair within a
+    * bin (an equi-join Catalyst can shuffle/broadcast — never a
+    * cross product), the EXACT overlap predicate verifies, and a
+    * distinct on the session-pair key collapses multi-bin duplicates —
+    * the standard dedup every bin-replicated interval join needs.
+    * Bin width trades replication (long sessions × 1/width) against
+    * candidate density (concurrent sessions × width); an hour suits
+    * 30-min-gap sessions. */
+  def sessionOverlaps(events: DataFrame, gapSeconds: Long = 1800,
+      k: Int = 20): DataFrame = {
+    val s = eventSessions(events, gapSeconds)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val binned = s.select(col("user_id"), col("session_seq"),
+      col("session_start"), col("session_end"),
+      explode(sequence(date_trunc("hour", col("session_start")),
+        date_trunc("hour", col("session_end")),
+        expr("interval 1 hour"))).as("bin"))
+    binned.as("x").join(binned.as("y"),
+        col("x.bin") === col("y.bin") &&
+          col("x.user_id") < col("y.user_id") &&
+          col("x.session_start") <= col("y.session_end") &&
+          col("y.session_start") <= col("x.session_end"))
+      .select(col("x.user_id").as("user_a"), col("x.session_seq").as("seq_a"),
+        col("y.user_id").as("user_b"), col("y.session_seq").as("seq_b"))
+      .distinct()
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(desc("n_overlaps"), col("user_a"), col("user_b"))
+      .limit(k)
+  }
+
   /** Sliding 6-hour distinct users, evaluated hourly — EXACT tier.
     * `window(ts, 6h, 1h)` expands each event into its 6 covering
     * windows, then a per-window exact countDistinct. Correct, and the

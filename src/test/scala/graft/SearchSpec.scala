@@ -156,6 +156,38 @@ class SearchSpec extends SparkSpec {
     assert(out == Map(100L -> 2L, 200L -> 1L, 300L -> 0L))
   }
 
+  test("sessionOverlaps: touching endpoints overlap, cross-bin pairs counted once, disjoint absent") {
+    val e = events(
+      // user 1 session A 10:00–11:30 (30-min steps stay inside the gap)
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:30:00", "view"),
+      (3L, 1L, "2024-01-01 11:00:00", "view"),
+      (4L, 1L, "2024-01-01 11:30:00", "view"),
+      // user 1 session B at 13:00 (90-min gap splits)
+      (5L, 1L, "2024-01-01 13:00:00", "view"),
+      // user 2: 11:30–12:00 — touches session A exactly at its endpoint
+      (6L, 2L, "2024-01-01 11:30:00", "view"),
+      (7L, 2L, "2024-01-01 12:00:00", "view"),
+      // user 3: point session at 13:00 — overlaps only session B
+      (8L, 3L, "2024-01-01 13:00:00", "view"),
+      // user 4: 09:00–12:30 spans several hour bins, overlaps 1A and 2
+      (9L, 4L, "2024-01-01 09:00:00", "view"),
+      (10L, 4L, "2024-01-01 09:30:00", "view"),
+      (11L, 4L, "2024-01-01 10:00:00", "view"),
+      (12L, 4L, "2024-01-01 10:30:00", "view"),
+      (13L, 4L, "2024-01-01 11:00:00", "view"),
+      (14L, 4L, "2024-01-01 11:30:00", "view"),
+      (15L, 4L, "2024-01-01 12:00:00", "view"),
+      (16L, 4L, "2024-01-01 12:30:00", "view"))
+      .withColumn("value", lit(1.0))
+    val out = Serving.sessionOverlaps(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_overlaps"))
+    // every qualifying pair exactly once — the multi-bin (1,4) and (2,4)
+    // candidates must collapse; (3, anyone-but-1B) must not appear
+    assert(out.toSeq == Seq(
+      (1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 4L) -> 1L, (2L, 4L) -> 1L))
+  }
+
   test("userStateIntervals: runs collapse, valid_to chains, revisited state opens a NEW island") {
     val e = events(
       (1L, 1L, "2024-01-01 10:00:00", "view"),

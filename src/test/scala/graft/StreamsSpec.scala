@@ -124,6 +124,21 @@ class StreamsSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("embeddingPca: variance ratios ordered and in (0,1], deterministic, loadings sane") {
+    val e = Tables.embeddings(spark, sf)
+    val a = Ml.embeddingPca(e).collect()
+    assert(a.length == 2)
+    val ev = a.map(_.getAs[Double]("explained_variance"))
+    // components arrive strongest-first; ratios are a partial sum of 1
+    assert(ev(0) >= ev(1) && ev.forall(v => v > 0.0 && v <= 1.0) && ev.sum <= 1.0 + 1e-9)
+    a.foreach { r =>
+      val l = r.getAs[Double]("top_abs_loading")
+      assert(l > 0.0 && l <= 1.0) // unit-norm eigenvector component
+    }
+    // 4dp/3dp rounding absorbs treeAggregate float-order jitter
+    assert(Ml.embeddingPca(e).collect().toSeq == a.toSeq)
+  }
+
   test("propensity model: temporal backtest — held-out scores, deterministic fit, held-out AUC beats chance") {
     val (scored, metrics) =
       Ml.propensityBacktest(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
