@@ -238,6 +238,13 @@ object SparkEntry {
       Streams.caMonthlyMaintained(s, ordersStreamDir(s, d), sink.toString)
     }),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
+    // the hot-key two-stage salted aggregation as a query (same oracle:
+    // exact cents make the salted sum bit-equal to the direct groupBy)
+    "ca_country_salted" -> ((s, d) => Gold.caCountrySalted(fact(s, d))),
+    // native session_window under a watermark, streamed to completion
+    // (same oracle as the batch native form)
+    "event_sessions_native_stream" -> ((s, d) =>
+      Streams.sessionsNativeStreamed(s, d)),
     "ca_country_share" -> ((s, d) => Serving.caCountryShare(Gold.caCountry(fact(s, d)))),
     "ca_product" -> ((s, d) =>
       Gold.caProduct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.part(s, d))),
@@ -939,6 +946,15 @@ object SparkEntry {
       GROUP BY 1 ORDER BY mois""",
 
     "ca_country" -> s"""
+      SELECT coalesce(n_name, 'Inconnu') AS pays, ${ms("o_totalprice")} AS ca
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE $V GROUP BY 1 ORDER BY ca DESC, pays""",
+
+    // the salted two-stage sum is bit-equal to the direct groupBy (exact
+    // cents), so it answers to the identical statement
+    "ca_country_salted" -> s"""
       SELECT coalesce(n_name, 'Inconnu') AS pays, ${ms("o_totalprice")} AS ca
       FROM orders
       LEFT JOIN customer ON o_custkey = c_custkey
@@ -2179,6 +2195,21 @@ object SparkEntry {
               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
       y AS (SELECT *, CASE WHEN prev_ts IS NULL
               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM x),
+      z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM z GROUP BY user_id, session_seq ORDER BY user_id, session_start""",
+
+    // the streamed session_window drains to the same finished sessions
+    "event_sessions_native_stream" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      x AS (SELECT user_id, ts, value,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      y AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
             FROM x),
       z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
               ROWS UNBOUNDED PRECEDING) AS session_seq FROM y)

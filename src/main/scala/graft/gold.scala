@@ -344,6 +344,22 @@ object Gold {
     fact.groupBy("pays").agg(moneySum(col("o_totalprice")).as("ca"))
       .orderBy(desc("ca"), col("pays"))
 
+  /** [[caCountry]] through the two-stage salted aggregation
+    * ([[Skew.saltedSum]]) — the hot-key plan as a first-class query, not
+    * just a SkewSpec pattern: stage 1 shuffles on (pays, salt) so a
+    * country holding half the fact table spreads over 16 reducers'
+    * partial sums; stage 2 merges the 16 tiny partials per key. Exact
+    * integer cents make the two-stage sum bit-equal to the direct
+    * groupBy in any partition order — hence the SAME oracle as
+    * ca_country. (Partial aggregation already absorbs most skew for
+    * algebraic sums; the salt is the pattern for when the FINAL merge
+    * of a hot key is itself the bottleneck — count-distinct states,
+    * collect-style aggregates, extreme cardinality ratios.) */
+  def caCountrySalted(fact: DataFrame, salts: Int = 16): DataFrame =
+    Skew.saltedSum(fact, "pays", Tables.cents(col("o_totalprice")), salts, "cents")
+      .select(col("pays"), (col("cents") / 100.0).as("ca"))
+      .orderBy(desc("ca"), col("pays"))
+
   def caProduct(orders: DataFrame, lineitem: DataFrame, part: DataFrame): DataFrame =
     validOrders(orders).select("o_orderkey")
       .join(lineitem.select("l_orderkey", "l_partkey", "l_extendedprice"),

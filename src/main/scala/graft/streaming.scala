@@ -511,6 +511,35 @@ object Streams extends Serializable {
     spark.table(name).orderBy("w_start")
   }
 
+  /** Streaming twin of [[Serving.eventSessionsNative]]: Spark's native
+    * session_window under a watermark — the engine merges/extends
+    * session state per micro-batch in the state store (gap-bounded
+    * windows coalesce as late events arrive), where the
+    * flatMapGroupsWithState variant ([[eventSessionsStreamed]]) hand-rolls
+    * the same machinery. Complete-mode AvailableNow drain, checked
+    * against the SAME batch oracle as the native batch form (update
+    * mode is the one session_window doesn't support). */
+  def sessionsNativeStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = sinkName(spark, "graft_sessions_native_stream")
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(CAST(session_end AS TIMESTAMP)) - unix_micros(CAST(session_start AS TIMESTAMP))) div 1000000"))
+      .select("user_id", "session_start", "session_end", "duration_sec",
+        "n_events", "total_value")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   /** Stream-static enrichment (the standard production shape for joining
     * a fact stream to slowly-changing dims): the event stream left-joins
     * the broadcast customer→nation dim — stateless, re-resolved per
