@@ -241,6 +241,33 @@ object SparkEntry {
     // the hot-key two-stage salted aggregation as a query (same oracle:
     // exact cents make the salted sum bit-equal to the direct groupBy)
     "ca_country_salted" -> ((s, d) => Gold.caCountrySalted(fact(s, d))),
+    // partition-level restatement: 1996 rewritten (prices doubled) via
+    // dynamic partition overwrite; the aggregate proves the other years
+    // survived untouched AND 1996 changed exactly once
+    "partition_overwrite" -> ((s, d) => {
+      val dir = dynOverwriteMemo.getOrElseUpdate((s.hashCode, d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_dyn_overwrite")
+        sys.addShutdownHook(Streams.deleteRec(p.toFile))
+        fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
+        Pipeline.overwritePartition(s, p.toString,
+          fact(s, d).filter(col("annee") === 1996)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        p.toString
+      })
+      Pipeline.partitionState(s, dir)
+    }),
+    // small-files compaction with checksum-proved integrity (rows-only:
+    // file counts are invisible to SQL; LayoutSpec gates the arithmetic)
+    "compact_files" -> ((s, d) => {
+      val (frag, out) = compactMemo.getOrElseUpdate((s.hashCode, d), {
+        val base = java.nio.file.Files.createTempDirectory("graft_compact")
+        sys.addShutdownHook(Streams.deleteRec(base.toFile))
+        Tables.orders(s, d).repartition(48)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        (s"$base/frag", s"$base/out")
+      })
+      Layout.compactFiles(s, frag, out, 5000L)
+    }),
     // native session_window under a watermark, streamed to completion
     // (same oracle as the batch native form)
     "event_sessions_native_stream" -> ((s, d) =>
@@ -709,6 +736,15 @@ object SparkEntry {
   // mergeSchema evolution read, same lifecycle as orcMemo
   private val evoMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  // fragmented 48-file copy of orders for the compaction job
+  private val compactMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  // annee-partitioned fact copy that the dynamic-overwrite restatement
+  // mutates (factSink stays pristine for the pruning queries)
+  private val dynOverwriteMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The corpus-half dedup index (what a production ingest job maintains):
     * doc-level sha2 hashes and (doc_id, n, shingle-hash) rows for
@@ -1606,6 +1642,16 @@ object SparkEntry {
             FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
       SELECT doc_id, round(sum(contrib), 9) AS score, count(*) AS n_terms
       FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // the restated 1996 doubles every cent; every other year must equal
+    // the plain aggregate — the oracle states the END state directly
+    "partition_overwrite" -> s"""
+      WITH f AS (SELECT year(o_orderdate) AS annee,
+               CAST(round(o_totalprice*100) AS BIGINT) AS cents
+             FROM orders WHERE $V)
+      SELECT annee, count(*) AS n,
+             sum(cents * CASE WHEN annee = 1996 THEN 2 ELSE 1 END)/100.0 AS ca
+      FROM f GROUP BY 1 ORDER BY annee""",
 
     // the Horner fold restated one step per CTE; DuckDB date-date is
     // already integer days

@@ -67,4 +67,34 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction — the table-maintenance job every
+    * streaming/incremental sink eventually needs (a micro-batch or
+    * per-task sink at 100 TB degrades into millions of KB-scale files;
+    * every later scan then pays a task and an open per file). Rewrites
+    * a fragmented dataset into ⌈rows / targetRecordsPerFile⌉ files and
+    * PROVES integrity the way a production compactor must: row count
+    * and the order-independent [[Catalog.tableChecksum]] digest are
+    * compared before/after — a compaction that loses or duplicates one
+    * row cannot report ok. One metrics row out; LayoutSpec gates the
+    * file arithmetic and integrity flag (StreamsSpec separately proves
+    * the digest flips on a single-cent change). Complements
+    * [[Pipeline.compactSink]] — that one is the in-place per-partition
+    * dir swap; this is the audited whole-dataset rewrite. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetRecordsPerFile: Long): DataFrame = {
+    import spark.implicits._
+    def files(d: String): Long =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(inDir)
+    val bSum = Catalog.tableChecksum(before).head()
+    val nFiles = math.max(1L, (bSum.getLong(0) + targetRecordsPerFile - 1)
+      / targetRecordsPerFile).toInt
+    before.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    val aSum = Catalog.tableChecksum(spark.read.parquet(outDir)).head()
+    Seq((files(inDir), files(outDir), bSum.getLong(0), aSum.getLong(0),
+      bSum.getLong(1) == aSum.getLong(1)))
+      .toDF("files_before", "files_after", "rows_before", "rows_after",
+        "checksum_match")
+  }
 }

@@ -121,6 +121,32 @@ object Pipeline {
     (before, partDirs.map(parquets(_).size).sum)
   }
 
+  /** Dynamic partition overwrite — the partition-level MERGE every
+    * backfill/restatement job runs: rewrite ONLY the partitions present
+    * in the incoming batch, leave every other partition's files
+    * untouched (`partitionOverwriteMode=dynamic` per-write option —
+    * static mode would drop the whole table first; a read-modify-write
+    * of 100 TB to restate one year is the anti-pattern this replaces).
+    * Returns the post-state aggregate per partition so the oracle can
+    * check BOTH that the restated partition changed and that the others
+    * survived bit-for-bit. */
+  def overwritePartition(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("annee")
+      .parquet(dir)
+    partitionState(spark, dir)
+  }
+
+  /** Per-partition post-state of an annee-partitioned fact sink. */
+  def partitionState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("annee")
+      .agg(count(lit(1)).as("n"), Tables.moneySum(col("o_totalprice")).as("ca"))
+      .orderBy("annee")
+
   /** Post-hoc gold validation (port of reference scripts/check_gold.py:
     * expected columns per table, montant ≥ 0 invariant, non-empty). */
   def checkGold(spark: SparkSession, outDir: String): Unit = {

@@ -597,6 +597,30 @@ class GoldSpec extends SparkSpec {
     assert(out.forall(_._2 == (2L, 3.0)))
   }
 
+  test("overwritePartition: only the batch's partition rewritten, other partitions' files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    sys.addShutdownHook(Streams.deleteRec(new java.io.File(dir)))
+    val fact = Gold.buildFact(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf))
+    fact.write.mode("overwrite").partitionBy("annee").parquet(dir)
+    def fileState(y: Int) = new java.io.File(s"$dir/annee=$y").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val files1995 = fileState(1995)
+    val pre = Pipeline.partitionState(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val out = Pipeline.overwritePartition(spark, dir,
+      fact.filter(col("annee") === 1996)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // dynamic mode: 1995's files are bit-for-bit the ones written before
+    assert(fileState(1995) == files1995)
+    // 1996: same rows, doubled revenue; every other year unchanged
+    assert(out(1996)._1 == pre(1996)._1)
+    assert(math.abs(out(1996)._2 - 2 * pre(1996)._2) < 1e-6)
+    assert(out.removed(1996) == pre.removed(1996))
+  }
+
   test("dailyAnomalyRobust: spike flagged, baseline days not, MAD from the dense series") {
     // 14 alternating 10/12 days then a 500 spike: median 12 is NOT
     // dragged by the outlier (the rolling-mean form's weakness), MAD = 2

@@ -58,4 +58,19 @@ class LayoutSpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(zdir))
     Streams.deleteRec(new java.io.File(rdir))
   }
+
+  test("compactFiles: target-sized file arithmetic, row count and digest preserved") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_t")
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    o.repartition(10).write.mode("overwrite").parquet(s"$base/frag")
+    val target = 400L
+    val r = Layout.compactFiles(spark, s"$base/frag", s"$base/out", target).head()
+    assert(r.getAs[Long]("files_before") == 10L)
+    assert(r.getAs[Long]("files_after") == (n + target - 1) / target)
+    assert(r.getAs[Long]("files_after") < r.getAs[Long]("files_before"))
+    assert(r.getAs[Long]("rows_before") == n && r.getAs[Long]("rows_after") == n)
+    assert(r.getAs[Boolean]("checksum_match"))
+    Streams.deleteRec(base.toFile)
+  }
 }
