@@ -550,6 +550,8 @@ object SparkEntry {
     // iterated greedy merge learning (rows-only: the fold rewrite has no
     // SQL statement; LlmSpec hand-computes the merge table)
     "bpe_learn" -> ((s, d) => Llm.bpeLearn(docTf(s, d))),
+    // the encode pass: corpus token counts under the learned merges
+    "bpe_tokenize" -> ((s, d) => Llm.bpeTokenize(docTf(s, d))),
     // temperature-weighted domain-mixing plan (shares ∝ n^0.7)
     "sample_temperature" -> ((s, d) => Prep.sampleTemperature(Tables.documents(s, d))),
     // order-independent modular row checksum (migration validation: one
@@ -601,6 +603,12 @@ object SparkEntry {
     // hour-bin candidates + exact overlap verify + pair-key dedup
     "session_overlaps" -> ((s, d) =>
       Serving.sessionOverlaps(Tables.events(s, d))),
+    // growth accounting: first-month contribution + running total
+    "customers_cumulative" -> ((s, d) =>
+      Serving.customersCumulative(Tables.orders(s, d))),
+    // MoM active/retained/new/churned via mi-1 equi-joins (gap-safe)
+    "customer_churn_monthly" -> ((s, d) =>
+      Serving.customerChurnMonthly(Tables.orders(s, d))),
     // sliding 6h distinct users hourly — exact (6x event expansion)…
     "events_sliding_uniques" -> ((s, d) =>
       Serving.eventsSlidingUniques(Tables.events(s, d))),
@@ -2080,6 +2088,37 @@ object SparkEntry {
              round(pairs.n / t.total, 6) AS p
       FROM pairs JOIN t USING (prev_type)
       ORDER BY prev_type, next_type""",
+
+    // each customer counts once, at their first month
+    "customers_cumulative" -> s"""
+      WITH f AS (SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS mois
+                 FROM orders WHERE $V GROUP BY 1),
+      m AS (SELECT mois, count(*) AS n_new FROM f GROUP BY 1)
+      SELECT mois, n_new,
+             CAST(sum(n_new) OVER (ORDER BY mois ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_cumulative
+      FROM m ORDER BY mois""",
+
+    // retained joins act to itself on mi-1; prev_active joins the
+    // month frame on mi-1 (no lag across gaps)
+    "customer_churn_monthly" -> s"""
+      WITH act AS (SELECT DISTINCT o_custkey,
+               year(o_orderdate)*12 + month(o_orderdate) - 1 AS mi
+             FROM orders WHERE $V),
+      a AS (SELECT mi, count(*) AS n_active FROM act GROUP BY 1),
+      r AS (SELECT cur.mi, count(*) AS n_retained
+            FROM act cur JOIN act prv
+              ON cur.o_custkey = prv.o_custkey AND prv.mi = cur.mi - 1
+            GROUP BY 1)
+      SELECT CAST(a.mi // 12 AS BIGINT) AS annee,
+             CAST(a.mi % 12 + 1 AS BIGINT) AS mois,
+             a.n_active,
+             coalesce(r.n_retained, 0) AS n_retained,
+             a.n_active - coalesce(r.n_retained, 0) AS n_new,
+             coalesce(p.n_active, 0) - coalesce(r.n_retained, 0) AS n_churned
+      FROM a LEFT JOIN r ON a.mi = r.mi
+             LEFT JOIN a p ON p.mi = a.mi - 1
+      ORDER BY annee, mois""",
 
     // the oracle states the RAW symmetric-overlap predicate — any
     // bin-replication slip (missed cross-bin pair, double count)

@@ -694,7 +694,12 @@ object Llm {
     * break the expression. Rows-only gate (DuckDB has no fold to state
     * the rewrite); LlmSpec hand-computes the merge table on literal
     * words. */
-  def bpeLearn(tf: DataFrame, rounds: Int = 5): DataFrame = {
+  def bpeLearn(tf: DataFrame, rounds: Int = 5): DataFrame =
+    bpeLearnCore(tf, rounds)._1
+
+  /** The learned merges AND the post-merge symbol vocabulary (syms, n) —
+    * [[bpeTokenize]] consumes the latter. */
+  private def bpeLearnCore(tf: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val session = tf.sparkSession
     import session.implicits._
     var vocab = tf.groupBy("word").agg(sum("tf").as("n"))
@@ -733,7 +738,23 @@ object Llm {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "x", "y", "n").orderBy("round")
+    (merges.toSeq.toDF("round", "x", "y", "n").orderBy("round"), vocab)
+  }
+
+  /** Apply the learned merge table to the corpus — the tokenizer's
+    * encode pass closing the pairs → learn → APPLY loop: token counts
+    * under the merged vocabulary, weighted by word frequency. Runs at
+    * vocabulary grain like the rest of the family (the corpus was
+    * scanned once into the shared tf frame; at serving time the same
+    * merge table applies to unseen text by the identical fold).
+    * Rows-only + LlmSpec hand-computed token table. */
+  def bpeTokenize(tf: DataFrame, rounds: Int = 5, k: Int = 30): DataFrame = {
+    val (_, vocab) = bpeLearnCore(tf, rounds)
+    vocab.select(explode(col("syms")).as("token"), col("n"))
+      .groupBy("token")
+      .agg(sum("n").as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(k)
   }
 
   /** [[vocabTop]]'s bounded-memory scale tier. The exact form's hazard at

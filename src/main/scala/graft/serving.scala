@@ -538,6 +538,58 @@ object Serving {
       .select(col("w.start").as("w_start"), col("n_events"), col("total_value"))
       .orderBy("w_start")
 
+  /** Cumulative unique customers by month — growth accounting's "total
+    * customers ever" curve, computed WITHOUT a cumulative distinct (no
+    * such aggregate exists, and re-counting a growing set per month is
+    * O(months · customers)): each customer contributes once at their
+    * FIRST month (a key-grain min), new-per-month is a count of that
+    * frame, and the running total is a window over the ~84-row month
+    * series. */
+  def customersCumulative(orders: DataFrame): DataFrame = {
+    val first = Gold.validOrders(orders)
+      .groupBy("o_custkey")
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("mois"))
+    first.groupBy("mois").agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cumulative",
+        sum("n_new").over(Window.orderBy("mois")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("mois")
+  }
+
+  /** Month-over-month customer transition accounting: per month, the
+    * active / retained (also active the PRECEDING month) / new-or-
+    * resurrected / churned-from-last-month split. Retention joins the
+    * distinct (customer, month-index) frame to itself on mi−1 — a
+    * key-grain equi-join, not a per-customer window over all history —
+    * and prev-month active joins the month-grain frame on mi−1 (NOT a
+    * lag, which would silently read the previous PRESENT month across a
+    * gap). Identities n_active = retained + new and n_churned =
+    * prev_active − retained hold by construction. */
+  def customerChurnMonthly(orders: DataFrame): DataFrame = {
+    val act = Gold.validOrders(orders)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+      .distinct()
+    val a = act.groupBy("mi").agg(count(lit(1)).as("n_active"))
+    val r = act.as("cur")
+      .join(act.as("prv"),
+        col("cur.o_custkey") === col("prv.o_custkey") &&
+          col("prv.mi") === col("cur.mi") - 1)
+      .groupBy(col("cur.mi").as("mi"))
+      .agg(count(lit(1)).as("n_retained"))
+    a.join(r, Seq("mi"), "left")
+      .join(a.select((col("mi") + 1).as("mi"), col("n_active").as("prev_active")),
+        Seq("mi"), "left")
+      .na.fill(0L, Seq("n_retained", "prev_active"))
+      .select(
+        floor(col("mi") / 12).cast("long").as("annee"),
+        (col("mi") % 12 + 1).cast("long").as("mois"),
+        col("n_active"), col("n_retained"),
+        (col("n_active") - col("n_retained")).as("n_new"),
+        (col("prev_active") - col("n_retained")).as("n_churned"))
+      .orderBy("annee", "mois")
+  }
+
   /** Interval-OVERLAP self-join over user sessions: which user pairs
     * were active at the same time, and how often. The missing member of
     * the temporal-join family next to the point-in-range join

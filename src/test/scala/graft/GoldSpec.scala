@@ -638,6 +638,22 @@ class GoldSpec extends SparkSpec {
     assert(out("2020-01-02").getDouble(2) == 0.0)
   }
 
+  test("customer growth accounting: first-month counting, retention/churn identities") {
+    val rows = Seq(
+      (1L, 1L, "1995-01-10"), (2L, 1L, "1995-02-10"),   // c1: Jan + Feb
+      (3L, 2L, "1995-01-20"),                           // c2: Jan only -> churns
+      (4L, 3L, "1995-02-05"), (5L, 3L, "1995-02-25"))   // c3: new in Feb, 2 orders
+      .map { case (ok, ck, d) => Row(ok, ck, "O", 10.0, ts(s"$d 08:00:00"), "p") }
+    val o = ordersDf(rows)
+    val cum = Serving.customersCumulative(o).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cum.toSeq == Seq(("1995-01", 2L, 2L), ("1995-02", 1L, 3L)))
+    val churn = Serving.customerChurnMonthly(o).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // (mois, active, retained, new, churned)
+    assert(churn.toSeq == Seq((1L, 2L, 0L, 2L, 0L), (2L, 2L, 1L, 1L, 1L)))
+  }
+
   test("spendTrend: exact slope/intercept/R² on a literal linear series") {
     // three consecutive days at 10/20/30: slope exactly 10 $/day,
     // intercept 10, R² 1.0 — exact because the moments are integers

@@ -517,4 +517,18 @@ class LlmSpec extends SparkSpec {
     // round 4 finds no pair anywhere (every word is one symbol) — the
     // loop must stop at 3 merges, not emit a degenerate row
   }
+
+  test("bpeTokenize: corpus token counts under the learned merges") {
+    import spark.implicits._
+    // same corpus as bpeLearn's test; after 2 rounds ((a,a) then (a,b)):
+    //   aaab -> [aa, ab] ×3 ; ab -> [ab] ×2  ⇒ ab 5, aa 3
+    val tf = Seq((1L, "aaab", 3L), (2L, "ab", 2L)).toDF("doc_id", "word", "tf")
+    val two = Llm.bpeTokenize(tf, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(two.toSeq == Seq("ab" -> 5L, "aa" -> 3L))
+    // all 3 rounds: aaab -> [aaab] ×3 ; ab -> [ab] ×2
+    val three = Llm.bpeTokenize(tf, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(three.toSeq == Seq("aaab" -> 3L, "ab" -> 2L))
+  }
 }
