@@ -256,6 +256,28 @@ object SparkEntry {
       })
       Pipeline.partitionState(s, dir)
     }),
+    // year x year customer-overlap matrix: one key-grain self-join
+    "customer_overlap_matrix" -> ((s, d) =>
+      Gold.customerOverlapMatrix(Tables.orders(s, d))),
+    // right-to-be-forgotten: delete one customer by rewriting ONLY the
+    // partitions that contain them; target picked deterministically
+    // (min custkey among single-year customers, mirrored in the oracle)
+    "gdpr_delete" -> ((s, d) => {
+      val dir = gdprMemo.getOrElseUpdate((s.hashCode, d), {
+        val p = java.nio.file.Files.createTempDirectory("graft_gdpr")
+        sys.addShutdownHook(Streams.deleteRec(p.toFile))
+        fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
+        val kRow = Gold.validOrders(Tables.orders(s, d))
+          .groupBy("o_custkey")
+          .agg(countDistinct(year(col("o_orderdate"))).as("ny"))
+          .filter(col("ny") === 1)
+          .agg(min("o_custkey")).first()
+        val k = if (kRow.isNullAt(0)) -1L else kRow.getLong(0)
+        Pipeline.deleteKey(s, p.toString, k)
+        p.toString
+      })
+      Pipeline.partitionState(s, dir)
+    }),
     // small-files compaction with checksum-proved integrity (rows-only:
     // file counts are invisible to SQL; LayoutSpec gates the arithmetic)
     "compact_files" -> ((s, d) => {
@@ -752,6 +774,10 @@ object SparkEntry {
   // annee-partitioned fact copy that the dynamic-overwrite restatement
   // mutates (factSink stays pristine for the pruning queries)
   private val dynOverwriteMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  // fact copy the right-to-be-forgotten delete mutates
+  private val gdprMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The corpus-half dedup index (what a production ingest job maintains):
@@ -1650,6 +1676,33 @@ object SparkEntry {
             FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN st)
       SELECT doc_id, round(sum(contrib), 9) AS score, count(*) AS n_terms
       FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // every |A∩B| cell from one self-join; jaccard closed by
+    // inclusion-exclusion over the per-year totals
+    "customer_overlap_matrix" -> s"""
+      WITH yc AS (SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+                  FROM orders WHERE $V),
+      t AS (SELECT yr, count(*) AS n FROM yc GROUP BY 1),
+      p AS (SELECT a.yr AS y1, b.yr AS y2, count(*) AS n_both
+            FROM yc a JOIN yc b
+              ON a.o_custkey = b.o_custkey AND a.yr < b.yr
+            GROUP BY 1, 2)
+      SELECT p.y1, p.y2,
+             t1.n AS n1, t2.n AS n2, p.n_both,
+             round(p.n_both / (t1.n + t2.n - p.n_both), 6) AS jaccard
+      FROM p JOIN t t1 ON p.y1 = t1.yr JOIN t t2 ON p.y2 = t2.yr
+      ORDER BY y1, y2""",
+
+    // the oracle states the END state after the forget: the chosen key's
+    // rows gone, every other row intact
+    "gdpr_delete" -> s"""
+      WITH cand AS (SELECT o_custkey FROM orders WHERE $V GROUP BY 1
+                    HAVING count(DISTINCT year(o_orderdate)) = 1),
+      t AS (SELECT coalesce(min(o_custkey), -1) AS k FROM cand),
+      f AS (SELECT year(o_orderdate) AS annee, o_totalprice
+            FROM orders WHERE $V AND o_custkey <> (SELECT k FROM t))
+      SELECT annee, count(*) AS n, ${ms("o_totalprice")} AS ca
+      FROM f GROUP BY 1 ORDER BY annee""",
 
     // the restated 1996 doubles every cent; every other year must equal
     // the plain aggregate — the oracle states the END state directly

@@ -633,6 +633,33 @@ object Gold {
           .as("jaccard"))
   }
 
+  /** The whole year×year overlap MATRIX in one pass — the pairwise
+    * generalization of [[customerOverlap]]: ONE self-join of the
+    * distinct (customer, year) frame on the customer key emits every
+    * co-active year pair per customer (y1 &lt; y2, each pair once);
+    * aggregating that gives all |A∩B| cells simultaneously, and the
+    * per-year totals close the Jaccards by inclusion-exclusion. Running
+    * the 2-year operator per pair would scan the fact table
+    * O(|years|²) times; this is one scan + one key-grain self-join —
+    * the co-occurrence-matrix shape (same algebra as basket_pairs, on
+    * the time axis). */
+  def customerOverlapMatrix(orders: DataFrame): DataFrame = {
+    val yc = validOrders(orders)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+    val totals = yc.groupBy("yr").agg(count(lit(1)).as("n"))
+    yc.as("a").join(yc.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") && col("a.yr") < col("b.yr"))
+      .groupBy(col("a.yr").as("y1"), col("b.yr").as("y2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(totals.select(col("yr").as("y1"), col("n").as("n1")), "y1")
+      .join(totals.select(col("yr").as("y2"), col("n").as("n2")), "y2")
+      .select(col("y1"), col("y2"), col("n1"), col("n2"), col("n_both"),
+        round(col("n_both") / (col("n1") + col("n2") - col("n_both")), 6)
+          .as("jaccard"))
+      .orderBy("y1", "y2")
+  }
+
   /** Sketch tier of [[customerOverlap]]: one HLL++ sketch per year from
     * a single scan, |A∩B| by inclusion-exclusion over the mergeable
     * union sketch. Constant memory per year regardless of customer

@@ -140,6 +140,29 @@ object Pipeline {
     partitionState(spark, dir)
   }
 
+  /** Surgical key deletion (right-to-be-forgotten) from an
+    * annee-partitioned sink: find the partitions that actually contain
+    * the key (one partition-pruned aggregate), rewrite ONLY those with
+    * the key anti-filtered, via [[overwritePartition]]'s dynamic mode —
+    * every other partition's files stay bit-for-bit in place. The 100 TB
+    * contrast: a naive `read → filter → overwrite` rewrites the whole
+    * table to delete one customer; this rewrites
+    * |partitions containing the key|. Returns the end state per
+    * partition. */
+  def deleteKey(spark: SparkSession, dir: String, custkey: Long): DataFrame = {
+    val sink = spark.read.parquet(dir)
+    val years = sink.filter(col("o_custkey") === custkey)
+      .select("annee").distinct().collect().map(_.getAs[Number](0).intValue())
+    if (years.nonEmpty)
+      overwritePartition(spark, dir,
+        sink.filter(col("annee").isin(years.toIndexedSeq: _*) &&
+          col("o_custkey") =!= custkey)
+          // sever lineage from the files being replaced — Spark refuses
+          // to overwrite a path an active plan still reads
+          .localCheckpoint(true))
+    partitionState(spark, dir)
+  }
+
   /** Per-partition post-state of an annee-partitioned fact sink. */
   def partitionState(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

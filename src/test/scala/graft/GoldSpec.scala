@@ -621,6 +621,39 @@ class GoldSpec extends SparkSpec {
     assert(out.removed(1996) == pre.removed(1996))
   }
 
+  test("deleteKey: only the key's partitions rewritten, key gone, bystanders bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gdpr_t").toString
+    sys.addShutdownHook(Streams.deleteRec(new java.io.File(dir)))
+    val rows = Seq(
+      (1L, 10L, "1995-03-01"), (2L, 10L, "1995-06-01"),   // victim: 1995 only
+      (3L, 20L, "1995-04-01"), (4L, 20L, "1996-04-01"),   // bystander both years
+      (5L, 30L, "1996-07-01"))
+      .map { case (ok, ck, d) => Row(ok, ck, "O", 10.0, ts(s"$d 08:00:00"), "p") }
+    val fact = ordersDf(rows).withColumn("annee", year(col("o_orderdate")))
+    fact.write.mode("overwrite").partitionBy("annee").parquet(dir)
+    def files1996 = new java.io.File(s"$dir/annee=1996").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val pre1996 = files1996
+    val out = Pipeline.deleteKey(spark, dir, 10L).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1995 -> 1L, 1996 -> 2L)) // victim's 2 rows gone
+    assert(files1996 == pre1996)               // 1996 never rewritten
+    assert(spark.read.parquet(dir).filter(col("o_custkey") === 10L).count() == 0)
+  }
+
+  test("customerOverlapMatrix: cells agree with the 2-year operator") {
+    val o = Tables.orders(spark, sf)
+    val m = Gold.customerOverlapMatrix(o).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val pair = Gold.customerOverlap(o, 1995, 1996).head()
+    val (n1, n2, both) = m((1995, 1996))
+    assert(both == pair.getAs[Long]("n_both"))
+    assert(n1 - both == pair.getAs[Long]("n_only_first"))
+    assert(n2 - both == pair.getAs[Long]("n_only_second"))
+  }
+
   test("dailyAnomalyRobust: spike flagged, baseline days not, MAD from the dense series") {
     // 14 alternating 10/12 days then a 500 spike: median 12 is NOT
     // dragged by the outlier (the rolling-mean form's weakness), MAD = 2
