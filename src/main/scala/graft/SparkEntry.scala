@@ -259,6 +259,14 @@ object SparkEntry {
     // year x year customer-overlap matrix: one key-grain self-join
     "customer_overlap_matrix" -> ((s, d) =>
       Gold.customerOverlapMatrix(Tables.orders(s, d))),
+    // the EXACT kpis code under the injected optimizer rewrite — the
+    // Rule, not the query text, picks the sketch tier (rows-only;
+    // PlanShapeSpec pins the rewrite and its estimate equality)
+    "kpis_rewritten" -> ((s, d) => {
+      val c = rewriteSession(s)
+      Serving.kpis(Gold.buildFact(
+        Tables.orders(c, d), Tables.customer(c, d), Tables.nation(c, d)))
+    }),
     // right-to-be-forgotten: delete one customer by rewriting ONLY the
     // partitions that contain them; target picked deterministically
     // (min custkey among single-year customers, mirrored in the oracle)
@@ -779,6 +787,22 @@ object SparkEntry {
   // fact copy the right-to-be-forgotten delete mutates
   private val gdprMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Cloned session carrying the opt-in approx-distinct rewrite —
+    * ISOLATED from the main session on purpose: the flag lives in
+    * session conf, and Verify optimizes queries concurrently, so
+    * toggling it on the shared session would nondeterministically
+    * rewrite the exact-gated queries mid-flight. */
+  private val rewriteSessionMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, SparkSession]
+  private def rewriteSession(s: SparkSession): SparkSession =
+    rewriteSessionMemo.getOrElseUpdate(s.hashCode, {
+      val ns = s.newSession()
+      ns.conf.set("graft.rewrite.approxDistinct", "true")
+      org.apache.spark.sql.graftbridge.Bridge.addOptimizerRule(
+        ns, graft.plans.ApproxDistinctRewrite)
+      ns
+    })
 
   /** The corpus-half dedup index (what a production ingest job maintains):
     * doc-level sha2 hashes and (doc_id, n, shingle-hash) rows for

@@ -191,6 +191,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }
 

@@ -209,6 +209,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("approxDistinctRewrite: flag flips count(distinct) to HLL, off and multi-column stay exact") {
+    val ns = spark.newSession()
+    org.apache.spark.sql.graftbridge.Bridge.addOptimizerRule(
+      ns, graft.plans.ApproxDistinctRewrite)
+    import ns.implicits._
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val df = Seq.tabulate(1000)(i => (i % 37, i % 101)).toDF("k", "v")
+    // flag off: exact result, no sketch in the plan
+    assert(df.agg(countDistinct("v")).head().getLong(0) == 101L)
+    ns.conf.set("graft.rewrite.approxDistinct", "true")
+    val on = df.agg(countDistinct("v"))
+    assert(on.queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"), on.queryExecution.optimizedPlan)
+    // identical sketch params ⇒ the rewrite equals the explicit call
+    assert(on.head().getLong(0) ==
+      df.agg(approx_count_distinct("v")).head().getLong(0))
+    // multi-column distinct keeps exact semantics (the sketch doesn't
+    // model tuples) — scope guard
+    val multi = df.agg(countDistinct("k", "v"))
+    assert(!multi.queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"))
+    // (i%37, i%101) has period lcm=3737 > 1000 ⇒ all pairs distinct
+    assert(multi.head().getLong(0) == 1000L)
+    ns.conf.set("graft.rewrite.approxDistinct", "false")
+  }
+
   test("user_state_intervals: ONE data exchange feeds both windows, the island agg and the lead") {
     val p = plan("user_state_intervals")
     // lag/running-sum windows share the (user_id | ts,event_id) sort; the
