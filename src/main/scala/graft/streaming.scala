@@ -358,9 +358,12 @@ object Streams extends Serializable {
       val p = java.nio.file.Files.createTempDirectory("graft_heartbeat")
       sys.addShutdownHook(deleteRec(p.toFile))
       val maxTs = static.agg(max("ts")).first()
+      // `lit` accepts java.sql.Timestamp (TIMESTAMP) and
+      // java.time.LocalDateTime (TIMESTAMP_NTZ) alike, so the same branch
+      // covers both physical encodings of a timestamp-typed `ts`.
       val tsLit =
         if (isNanos) lit(maxTs.getLong(0) + 3L * 3600 * 1000000000L)
-        else lit(maxTs.getTimestamp(0)) + expr("INTERVAL 3 HOURS")
+        else lit(maxTs.get(0)) + expr("INTERVAL 3 HOURS")
       static.limit(1)
         .withColumn("event_id", lit(-1L))
         .withColumn("user_id", lit(-1L))
