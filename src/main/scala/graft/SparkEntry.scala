@@ -699,7 +699,12 @@ object SparkEntry {
         .orderBy("event_id")),
     "event_sessions_native" -> ((s, d) => Serving.eventSessionsNative(Tables.events(s, d))),
     "event_sessions_stream" -> ((s, d) => Streams.eventSessionsStreamed(s, d)),
-    "json_export" -> ((s, d) => Serving.toJsonRecords(Gold.caMonthly(fact(s, d)))),
+    // ca as DECIMAL(18,2) before serializing: both engines render a
+    // scale-2 decimal as plain "123.40", where doubles diverge (Java
+    // flips to scientific notation past 1e7, DuckDB never does) — this
+    // is what makes the JSON strings oracle-hashable
+    "json_export" -> ((s, d) => Serving.toJsonRecords(
+      Gold.caMonthly(fact(s, d)).withColumn("ca", col("ca").cast("decimal(18,2)")))),
     "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
       Ml.kmeansSegments(feats(s, d)).cache())),
     // cluster-quality metric the reference's advisor publishes
@@ -1205,6 +1210,34 @@ object SparkEntry {
                  || CASE WHEN bucket = 11 THEN ']' ELSE ')' END AS label,
              count
       FROM e ORDER BY bucket""",
+
+    // edges via exact quantile_cont == Spark's exact `percentile` (same
+    // pairing as the client_scores thresholds); interior edges ed[2:10]
+    // are 1-based-inclusive = Spark's edges.slice(1, 10)
+    "gold_distribution_quantile" -> s"""
+      WITH o AS (SELECT o_totalprice FROM orders WHERE $V),
+      e AS (SELECT quantile_cont(o_totalprice,
+              [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS ed
+            FROM o),
+      b AS (SELECT CAST(len(list_filter((SELECT ed[2:10] FROM e),
+                                        x -> o_totalprice >= x)) AS BIGINT) AS bucket
+            FROM o)
+      SELECT bucket,
+             round((SELECT ed FROM e)[CAST(bucket AS INT) + 1], 2) AS lo,
+             round((SELECT ed FROM e)[CAST(bucket AS INT) + 2], 2) AS hi,
+             count(*) AS count
+      FROM b GROUP BY 1 ORDER BY bucket""",
+
+    // hand-built JSON matches Spark's to_json byte-for-byte because every
+    // field renders engine-independently: quoted string, scale-2 decimal,
+    // bigint — field order is the struct order (mois, ca, achats)
+    "json_export" -> s"""
+      WITH cm AS (SELECT strftime(o_orderdate, '%Y-%m') AS mois,
+                         ${ms("o_totalprice")} AS ca
+                  FROM orders WHERE $V GROUP BY 1)
+      SELECT '{"mois":"' || mois || '","ca":'
+             || CAST(CAST(ca AS DECIMAL(18,2)) AS VARCHAR) || '}' AS json
+      FROM cm ORDER BY mois""",
 
     "gold_monthly_growth" -> s"""
       WITH cm AS (SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca

@@ -190,15 +190,19 @@ object Serving {
     * two-phase shape as the scoring thresholds), each bucket holding
     * ~1/k of the rows. The serving-scale complement to
     * [[distribution]]'s equal-width bins, which degenerate under heavy
-    * tails (one hot bucket, eleven empty ones). The sketch pass is one
-    * mergeable-aggregation scan — no global sort — and assignment is a
-    * map-side comparison chain over literals. Gated rows-only (sketch
-    * edges are approximate by design) + a StreamsSpec depth-balance
-    * bound. */
+    * tails (one hot bucket, eleven empty ones). Edges come from exact
+    * `percentile` (same choice as the scoring thresholds, so the DuckDB
+    * `quantile_cont` oracle hash-matches); the edge pass is one
+    * aggregation scan — no global sort — and assignment is a map-side
+    * comparison chain over literals. Exact percentile buffers the
+    * column's distinct values on one reducer — right while price
+    * cardinality ≪ row count; at genuine value-per-row cardinality flip
+    * the edge aggregate to `approx_percentile` (the rest of the shape is
+    * unchanged, results become rows-only). */
   def distributionQuantile(fact: DataFrame, buckets: Int = 10): DataFrame = {
     val probs = (0 to buckets).map(_.toDouble / buckets)
-    val edges = fact.select(percentile_approx(col("o_totalprice"),
-      typedlit(probs), lit(10000)).as("e"))
+    val edges = fact.select(expr(
+      s"percentile(o_totalprice, array(${probs.mkString(", ")}))").as("e"))
       .first().getSeq[Double](0)
     val interior = edges.slice(1, buckets)
     val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
