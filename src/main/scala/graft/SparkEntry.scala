@@ -69,8 +69,14 @@ object SparkEntry {
     * (at production scale the shingle frame IS that index, not a cache). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     memoFrame("docShingles", s, d)(Llm.shingleHashes(Tables.documents(s, d)))
+  // the memo holds the raw pair STATS (doc_a, na, doc_b, nb, inter);
+  // Jaccard and containment are thin selects over it, so the pair
+  // shuffle runs once for dedup_ngram, dedup_clusters, and
+  // dedup_containment together
+  private def ngramStats(s: SparkSession, d: String): DataFrame =
+    memoFrame("ngramStats", s, d)(Llm.ngramPairStatsFrom(docShingles(s, d)))
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
-    memoFrame("ngramPairs", s, d)(Llm.ngramJaccardPairsFrom(docShingles(s, d)))
+    Llm.jaccardFromStats(ngramStats(s, d))
 
   /** The parity-encoded co-purchase pair frame both graph queries walk
     * (product_rank's PageRank, copurchase_distance's BFS): the
@@ -84,6 +90,19 @@ object SparkEntry {
     * aggregate per session. */
   private def docTf(s: SparkSession, d: String): DataFrame =
     memoFrame("docTf", s, d)(Search.docTermFreq(Tables.documents(s, d)))
+
+  /** The (doc_id, w1, w2, cnt) order-1 sequence frame the collocation
+    * and bigram-LM queries share — one corpus zip/explode/aggregate
+    * pass per session (see [[Search.docBigrams]]). */
+  private def docBigrams(s: SparkSession, d: String): DataFrame =
+    memoFrame("docBigrams", s, d)(Search.docBigrams(Tables.documents(s, d)))
+  /** Corpus vocabulary size (distinct tokens) — the bigram LM's V,
+    * folded once per (session, dataset) off the shared tf frame. */
+  private val vocabSizeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def vocabSize(s: SparkSession, d: String): Long =
+    vocabSizeMemo.getOrElseUpdate((s.hashCode, d),
+      docTf(s, d).select("word").distinct().count())
 
   /** Quality-family frames shared by their per-metric queries AND the
     * corpus_filter capstone — one text-stats scan and one 3-gram pass
@@ -389,6 +408,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Llm.dedupMinhash(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Llm.dedupSimhash(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Llm.bestNgramMatch(ngramPairs(s, d))),
+    // containment tier of the same pair stats: catches a short doc quoted
+    // wholesale inside a long one (low Jaccard, containment ~ 1)
+    "dedup_containment" -> ((s, d) => Llm.containmentPairsFrom(ngramStats(s, d))),
     // cluster resolution over the near-dup pair graph: large-star/
     // small-star connected components -> canonical representative per doc
     "dedup_clusters" -> ((s, d) =>
@@ -432,6 +454,11 @@ object SparkEntry {
     "repetition_score" -> ((s, d) => repetitionF(s, d)),
     // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
     "doc_logprob" -> ((s, d) => Llm.unigramLogProbFrom(docTf(s, d))),
+    // order-1 sequence family over the shared bigram frame: PMI
+    // collocations (phrase detection) + add-k bigram-LM quality scoring
+    "term_pmi" -> ((s, d) => Search.termPmiFrom(docBigrams(s, d))),
+    "bigram_logprob" -> ((s, d) =>
+      Search.bigramLogProbFrom(docBigrams(s, d), vocabSize(s, d))),
     // capstone keep/drop decisions with first-match-wins reasons, all
     // three component frames shared with their per-metric queries
     "corpus_filter" -> ((s, d) => Llm.corpusFilterFrom(
@@ -705,6 +732,9 @@ object SparkEntry {
     // is what makes the JSON strings oracle-hashable
     "json_export" -> ((s, d) => Serving.toJsonRecords(
       Gold.caMonthly(fact(s, d)).withColumn("ca", col("ca").cast("decimal(18,2)")))),
+    // smoothed target encoding of the country category against order
+    // totals — exact-cents means, so oracle-hashable unlike most ML prep
+    "target_encode" -> ((s, d) => Ml.targetEncode(fact(s, d))),
     "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
       Ml.kmeansSegments(feats(s, d)).cache())),
     // cluster-quality metric the reference's advisor publishes
@@ -1397,6 +1427,28 @@ object SparkEntry {
       ORDER BY doc_id""",
 
     // transitive closure via recursive CTE == the Spark side's
+    // containment C = inter/min(na,nb); inner = the smaller side
+    // (tie -> higher doc_id), mirroring Llm.containmentPairsFrom
+    "dedup_containment" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      c AS (SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+              round(inter * 1.0 / least(sa.n, sb.n), 6) AS containment
+            FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+      SELECT CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+                  ELSE greatest(doc_a, doc_b) END AS inner_doc,
+             CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a
+                  ELSE least(doc_a, doc_b) END AS outer_doc,
+             containment
+      FROM c WHERE containment >= 0.8
+      ORDER BY inner_doc, outer_doc""",
+
     // large-star/small-star component labels (min doc_id per component)
     "dedup_clusters" -> """
       WITH RECURSIVE
@@ -1683,6 +1735,46 @@ object SparkEntry {
     // same tokenization; ln n - ln N mirrors the Scala shape exactly
     "doc_logprob" -> logProbSql,
 
+    // PMI over corpus bigram counts with self-consistent margins; the
+    // float expression shape matches Search.termPmiFrom term-for-term
+    // (CAST-to-double placement included) so 9 dp rounding hash-matches
+    "term_pmi" -> """
+      WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x != '') AS ws FROM documents),
+      bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c12
+             FROM w, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+             WHERE len(ws) >= 2
+             GROUP BY 1, 2),
+      l AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1),
+      r AS (SELECT w2, sum(c12) AS c2 FROM bg GROUP BY 1),
+      b AS (SELECT CAST(sum(c12) AS DOUBLE) AS btot FROM bg)
+      SELECT bg.w1, bg.w2, bg.c12,
+             round(ln(CAST(bg.c12 AS DOUBLE) * (SELECT btot FROM b)
+                      / (l.c1 * CAST(r.c2 AS DOUBLE))), 9) AS pmi
+      FROM bg JOIN l USING (w1) JOIN r USING (w2)
+      WHERE bg.c12 >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+
+    // add-k bigram LM: P(w2|w1) = (c12+k)/(c1+k*V), k=0.5, V = corpus
+    // vocabulary (distinct tokens over ALL docs, including 1-word docs);
+    // per-doc mean weights each bigram occurrence, 6 dp
+    "bigram_logprob" -> """
+      WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x != '') AS ws FROM documents),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+            FROM (SELECT unnest(ws) AS tok FROM w)),
+      bgdoc AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, count(*) AS cnt
+                FROM w, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+                WHERE len(ws) >= 2
+                GROUP BY 1, 2, 3),
+      bg AS (SELECT w1, w2, sum(cnt) AS c12 FROM bgdoc GROUP BY 1, 2),
+      l AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             round(sum(cnt * (ln(c12 + 0.5) - ln(c1 + 0.5 * (SELECT vs FROM v))))
+                   / sum(cnt), 6) AS avg_logprob
+      FROM bgdoc JOIN bg USING (w1, w2) JOIN l USING (w1)
+      GROUP BY 1 ORDER BY doc_id""",
+
     // the capstone composes the three audited quality oracles verbatim —
     // identical thresholds and first-match-wins reason order as the engine
     "corpus_filter" -> s"""
@@ -1833,6 +1925,25 @@ object SparkEntry {
 
     // the Welch read-out from exact cents moments; hash split identical
     // to split_assign's integer twin
+    // smoothed target encoding: enc = (sum + m*mu)/(n + m), m=20, all
+    // from exact cents; mu's division order (stot/100.0/ntot) matches
+    // the Scala scalar fold bit-for-bit
+    "target_encode" -> s"""
+      WITH f AS (SELECT coalesce(n_name, 'Inconnu') AS pays, o_totalprice
+                 FROM orders
+                 LEFT JOIN customer ON o_custkey = c_custkey
+                 LEFT JOIN nation ON c_nationkey = n_nationkey
+                 WHERE $V),
+      a AS (SELECT pays, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s_cents,
+                   count(*) AS n
+            FROM f GROUP BY 1),
+      g AS (SELECT sum(s_cents) AS stot, sum(n) AS ntot FROM a)
+      SELECT pays, n,
+             round((s_cents / 100.0 +
+                    20.0 * ((SELECT stot FROM g) / 100.0 / (SELECT ntot FROM g)))
+                   / (n + 20.0), 6) AS enc
+      FROM a ORDER BY pays""",
+
     "ab_metrics" -> s"""
       WITH s AS (SELECT
           CASE WHEN floor(((o_custkey + 17) * 2654435761) % 4294967296 * 100

@@ -250,6 +250,24 @@ object Llm {
 
   /** [[ngramJaccardPairs]] over a prebuilt [[shingleHashes]] frame. */
   def ngramJaccardPairsFrom(shingleH: DataFrame, hotDf: Int = 256,
+      salts: Int = 32): DataFrame =
+    jaccardFromStats(ngramPairStatsFrom(shingleH, hotDf, salts))
+
+  /** Jaccard view of a [[ngramPairStatsFrom]] frame (thin select — pass
+    * the memoized stats frame so the pair shuffle is shared with
+    * [[containmentPairsFrom]]). */
+  def jaccardFromStats(stats: DataFrame): DataFrame =
+    stats.select(
+      col("doc_a"), col("doc_b"),
+      round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+
+  /** Raw pair statistics behind the whole exact n-gram family: one row
+    * per candidate pair (doc_a < doc_b) with each side's distinct-shingle
+    * count and the intersection size — [[ngramJaccardPairsFrom]] and
+    * [[containmentPairsFrom]] are thin selects over this frame, so a
+    * session that memoizes it pays the pair shuffle once for Jaccard,
+    * containment, and cluster queries alike. */
+  def ngramPairStatsFrom(shingleH: DataFrame, hotDf: Int = 256,
       salts: Int = 32): DataFrame = {
     val sh = shingleH
       .select(struct(col("doc_id"), col("n")).as("doc"), col("h").as("shingle"))
@@ -280,12 +298,34 @@ object Llm {
         Seq("shingle", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "na", "doc_b", "nb")
-    val inter = smallPairs.union(hotPairs)
+    smallPairs.union(hotPairs)
       .groupBy("doc_a", "na", "doc_b", "nb").agg(count(lit(1)).as("inter"))
-    inter.select(
-      col("doc_a"), col("doc_b"),
-      round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
   }
+
+  /** Containment near-dup pairs — the dedup signal Jaccard is blind to:
+    * a short document quoted wholesale inside a long one (boilerplate,
+    * syndicated articles, license headers) has LOW Jaccard (the union is
+    * dominated by the long side) but containment ≈ 1. Broder's
+    * containment C(A,B) = |A∩B| / |A| evaluated on the SMALLER side of
+    * each candidate pair: `inner_doc` is the contained document,
+    * `outer_doc` its container (shingle-count tie → higher doc_id is
+    * inner, deterministic). Same pair frame as Jaccard — zero extra
+    * passes when the session memoizes [[ngramPairStatsFrom]]. */
+  def containmentPairsFrom(stats: DataFrame,
+      minContainment: Double = 0.8): DataFrame =
+    stats
+      .withColumn("containment",
+        round(col("inter") * 1.0 / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("inner_doc"),
+        when(col("na") < col("nb"), col("doc_b"))
+          .when(col("nb") < col("na"), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("outer_doc"),
+        col("containment"))
+      .orderBy("inner_doc", "outer_doc")
 
   /** Near-dup cluster assignment — the keep-one-per-cluster step that
     * follows pairwise candidate generation in a training-data dedup

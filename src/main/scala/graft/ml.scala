@@ -302,4 +302,31 @@ object Ml {
       lit(k.toLong).as("k"),
       lit(math.rint(sil * 1e6) / 1e6).as("silhouette"))
   }
+
+  /** Smoothed target encoding of a categorical feature — the standard
+    * ML-prep replacement for one-hot on high-cardinality categories:
+    * each category encodes as a shrunk mean of the target,
+    * enc = (Σ_target + m·μ) / (n + m), pulled toward the global mean μ
+    * by pseudo-count m so rare categories don't memorize noise. Means
+    * come from EXACT integer-cent sums (the suite's money discipline —
+    * float partial sums are partition-order nondeterministic), with the
+    * float division applied once per category at the end; both engines
+    * evaluate the same expression shape, so the encoding is
+    * oracle-hashable to 6 dp.
+    *
+    * Scale shape: ONE category-grain aggregate over the fact (map-side
+    * combine); the global mean folds from that same frame (1-row cross,
+    * the suite's scalar pattern), so the fact is scanned once and
+    * nothing after the aggregate exceeds |categories| rows. */
+  def targetEncode(fact: DataFrame, m: Double = 20.0): DataFrame = {
+    val perCat = fact.groupBy("pays").agg(
+      sum(Tables.cents(col("o_totalprice"))).as("s_cents"),
+      count(lit(1)).as("n"))
+    val globalRow = perCat.agg(sum("s_cents"), sum("n")).head()
+    val mu = globalRow.getLong(0) / 100.0 / globalRow.getLong(1)
+    perCat.select(col("pays"), col("n"),
+        round((col("s_cents") / 100.0 + lit(m * mu)) / (col("n") + lit(m)), 6)
+          .as("enc"))
+      .orderBy("pays")
+  }
 }

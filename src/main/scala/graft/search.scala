@@ -97,4 +97,89 @@ object Search {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------ word bigrams
+
+  /** Per-document word-bigram counts — (doc_id, w1, w2, cnt): the
+    * order-1 sequence frame next to [[docTermFreq]]'s bag-of-words, and
+    * the shared base under the collocation ([[termPmiFrom]]) and
+    * bigram-LM ([[bigramLogProbFrom]]) operators.
+    *
+    * Scale shape: one corpus pass — the token array zipped with its own
+    * tail in-row (no positional self-join), exploded, then a
+    * (doc, pair)-grain aggregate with map-side combine; nothing after
+    * the aggregate is corpus-sized. Empty tokens are filtered BEFORE
+    * pairing so adjacency matches the (lowercase, split-on-whitespace)
+    * suite convention. */
+  def docBigrams(documents: DataFrame): DataFrame = {
+    val ws = Llm.spread(documents)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    ws.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k collocations by pointwise mutual information — the classic
+    * phrase detector ("new york" scores high because its parts rarely
+    * appear apart). All probabilities come from the corpus bigram frame
+    * itself: left/right margins and the bigram total, so the statistic
+    * is self-consistent and needs no separate unigram pass.
+    * pmi = ln(c12·B / (c1·c2)), computed at 9 dp with a lexical
+    * tie-break (the suite's transcendental-score convention). Pairs
+    * below `minCount` are pruned first — PMI's known pathology is that
+    * rare pairs score arbitrarily high.
+    *
+    * Scale shape: margins re-aggregate the vocab²-bounded corpus-pair
+    * frame (never the corpus); the pair frame is cached across its four
+    * consumers (two margins, the total, the scored join). */
+  def termPmiFrom(bigrams: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val corpus = CacheOnce(
+      bigrams.groupBy("w1", "w2").agg(sum("cnt").as("c12")))
+    val left = corpus.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = corpus.groupBy("w2").agg(sum("c12").as("c2"))
+    val bTotal = corpus.agg(sum("c12")).head().getLong(0)
+    corpus.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * lit(bTotal.toDouble) /
+          (col("c1") * col("c2").cast("double"))), 9))
+      .select("w1", "w2", "c12", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * add-k-smoothed bigram LM — the order-1 upgrade of
+    * [[Llm.unigramLogProbFrom]]'s quality score: fluent word ORDER now
+    * matters, not just word choice (a bag of common words shuffled
+    * randomly scores near the unigram model but collapses here).
+    * P(w2|w1) = (c12 + k) / (c1 + k·V) with V the corpus vocabulary
+    * size; the per-doc mean weights each bigram occurrence
+    * (Σ cnt·ln p / Σ cnt). 6 dp rounding on both engines — the double
+    * sum over a document's distinct bigrams is partition-order
+    * nondeterministic at ~1e-14, far inside 6dp.
+    *
+    * Scale shape: corpus counts and left margins re-aggregate the
+    * bigram frame at vocab² grain; the score join is doc-pair-grain ⋈
+    * vocab-grain on the pair key — postings-shaped, like the unigram
+    * scorer and bm25. */
+  def bigramLogProbFrom(bigrams: DataFrame, vocabSize: Long,
+      smoothing: Double = 0.5): DataFrame = {
+    val corpus = CacheOnce(
+      bigrams.groupBy("w1", "w2").agg(sum("cnt").as("c12")))
+    val left = corpus.groupBy("w1").agg(sum("c12").as("c1"))
+    val kv = smoothing * vocabSize.toDouble
+    bigrams.join(corpus, Seq("w1", "w2")).join(left, "w1")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * (log(col("c12") + lit(smoothing)) -
+          log(col("c1") + lit(kv)))) / sum(col("cnt")), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }

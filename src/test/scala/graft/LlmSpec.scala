@@ -85,6 +85,29 @@ class LlmSpec extends SparkSpec {
     assert(best3.isEmpty || best3.get.getAs[Double]("jaccard") < 0.2)
   }
 
+  test("containmentPairs: quoted-subset doc flagged at containment 1.0 where jaccard is low; tie picks higher id as inner") {
+    val d = docs(
+      // doc 1's three shingles all appear in doc 2 (9 shingles):
+      // containment 3/3 = 1.0, jaccard only 3/9 — the case Jaccard misses
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j k"),
+      // identical docs: equal shingle counts — the deterministic tie
+      (10L, "p q r s"),
+      (11L, "p q r s"))
+    val stats = Llm.ngramPairStatsFrom(Llm.shingleHashes(d))
+    val out = Llm.containmentPairsFrom(stats).collect()
+      .map(r => (r.getAs[Long]("inner_doc"), r.getAs[Long]("outer_doc"),
+        r.getAs[Double]("containment")))
+    assert(out.contains((1L, 2L, 1.0)), s"subset pair missing: ${out.toSeq}")
+    assert(out.contains((11L, 10L, 1.0)), s"tie direction wrong: ${out.toSeq}")
+    // the jaccard view of the SAME stats frame scores the subset pair low
+    val jac = Llm.jaccardFromStats(stats)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .head().getAs[Double]("jaccard")
+    assert(jac < 0.5 && jac == BigDecimal(3.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("dedupNgram: salted hot-shingle tier is bit-identical to in-task expansion") {
     // hotDf=1 forces every surviving (df>=2) shingle through the salted
     // self-join path; the default run keeps them all in the HOF expansion

@@ -228,4 +228,55 @@ class SearchSpec extends SparkSpec {
       ("view", "2024-01-20")  -> (1L, 4.0),
       ("click", "2024-01-03") -> (1L, 8.0)))
   }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("docBigrams: adjacency pairs with counts; 1-word and empty docs drop") {
+    val d = docs((0L, "new york new york"), (1L, "solo"), (2L, "  "), (3L, "a b"))
+    val out = Search.docBigrams(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(out == Map(
+      (0L, "new", "york") -> 2L, (0L, "york", "new") -> 1L,
+      (3L, "a", "b") -> 1L))
+  }
+
+  test("termPmi: exact ln(c12*B/(c1*c2)) with count prune and pmi/lexical ranking") {
+    val d = docs((0L, "new york new york"), (1L, "a new day"))
+    // corpus pairs: (new,york)=2 (york,new)=1 (a,new)=1 (new,day)=1; B=5
+    // c1: new=3 york=1 a=1 ; c2: york=2 new=2 day=1
+    val out = Search.termPmiFrom(Search.docBigrams(d), minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSeq
+    val ln25 = r9(math.log(2.5))          // (a,new) and (york,new) tie
+    val ln53 = r9(math.log(2.0 * 5 / (3 * 2.0)))  // (new,york); (new,day) = ln(5/3) equal
+    assert(out == Seq(
+      ("a", "new", 1L, ln25), ("york", "new", 1L, ln25),
+      ("new", "day", 1L, ln53), ("new", "york", 2L, ln53)))
+    // count prune: at minCount=2 only the repeated pair survives
+    val pruned = Search.termPmiFrom(Search.docBigrams(d), minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("new", "york")))
+  }
+
+  test("bigramLogProb: exact add-k scores; word order changes the score where a bag-of-words model is blind") {
+    val d = docs((0L, "x y"), (1L, "x y z"))
+    // corpus: (x,y)=2 (y,z)=1 ; c1: x=2 y=1 ; V=3, k=0.5 -> kV=1.5
+    val out = Search.bigramLogProbFrom(Search.docBigrams(d), vocabSize = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    val pxy = math.log(2.5) - math.log(3.5)
+    val pyz = math.log(1.5) - math.log(2.5)
+    assert(out == Map(0L -> (1L, r6(pxy)), 1L -> (2L, r6((pxy + pyz) / 2))))
+    // word order matters where a bag-of-words model is blind: in a corpus
+    // where "x y z" dominates, the shuffled twin "y x z" (same bag, rare
+    // bigrams) scores strictly lower than another ordered copy
+    val shuffled = docs((0L, "x y z"), (1L, "x y z"), (2L, "x y z"), (3L, "y x z"))
+    val sc = Search.bigramLogProbFrom(Search.docBigrams(shuffled), vocabSize = 3L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(sc(3L) < sc(0L))
+  }
 }

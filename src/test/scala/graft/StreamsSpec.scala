@@ -165,6 +165,29 @@ class StreamsSpec extends SparkSpec {
       "c ASC NULLS FIRST", "d ASC NULLS FIRST"))
   }
 
+  test("targetEncode: exact shrunk means; rare categories pull to the global mean, heavy ones to their own") {
+    import spark.implicits._
+    // A: 2 orders summing 30.00; B: 1 order of 40.00 -> mu = 70/3
+    val f = Seq(("A", 10.0), ("A", 20.0), ("B", 40.0))
+      .toDF("pays", "o_totalprice")
+    val out = Ml.targetEncode(f).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("enc"))).toMap
+    val mu = 7000L / 100.0 / 3L
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(
+      "A" -> (2L, r6((3000L / 100.0 + 20.0 * mu) / (2L + 20.0))),
+      "B" -> (1L, r6((4000L / 100.0 + 20.0 * mu) / (1L + 20.0)))))
+    // shrinkage direction: every encoding sits between its raw mean and mu
+    assert(out("A")._2 > 15.0 && out("A")._2 < mu)
+    assert(out("B")._2 < 40.0 && out("B")._2 > mu)
+    // a heavy category escapes the prior: 1000 rows of 10.00 encodes ~10
+    val heavy = (Seq.fill(1000)(("H", 10.0)) ++ Seq(("T", 100.0)))
+      .toDF("pays", "o_totalprice")
+    val hEnc = Ml.targetEncode(heavy).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("enc")).toMap
+    assert(math.abs(hEnc("H") - 10.0) < 0.1)
+  }
+
   test("kmeans segmentation: k clusters, deterministic under a fixed seed") {
     val feats = Gold.clientFeatures(Tables.orders(spark, sf), Tables.lineitem(spark, sf),
       Gold.referenceDate(Gold.validOrders(Tables.orders(spark, sf))))
