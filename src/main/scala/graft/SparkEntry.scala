@@ -476,6 +476,14 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", s.hashCode, d),
       Ml.knnIvf(Tables.embeddings(s, d)).cache())),
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
+    // incremental IVF maintenance: delta vectors assigned to PERSISTED
+    // centroids — no refit, no indexed-corpus rescan (delta scan carries
+    // a pushed vec_id >= 400 filter, gated in PlanShapeSpec)
+    "knn_ivf_incremental" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+      Ml.ivfAssignDelta(Tables.embeddings(s, d).filter(col("vec_id") >= 400L),
+        s.read.parquet(idx))
+    }),
     // int8 scalar-quantized corpus, asymmetric full-precision probes;
     // rows-only — the codebook fold is float math — LlmSpec gates
     // recall@5 vs knn_bruteforce
@@ -858,6 +866,22 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$p/exact")
       docShingles(s, d).filter(col("doc_id") < oldDocs)
         .write.mode("overwrite").parquet(s"$p/shingles")
+      p.toString
+    })
+
+  /** Persisted IVF coarse-quantizer centroids over the already-indexed
+    * vectors (vec_id < 400) — the ANN analog of [[dedupIndex]]: written
+    * once per (session, dataset); knn_ivf_incremental only READS this
+    * and scans the post-cutoff delta, never refitting KMeans or
+    * rescanning indexed vectors. */
+  private val ivfIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def ivfIndex(s: SparkSession, d: String, oldVecs: Long = 400): String =
+    ivfIndexMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Ml.ivfCentroids(Tables.embeddings(s, d).filter(col("vec_id") < oldVecs))
+        .write.mode("overwrite").parquet(p.toString)
       p.toString
     })
 

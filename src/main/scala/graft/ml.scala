@@ -303,6 +303,53 @@ object Ml {
       lit(math.rint(sil * 1e6) / 1e6).as("silhouette"))
   }
 
+  /** Incremental IVF index maintenance — the ANN twin of the persisted
+    * shingle-index dedup: new vectors are assigned to the PERSISTED
+    * coarse-quantizer centroids, with no KMeans refit and no scan of the
+    * already-indexed corpus. This is how a 100 TB vector store actually
+    * ingests: the quantizer retrains on a schedule, deltas stream into
+    * cells between retrains. Centroids are nlist×dim (tiny by
+    * construction), so they fold to a driver literal and assignment is
+    * one map-side argmin pass over the delta — zero shuffles before the
+    * output sort. Ties (equal squared-L2) break to the lower cell index
+    * via the (dist, idx) struct sort, so assignment is deterministic
+    * given the persisted index. */
+  def ivfAssignDelta(delta: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val centArr = typedlit(cents.map(_._2).toSeq)
+    val cellIds = typedlit(cents.map(_._1).toSeq)
+    val dists = transform(sequence(lit(0), lit(cents.length - 1)), ci =>
+      struct(
+        aggregate(zip_with(col("emb"), element_at(centArr, ci + 1),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (a, v) => a + v).as("d"),
+        ci.as("idx")))
+    delta.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("best", element_at(array_sort(dists), 1))
+      .select(col("vec_id"),
+        element_at(cellIds, col("best.idx") + 1).as("cell"),
+        round(col("best.d"), 6).as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** Train the IVF coarse quantizer for [[ivfAssignDelta]]'s persisted
+    * index: same KMeans configuration as [[knnIvf]] (so the incremental
+    * path maintains the index the batch query would build), returned as
+    * a (cell, centroid) frame ready to persist. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16,
+      seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = corpus.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    val model = new MlKMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val rows = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+    import corpus.sparkSession.implicits._
+    rows.toDF("cell", "centroid")
+  }
+
   /** Smoothed target encoding of a categorical feature — the standard
     * ML-prep replacement for one-hot on high-cardinality categories:
     * each category encodes as a shrunk mean of the target,

@@ -133,6 +133,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf_incremental reads persisted centroids; embeddings scans are delta-only") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("knn_ivf_incremental")(spark, sf)
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
+    }
+    // centroids fold to a driver literal BEFORE the plan, so the only
+    // file scans left must be delta-pruned embeddings reads — a plan
+    // containing an unfiltered embeddings scan means the indexed corpus
+    // was touched (the refit-per-batch anti-pattern)
+    val all = scans(df.queryExecution.executedPlan)
+    val emb = all.filter(_.metadata("Location").contains("embeddings"))
+    assert(emb.nonEmpty)
+    emb.foreach { s =>
+      assert(s.metadata("PushedFilters").contains("GreaterThanOrEqual(vec_id,400)"),
+        s"indexed vectors not pruned from an embeddings scan: ${s.metadata("PushedFilters")}")
+    }
+  }
+
   test("incremental refreshes never rescan pre-cutoff orders") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -406,6 +406,31 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == batchDistinct)
   }
 
+  test("ivfAssignDelta: argmin cell with lower-index tie-break; delta query deterministic per session") {
+    import spark.implicits._
+    // hand-built quantizer: cells at (0,0), (10,0), (0,10)
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)), (2, Seq(0.0, 10.0)))
+      .toDF("cell", "centroid")
+    val delta = Seq(
+      (100L, Seq(1.0f, 0.0f)),   // nearest (0,0) -> cell 0, d2=1
+      (101L, Seq(9.0f, 1.0f)),   // nearest (10,0) -> cell 1, d2=2
+      (102L, Seq(5.0f, 0.0f)))   // EQUIDISTANT to cells 0 and 1 (25) -> tie to 0
+      .toDF("vec_id", "embedding")
+    val out = Ml.ivfAssignDelta(delta, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Double]("dist2"))).toSeq
+    assert(out == Seq((100L, 0, 1.0), (101L, 1, 2.0), (102L, 0, 25.0)))
+    // the wired query: every delta vector assigned, indexed ids absent,
+    // and two invocations agree bit-for-bit (persisted index is stable)
+    val a = SparkEntry.queries("knn_ivf_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("knn_ivf_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+    val ids = SparkEntry.queries("knn_ivf_incremental")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ >= 400L))
+  }
+
   test("knn_ivf: probes return ranked neighbors from probed cells; deterministic per session") {
     val e = Tables.embeddings(spark, sf)
     val a = Ml.knnIvf(e).collect()
