@@ -263,18 +263,14 @@ object SparkEntry {
     // partition-level restatement: 1996 rewritten (prices doubled) via
     // dynamic partition overwrite; the aggregate proves the other years
     // survived untouched AND 1996 changed exactly once
-    "partition_overwrite" -> ((s, d) => {
-      val dir = dynOverwriteMemo.getOrElseUpdate((s.hashCode, d), {
-        val p = java.nio.file.Files.createTempDirectory("graft_dyn_overwrite")
-        sys.addShutdownHook(Streams.deleteRec(p.toFile))
-        fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
-        Pipeline.overwritePartition(s, p.toString,
-          fact(s, d).filter(col("annee") === 1996)
-            .withColumn("o_totalprice", col("o_totalprice") * 2))
-        p.toString
-      })
-      Pipeline.partitionState(s, dir)
-    }),
+    "partition_overwrite" -> ((s, d) =>
+      Pipeline.partitionState(s, restatedFactDir(s, d))),
+    // row-level reconciliation of the restated snapshot against the live
+    // fact: full-outer key join, added/removed/changed/same with exact
+    // cents deltas at (annee, status) grain
+    "snapshot_diff" -> ((s, d) =>
+      Layout.snapshotDiff(fact(s, d),
+        s.read.parquet(restatedFactDir(s, d)))),
     // year x year customer-overlap matrix: one key-grain self-join
     "customer_overlap_matrix" -> ((s, d) =>
       Gold.customerOverlapMatrix(Tables.orders(s, d))),
@@ -365,6 +361,9 @@ object SparkEntry {
     "kpis_approx" -> ((s, d) => Serving.kpisApprox(fact(s, d))),
     "top_clients" -> ((s, d) => Serving.topClients(fact(s, d))),
     "client_deciles" -> ((s, d) => Serving.clientDeciles(fact(s, d))),
+    // revenue concentration: exact Gini + top-decile share via the same
+    // distributed global-rank machinery (no 1-partition window)
+    "revenue_gini" -> ((s, d) => Serving.revenueGini(fact(s, d))),
     "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
     "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),
 
@@ -402,6 +401,9 @@ object SparkEntry {
     // LEFT OUTER form: every purchase emits (null-click rows flushed by
     // the watermark heartbeat sentinel), same batch left-join oracle
     "events_attribution_outer" -> ((s, d) => Streams.attributionOuterStreamed(s, d)),
+    // FULL OUTER completes the stream-stream join family: orphan clicks
+    // (attributed to no purchase) emit per user under a NULL purchase key
+    "events_attribution_full" -> ((s, d) => Streams.attributionFullStreamed(s, d)),
 
     // -- LLM-pipeline extension: dedup / text analysis (SURVEY §2.10) --
     "dedup_exact" -> ((s, d) => Llm.dedupExact(Tables.documents(s, d))),
@@ -823,9 +825,21 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
 
   // annee-partitioned fact copy that the dynamic-overwrite restatement
-  // mutates (factSink stays pristine for the pruning queries)
+  // mutates (factSink stays pristine for the pruning queries); shared by
+  // partition_overwrite (end-state proof) and snapshot_diff (row-level
+  // reconciliation of the same restatement)
   private val dynOverwriteMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def restatedFactDir(s: SparkSession, d: String): String =
+    dynOverwriteMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_dyn_overwrite")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
+      Pipeline.overwritePartition(s, p.toString,
+        fact(s, d).filter(col("annee") === 1996)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      p.toString
+    })
 
   // fact copy the right-to-be-forgotten delete mutates
   private val gdprMemo =
@@ -1333,6 +1347,25 @@ object SparkEntry {
              min(total_spend) AS min_spend, max(total_spend) AS max_spend
       FROM d GROUP BY 1 ORDER BY decile""",
 
+    // rank-formula Gini over ascending exact-cents spend; rank*cents
+    // accumulates in DECIMAL(38,0) on both engines, scalar float ops in
+    // the same order as Serving.revenueGini's driver fold
+    "revenue_gini" -> s"""
+      WITH pc AS (SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+                  FROM orders WHERE $V GROUP BY 1),
+      r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM pc),
+      nn AS (SELECT count(*) AS n FROM pc),
+      g AS (SELECT sum(CAST(rk AS DECIMAL(38,0)) * cents) AS rx,
+                   sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+                   sum(CASE WHEN rk > (SELECT n FROM nn) - (SELECT n FROM nn) // 10
+                            THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS topx
+            FROM r)
+      SELECT (SELECT n FROM nn) AS n_clients,
+             round(2.0 * CAST(rx AS DOUBLE) / ((SELECT n FROM nn) * CAST(sx AS DOUBLE))
+                   - ((SELECT n FROM nn) + 1.0) / (SELECT n FROM nn), 6) AS gini,
+             round(CAST(topx AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top10_share
+      FROM g""",
+
     "top_risk_clients" -> s"""$scoredCte
       SELECT c_custkey, value_at_risk_12m, recency_days, monetary_12m
       FROM scored
@@ -1387,6 +1420,23 @@ object SparkEntry {
         AND c.click_ts < p.purchase_ts
       GROUP BY 1, 2, 3
       ORDER BY purchase_id""",
+
+    // FULL JOIN twin: orphan clicks (no purchase within the window)
+    // aggregate per user under a NULL purchase key
+    "events_attribution_full" -> """
+      WITH c AS (SELECT user_id, ts AS click_ts, value FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, coalesce(p.user_id, c.user_id) AS user_id,
+        p.purchase_ts,
+        count(c.user_id) AS n_clicks,
+        sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0 AS click_value
+      FROM p FULL JOIN c ON c.user_id = p.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        AND c.click_ts < p.purchase_ts
+      GROUP BY 1, 2, 3
+      ORDER BY purchase_id, user_id""",
 
     "events_upsert_publish" -> """
       SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -1886,6 +1936,26 @@ object SparkEntry {
       SELECT annee, count(*) AS n,
              sum(cents * CASE WHEN annee = 1996 THEN 2 ELSE 1 END)/100.0 AS ca
       FROM f GROUP BY 1 ORDER BY annee""",
+
+    // v2 restated from the base table (price doubled for 1996 — exact in
+    // cents since prices carry 2dp); same keys both sides by construction,
+    // so added/removed are structurally absent here but the operator
+    // classifies them
+    "snapshot_diff" -> s"""
+      WITH v1 AS (SELECT o_orderkey, year(o_orderdate) AS annee,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS c
+                  FROM orders WHERE $V),
+      v2 AS (SELECT o_orderkey, annee,
+                    c * CASE WHEN annee = 1996 THEN 2 ELSE 1 END AS c
+             FROM v1),
+      j AS (SELECT coalesce(v1.annee, v2.annee) AS annee,
+              CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                   WHEN v2.o_orderkey IS NULL THEN 'removed'
+                   WHEN v1.c != v2.c THEN 'changed' ELSE 'same' END AS status,
+              coalesce(v2.c, 0) - coalesce(v1.c, 0) AS dc
+            FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      SELECT annee, status, count(*) AS n, CAST(sum(dc) AS BIGINT)/100.0 AS delta
+      FROM j GROUP BY 1, 2 ORDER BY annee, status""",
 
     // the Horner fold restated one step per CTE; DuckDB date-date is
     // already integer days

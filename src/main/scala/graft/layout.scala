@@ -97,4 +97,35 @@ object Layout {
       .toDF("files_before", "files_after", "rows_before", "rows_after",
         "checksum_match")
   }
+
+  /** Snapshot reconciliation — the row-level diff behind a restatement
+    * audit or CDC validation: two physical versions of a keyed table
+    * compared by one full-outer join on the key, every row classified
+    * added / removed / changed / same, and the money delta accumulated
+    * in exact cents. [[Catalog.tableChecksum]] answers "did anything
+    * change"; this answers "WHAT changed, where, and by how much" —
+    * summarized at (annee, status) grain so a 100 TB diff emits a
+    * year-sized report, not a row dump.
+    *
+    * Scale shape: the join is key-partitioned on both sides (the one
+    * unavoidable shuffle of any reconciliation); comparison is a cents
+    * equality on 8-byte longs, never a row-string compare, and the
+    * aggregate rides the join's partitioning. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("o_orderkey"), col("annee").as("annee_1"),
+      Tables.cents(col("o_totalprice")).as("c1"))
+    val b = v2.select(col("o_orderkey"), col("annee").as("annee_2"),
+      Tables.cents(col("o_totalprice")).as("c2"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("annee_1"), col("annee_2")).as("annee"),
+        when(col("c1").isNull, "added")
+          .when(col("c2").isNull, "removed")
+          .when(col("c1") =!= col("c2"), "changed")
+          .otherwise("same").as("status"),
+        (coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L))).as("dc"))
+      .groupBy("annee", "status")
+      .agg(count(lit(1)).as("n"), (sum("dc") / 100.0).as("delta"))
+      .orderBy("annee", "status")
+  }
 }

@@ -426,6 +426,55 @@ object Serving {
       .orderBy("decile")
   }
 
+  /** Revenue concentration across the customer base — exact Gini
+    * coefficient plus the top-decile revenue share (the Lorenz-curve
+    * numbers a "whales vs long tail" analysis reads off). Gini via the
+    * rank formula G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ascending spend;
+    * ties carry equal x, so any tie order yields the same sum and the
+    * (spend, custkey) ordering makes ranks reproducible anyway.
+    *
+    * Scale shape: global ranks WITHOUT a single-partition window — the
+    * [[clientDeciles]] machinery: range-repartition by (spend, key),
+    * per-partition counts to the driver (bounded: one long per
+    * partition), ranks = local row number + partition offset. Products
+    * accumulate in decimal(38,0) (rank·cents overflows a long once
+    * n·spend passes ~10¹⁸ — i.e. exactly at the 100 TB design point);
+    * the two scalar divisions happen once on the driver. */
+  def revenueGini(fact: DataFrame): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val perClient = fact.groupBy(col("o_custkey"))
+      .agg(sum(Tables.cents(col("o_totalprice"))).as("cents"))
+    val sorted0 = perClient
+      .repartitionByRange(col("cents"), col("o_custkey"))
+      .sortWithinPartitions(col("cents"), col("o_custkey"))
+      .select(col("o_custkey"), col("cents"))
+    val sorted = CacheOnce(sorted0).as[(Long, Long)]
+    val sizes = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = sizes.sum
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = offsets(pid)
+      it.map { case (_, c) => r += 1; (r, c) }
+    }.toDF("rk", "cents")
+    val topCut = n - n / 10 // top floor(n/10) clients by spend
+    val m = ranked.agg(
+      sum(col("rk").cast("decimal(38,0)") * col("cents")).as("rx"),
+      sum(col("cents").cast("decimal(38,0)")).as("sx"),
+      sum(when(col("rk") > topCut, col("cents")).otherwise(0L)
+        .cast("decimal(38,0)")).as("topx")).head()
+    val (rx, sx, topx) = (m.getDecimal(0).doubleValue(),
+      m.getDecimal(1).doubleValue(), m.getDecimal(2).doubleValue())
+    val gini = 2.0 * rx / (n * sx) - (n + 1.0) / n
+    spark.range(1).select(
+      lit(n).as("n_clients"),
+      round(lit(gini), 6).as("gini"),
+      round(lit(topx / sx), 6).as("top10_share"))
+  }
+
   /** Country × month revenue with ROLLUP subtotals (grouping-sets
     * extension — the reference computes the marginals as separate
     * queries; one rollup pass yields all three grains). */

@@ -424,6 +424,57 @@ object Streams extends Serializable {
       .orderBy("purchase_id")
   }
 
+  /** [[attributionOuterStreamed]]'s FULL OUTER form — the last member of
+    * the stream-stream join family: every purchase emits (zero-click ones
+    * with a null-click row, as in the left-outer form) AND every click
+    * that attributed to no purchase emits once the watermark proves none
+    * can still arrive — the "orphaned spend" rows a marketing team
+    * reconciles against ad-platform invoices. Orphan clicks aggregate per
+    * user under a NULL purchase key. Both sides union the
+    * [[heartbeatStream]] sentinel (outer emission on EITHER side waits on
+    * the OTHER side's watermark); sentinel rows are dropped after the
+    * join — a sentinel click can never match (it sits 3 h past every
+    * purchase's window), so it only ever appears as an orphan of user -1.
+    * State stays bounded to one hour per user exactly as in the inner and
+    * left-outer forms. */
+  def attributionFullStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    val name = sinkName(spark, "graft_attr_full")
+    val clicks = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+      .filter(col("event_type").isin("click", "sentinel"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+      .filter(col("event_type").isin("purchase", "sentinel"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val pairs = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"),
+      "full_outer")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(coalesce(col("purchase_id"), lit(0L)) =!= -1L &&
+        coalesce(col("user_id"), col("c_user")) =!= -1L)
+      .groupBy(col("purchase_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_ts"))
+      .agg(count(col("c_user")).as("n_clicks"),
+        Tables.moneySum(col("click_value")).as("click_value"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("n_clicks"), col("click_value"))
+      .orderBy("purchase_id", "user_id")
+  }
+
   /** Recursive delete for staged sink/checkpoint directories. */
   private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))

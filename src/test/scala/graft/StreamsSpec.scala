@@ -159,6 +159,66 @@ class StreamsSpec extends SparkSpec {
     } finally Streams.deleteRec(tmp.toFile)
   }
 
+  test("full-outer attribution equals the batch full join; orphan clicks emit per user") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("purchase_ts"), "full_outer")
+      .groupBy(col("purchase_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_ts"))
+      .agg(count(col("c_user")).as("n_clicks"),
+        Tables.moneySum(col("click_value")).as("click_value"))
+      .select(col("purchase_id"), col("user_id"), col("n_clicks"), col("click_value"))
+      .orderBy(col("purchase_id"), col("user_id"))
+      .collect().map(_.mkString("|")).toSeq
+    val streamed = Streams.attributionFullStreamed(spark, sf)
+      .select(col("purchase_id"), col("user_id"), col("n_clicks"), col("click_value"))
+      .orderBy(col("purchase_id"), col("user_id"))
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the full form strictly extends the left-outer form by orphan-click
+    // rows: null purchase_id, real users, at least one click each
+    val orphans = Streams.attributionFullStreamed(spark, sf)
+      .filter(col("purchase_id").isNull)
+    assert(orphans.count() > 0)
+    assert(orphans.filter(col("n_clicks") < 1 || col("user_id") === -1L).count() == 0)
+  }
+
+  test("snapshotDiff: all four statuses classified with exact cents deltas") {
+    import spark.implicits._
+    val v1 = Seq((1L, 2020, 10.0), (2L, 2020, 20.0), (3L, 2021, 30.0))
+      .toDF("o_orderkey", "annee", "o_totalprice")
+    val v2 = Seq((2L, 2020, 25.0), (3L, 2021, 30.0), (4L, 2021, 40.0))
+      .toDF("o_orderkey", "annee", "o_totalprice")
+    val out = Layout.snapshotDiff(v1, v2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (2020, "changed", 1L, 5.0), (2020, "removed", 1L, -10.0),
+      (2021, "added", 1L, 40.0), (2021, "same", 1L, 0.0)))
+  }
+
+  test("revenueGini: zero under perfect equality, hand-computed under concentration") {
+    import spark.implicits._
+    def f(rows: Seq[(Long, Double)]) =
+      rows.toDF("o_custkey", "o_totalprice")
+    val equal = Serving.revenueGini(f((1L to 10L).map(_ -> 5.0))).head()
+    assert(equal.getAs[Long]("n_clients") == 10L)
+    assert(equal.getAs[Double]("gini") == 0.0)
+    // 9 clients at 1.00, one whale at 91.00: G = 2*95500/(10*10000) - 1.1
+    val whale = Serving.revenueGini(
+      f((1L to 9L).map(_ -> 1.0) :+ (10L -> 91.0))).head()
+    assert(whale.getAs[Double]("gini") == 0.81)
+    assert(whale.getAs[Double]("top10_share") == 0.91)
+  }
+
   test("parseSortSpec: desc/asc/garbage directions") {
     val cols = Serving.parseSortSpec("a:desc,b:asc,c:bogus,d")
     assert(cols.map(_.toString) == Seq("a DESC NULLS LAST", "b ASC NULLS FIRST",
