@@ -85,6 +85,17 @@ object SparkEntry {
     memoFrame("copurchase", s, d)(Gold.copurchasePairs(
       Tables.orders(s, d), Tables.lineitem(s, d)))
 
+  /** The basket-line frame and the part-pair co-occurrence counts built
+    * from it — ONE basket self-join per session serving basket_pairs
+    * (support filter) and copurchase_triangles (edge keys). NOTE: the
+    * other two graph queries (product_rank, copurchase_distance) walk
+    * the customer–part bipartite [[copurchase]] frame — a DIFFERENT
+    * graph; no further sharing exists between the two families. */
+  private def orderItemsF(s: SparkSession, d: String): DataFrame =
+    memoFrame("orderItems", s, d)(Gold.orderItems(Tables.lineitem(s, d)))
+  private def itemCooc(s: SparkSession, d: String): DataFrame =
+    memoFrame("itemCooc", s, d)(Gold.itemCooccurrenceFrom(orderItemsF(s, d)))
+
   /** The (doc_id, word, tf) term-frequency frame the text-ranking
     * queries share (tfidf_top_terms, doc_logprob): one corpus explode +
     * aggregate per session. */
@@ -331,7 +342,8 @@ object SparkEntry {
     // proving the reshapes are mutual inverses
     "cohort_retention_melt" -> ((s, d) => Gold.cohortRetentionMelt(Tables.orders(s, d))),
     // market-basket association: same-order part pairs scored by lift
-    "basket_pairs" -> ((s, d) => Gold.basketPairs(Tables.lineitem(s, d))),
+    "basket_pairs" -> ((s, d) =>
+      Gold.basketPairsFrom(orderItemsF(s, d), itemCooc(s, d))),
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
     "ca_region" -> ((s, d) => Gold.caRegion(Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
@@ -610,7 +622,8 @@ object SparkEntry {
     // triangle membership over the part-part co-occurrence graph
     // (ordered-wedge enumeration; rank/reach/cohesion triple complete)
     "copurchase_triangles" -> ((s, d) =>
-      Gold.copurchaseTriangles(Tables.lineitem(s, d))),
+      Gold.copurchaseTrianglesFrom(
+        itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
     // first BPE merge round: char-pair counts at VOCAB grain off the
     // shared term-frequency frame (pair expansion never sees the corpus)
     "bpe_pairs" -> ((s, d) => Llm.bpePairsFrom(docTf(s, d))),

@@ -540,18 +540,36 @@ object Gold {
     * = bought together more than chance — the cross-sell signal. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3,
       k: Int = 20): DataFrame = {
-    // cached: the frame feeds BOTH sides of the self-join, the order
-    // count, and the per-item frequencies — uncached, the scan+distinct
-    // executes four times (join sides get no automatic CSE)
-    val items = CacheOnce(lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct())
-    val nOrders = items.select("ok").distinct().count()
-    val pairs = items.as("a")
+    val items = CacheOnce(orderItems(lineitem))
+    basketPairsFrom(items, itemCooccurrenceFrom(items), minSupport, k)
+  }
+
+  /** Distinct (order, part) basket lines — the frame under the whole
+    * co-occurrence family. Cache it: it feeds BOTH sides of the pair
+    * self-join, the order count, and the per-item frequencies (join
+    * sides get no automatic CSE). */
+  def orderItems(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Part-pair co-occurrence counts (p1 < p2, together = #shared
+    * baskets) — the ONE basket self-join the market-basket query and
+    * the triangle edge set both consume: basket_pairs filters it on
+    * support, copurchase_triangles takes its keys as the undirected
+    * edge set. A session memoizes it so the quadratic-in-basket-size
+    * expansion runs once, not per query. */
+  def itemCooccurrenceFrom(items: DataFrame): DataFrame =
+    items.as("a")
       .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("together"))
-      .filter(col("together") >= minSupport)
+
+  /** [[basketPairs]] over prebuilt [[orderItems]] / [[itemCooccurrenceFrom]]
+    * frames (what SparkEntry feeds from its shared memos). */
+  def basketPairsFrom(items: DataFrame, cooc: DataFrame,
+      minSupport: Long = 3, k: Int = 20): DataFrame = {
+    val nOrders = items.select("ok").distinct().count()
+    val pairs = cooc.filter(col("together") >= minSupport)
     val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
     pairs
       .join(freq.select(col("p").as("p1"), col("n").as("n1")), Seq("p1"))
@@ -814,13 +832,9 @@ object Gold {
     * Same per-basket self-join shape as [[basket_pairs]]; TPC-H baskets
     * are ≤7 lines so the quadratic blow-up is bounded — at open-web scale
     * cap basket size first (the [[Skew]] note). */
-  def itemPairEdges(lineitem: DataFrame): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    items.as("x").join(items.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
-  }
+  def itemPairEdges(lineitem: DataFrame): DataFrame =
+    itemCooccurrenceFrom(orderItems(lineitem))
+      .select(col("p1").as("a"), col("p2").as("b"))
 
   /** Per-node triangle membership over the co-occurrence graph — the
     * third graph operator next to PageRank (rank) and BFS (reach):
