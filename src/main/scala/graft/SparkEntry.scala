@@ -345,6 +345,13 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) =>
       Gold.basketPairsFrom(orderItemsF(s, d), itemCooc(s, d))),
     "pricing_summary" -> ((s, d) => Gold.pricingSummary(Tables.lineitem(s, d))),
+    // TPC-H Q3 shape: selective 3-table join, scaled-integer revenue,
+    // customer as LEFT SEMI (membership only, no payload)
+    "shipping_priority" -> ((s, d) => Gold.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // chi-square independence of country x high-ticket flag over the
+    // FULL margin-crossed contingency grid (zero cells kept)
+    "chi2_country_ticket" -> ((s, d) => Gold.chi2CountryTicket(fact(s, d))),
     "ca_region" -> ((s, d) => Gold.caRegion(Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
     // per-group top-k: window rank over the (region, product) aggregate
@@ -376,6 +383,8 @@ object SparkEntry {
     // revenue concentration: exact Gini + top-decile share via the same
     // distributed global-rank machinery (no 1-partition window)
     "revenue_gini" -> ((s, d) => Serving.revenueGini(fact(s, d))),
+    // grouped exact percentiles (per-country median/p90 order value)
+    "ca_country_quantiles" -> ((s, d) => Serving.caCountryQuantiles(fact(s, d))),
     "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
     "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),
 
@@ -456,6 +465,9 @@ object SparkEntry {
     "sample_mix" -> ((s, d) => Prep.sampleMix(Tables.documents(s, d),
       Map("src0" -> 100, "src1" -> 80, "src2" -> 50, "src3" -> 25),
       defaultPct = 10)),
+    // Efraimidis-Spirakis weighted priority sample: top-k by u^(1/w),
+    // w = n_chars, u deterministic from the Knuth hash
+    "sample_priority" -> ((s, d) => Prep.samplePriority(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => Prep.splitAssign(Tables.documents(s, d))),
     "sample_per_source" -> ((s, d) => Prep.samplePerSource(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
@@ -1180,6 +1192,52 @@ object SparkEntry {
       WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
       GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
 
+    // TPC-H Q3 restated (o_orderpriority for the missing o_shippriority);
+    // scaled-integer revenue matches Gold.shippingPriority's rev4 sums
+    "shipping_priority" -> """
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue,
+             CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+
+    // full margin-crossed grid incl. zero cells; expected-count and chi2
+    // float ops in the same order as Gold.chi2CountryTicket
+    "chi2_country_ticket" -> s"""
+      WITH f AS (SELECT coalesce(n_name, 'Inconnu') AS pays,
+                        CAST(o_totalprice > 150000.0 AS BIGINT) AS hi
+                 FROM orders
+                 LEFT JOIN customer ON o_custkey = c_custkey
+                 LEFT JOIN nation ON c_nationkey = n_nationkey
+                 WHERE $V),
+      cells AS (SELECT pays, hi, count(*) AS o FROM f GROUP BY 1, 2),
+      rt AS (SELECT pays, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      ct AS (SELECT hi, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS tot FROM cells),
+      grid AS (SELECT rt.pays, ct.hi, r, c, coalesce(o, 0) AS o
+               FROM rt CROSS JOIN ct
+               LEFT JOIN cells ON cells.pays = rt.pays AND cells.hi = ct.hi),
+      terms AS (SELECT o, CAST(r AS DOUBLE) * c / (SELECT tot FROM n) AS e FROM grid)
+      SELECT (SELECT count(*) FROM rt) AS n_countries,
+             ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof,
+             round(sum((o - e) * (o - e) / e), 6) AS chi2
+      FROM terms""",
+
+    // grouped exact percentiles: quantile_cont == Spark's percentile
+    "ca_country_quantiles" -> s"""
+      SELECT coalesce(n_name, 'Inconnu') AS pays, count(*) AS n,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE $V GROUP BY 1 ORDER BY pays""",
+
     "ca_region" -> s"""
       SELECT coalesce(r_name, 'Inconnu') AS region, ${ms("o_totalprice")} AS ca
       FROM orders
@@ -1642,6 +1700,16 @@ object SparkEntry {
       ORDER BY column_name""",
 
     "repetition_score" -> repetitionSql,
+
+    // A-ES priority u^(1/n_chars): u from the ppm-granularity Knuth
+    // hash, +0.5 to stay inside (0,1); 9dp-rounded rank, doc_id ties
+    "sample_priority" -> """
+      WITH s AS (SELECT doc_id, source, n_chars,
+        (CAST(floor(((doc_id + 7) * 2654435761) % 4294967296 * 1000000
+                    / 4294967296) AS BIGINT) + 0.5) / 1000000.0 AS u
+        FROM documents)
+      SELECT doc_id, source, n_chars, round(pow(u, 1.0 / n_chars), 9) AS priority
+      FROM s ORDER BY priority DESC, doc_id LIMIT 100""",
 
     "sample_mix" -> """
       WITH s AS (SELECT doc_id, source,

@@ -825,6 +825,68 @@ object Gold {
                vari("s_b", "ss_b", "n_b") / col("n_b")), 6).as("welch_t"))
   }
 
+  /** Shipping-priority top-k — the public TPC-H Q3 shape (selective
+    * filters on all three tables, two joins, revenue top-k): the classic
+    * probe of whether filters reach the scans and the join order follows
+    * selectivity. Customer participates as a LEFT SEMI (only membership
+    * matters — no customer columns survive, so the join carries keys,
+    * not payload); revenue products accumulate as scaled integers (the
+    * [[pricingSummary]] discipline — float partial sums are
+    * partition-order nondeterministic) at 10⁻⁴ dollars. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1995-03-15", k: Int = 10): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum("rev4") / 10000.0).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Chi-square test of independence between country and the
+    * high-ticket flag — the categorical sibling of [[abMetrics]]'
+    * Welch t: "do big-ticket orders concentrate in some countries?".
+    * The FULL contingency grid is materialized (margins crossed, zero
+    * cells kept — a country with no high-ticket orders still
+    * contributes its expected count to the statistic; deriving cells
+    * only from observed rows silently drops those terms). Observed
+    * counts are exact longs; expected counts and the χ² fold are the
+    * only float ops, in the same expression order on both engines.
+    *
+    * Scale shape: one conditional-aggregation pass over the fact; every
+    * frame after it is |countries|×2. */
+  def chi2CountryTicket(fact: DataFrame, threshold: Double = 150000.0): DataFrame = {
+    val spark = fact.sparkSession
+    val cells = CacheOnce(fact
+      .select(col("pays"), (col("o_totalprice") > threshold).cast("long").as("hi"))
+      .groupBy("pays", "hi").agg(count(lit(1)).as("o")))
+    val rowT = cells.groupBy("pays").agg(sum("o").as("r"))
+    val colT = cells.groupBy("hi").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o")).head().getLong(0)
+    val (nr, nc) = (rowT.count(), colT.count())
+    val chi = rowT.crossJoin(colT) // |countries|×2 margin cross, not data-sized
+      .join(cells, Seq("pays", "hi"), "left")
+      .na.fill(0L, Seq("o"))
+      .select(col("o"), (col("r").cast("double") * col("c") / lit(tot)).as("e"))
+      .agg(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+      .head().getDouble(0)
+    spark.range(1).select(
+      lit(nr).as("n_countries"),
+      lit((nr - 1) * (nc - 1)).as("dof"),
+      round(lit(chi), 6).as("chi2"))
+  }
+
   // ------------------------------------------------------- triangle counting
 
   /** Distinct part–part co-occurrence edges (two parts in the same order),

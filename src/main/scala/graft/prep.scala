@@ -99,6 +99,27 @@ object Prep {
       .orderBy("doc_id")
   }
 
+  /** Weighted priority sampling (Efraimidis–Spirakis A-ES): top-k
+    * documents by priority u^(1/w) with u a deterministic per-doc
+    * uniform from the Knuth hash and w = n_chars — "sample long
+    * documents proportionally more", the weighted companion to
+    * [[sampleMix]]'s uniform rates. A-ES is THE distributed weighted
+    * sampler: priorities are map-side pure functions of (id, weight),
+    * so the sample is a global top-k (TakeOrderedAndProject — no
+    * shuffle of the corpus, no sequential pass), reproducible across
+    * engines and re-runs, and mergeable across partitions by
+    * construction. Priorities round to 9 dp with a doc_id tie-break
+    * (the suite's transcendental-score convention — pow is within
+    * 1 ulp across engines, far inside 9 dp). */
+  def samplePriority(documents: DataFrame, k: Int = 100,
+      seed: Long = 7L): DataFrame = {
+    val u = (hashPpm(col("doc_id"), seed) + lit(0.5)) / lit(1000000.0)
+    documents.select(col("doc_id"), col("source"), col("n_chars"),
+        round(pow(u, lit(1.0) / col("n_chars")), 9).as("priority"))
+      .orderBy(desc("priority"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-source train/val/test counts under a deterministic hash split.
     * A different seed than [[sampleMix]] so the two decisions are
     * independent; one conditional-aggregation pass (single shuffle on

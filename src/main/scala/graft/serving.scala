@@ -426,6 +426,20 @@ object Serving {
       .orderBy("decile")
   }
 
+  /** Per-country order-value percentiles — the GROUPED form of the
+    * exact-percentile family (A9 folds global quantiles to driver
+    * literals; this keeps them per group, the serving shape behind
+    * "median basket by market" panels). Exact `percentile` buffers each
+    * group's values on its reducer — groups are countries, so the
+    * buffer is per-country order counts, not the corpus; at genuinely
+    * huge per-group cardinality flip to approx_percentile unchanged. */
+  def caCountryQuantiles(fact: DataFrame): DataFrame =
+    fact.groupBy("pays").agg(
+      count(lit(1)).as("n"),
+      expr("round(percentile(o_totalprice, 0.5), 6)").as("p50"),
+      expr("round(percentile(o_totalprice, 0.9), 6)").as("p90"))
+      .orderBy("pays")
+
   /** Revenue concentration across the customer base — exact Gini
     * coefficient plus the top-decile revenue share (the Lorenz-curve
     * numbers a "whales vs long tail" analysis reads off). Gini via the

@@ -776,4 +776,44 @@ class GoldSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(out.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("shippingPriority: all three filters strict, semi-join membership, exact scaled revenue") {
+    import spark.implicits._
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val ord = Seq(
+      (10L, 1L, "1995-03-14", "1-URGENT"),  // qualifies
+      (11L, 1L, "1995-03-15", "2-HIGH"),    // order date NOT < cutoff
+      (12L, 2L, "1995-03-01", "3-MEDIUM"))  // wrong segment
+      .toDF("o_orderkey", "o_custkey", "d", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val li = Seq(
+      (10L, "1995-03-16", 100.0, 0.10),     // kept: 100*(0.9) = 90
+      (10L, "1995-03-20", 50.0, 0.00),      // kept: 50
+      (10L, "1995-03-15", 999.0, 0.00),     // shipdate NOT > cutoff
+      (11L, "1995-03-16", 10.0, 0.00),
+      (12L, "1995-03-16", 10.0, 0.00))
+      .toDF("l_orderkey", "sd", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val out = Gold.shippingPriority(cust, ord, li).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 10L && r.getDouble(1) == 140.0 &&
+      r.getAs[String]("o_orderpriority") == "1-URGENT")
+  }
+
+  test("chi2CountryTicket: zero under proportional counts, N under perfect association, zero cells kept") {
+    import spark.implicits._
+    def f(rows: Seq[(String, Double)]) = rows.toDF("pays", "o_totalprice")
+    // proportional: each country 1 hi + 1 lo -> independence, chi2 = 0
+    val indep = f(Seq(("A", 200000.0), ("A", 1.0), ("B", 200000.0), ("B", 1.0)))
+    val r0 = Gold.chi2CountryTicket(indep).head()
+    assert(r0.getAs[Long]("dof") == 1L && r0.getAs[Double]("chi2") == 0.0)
+    // perfect association: A all-hi, B all-lo -> chi2 = N = 4; the A-lo
+    // and B-hi cells are EMPTY — they only contribute if the grid keeps
+    // zero cells, which is exactly what this pins
+    val assoc = f(Seq(("A", 200000.0), ("A", 200000.0), ("B", 1.0), ("B", 1.0)))
+    val r1 = Gold.chi2CountryTicket(assoc).head()
+    assert(r1.getAs[Double]("chi2") == 4.0)
+  }
 }

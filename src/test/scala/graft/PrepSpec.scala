@@ -172,4 +172,28 @@ class PrepSpec extends SparkSpec {
     assert(epoch2.map(_._2).sorted.toSeq == (0L until n).toSeq)
     assert(epoch2.toSeq != out.toSeq)
   }
+
+  test("samplePriority: formula exact, weight lifts inclusion odds, k respected, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 400L).map { i =>
+      (i, if (i % 2 == 0) "long" else "short", if (i % 2 == 0) 5000 else 50)
+    }.toDF("doc_id", "source", "n_chars")
+    val out = Prep.samplePriority(docs, k = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getAs[Double]("priority")))
+    assert(out.length == 100)
+    // spot-check the A-ES priority of the top row against the formula
+    val (id0, nc0, p0) = out.head
+    val u0 = (math.floorMod((id0 + 7L) * 2654435761L, 4294967296L) * 1000000L /
+      4294967296L + 0.5) / 1000000.0
+    val expect = BigDecimal(math.pow(u0, 1.0 / nc0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p0 == expect)
+    // long documents (100x the weight) must dominate the sample
+    val nLong = out.count(_._2 == 5000)
+    assert(nLong > 80, s"weighting too weak: $nLong/100 long docs")
+    // deterministic across invocations
+    val again = Prep.samplePriority(docs, k = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getAs[Double]("priority")))
+    assert(out.toSeq == again.toSeq)
+  }
 }
