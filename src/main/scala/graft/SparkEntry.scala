@@ -271,6 +271,13 @@ object SparkEntry {
     // the hot-key two-stage salted aggregation as a query (same oracle:
     // exact cents make the salted sum bit-equal to the direct groupBy)
     "ca_country_salted" -> ((s, d) => Gold.caCountrySalted(fact(s, d))),
+    // the salting DECISION input: top-key share + cumulative share
+    "key_skew_profile" -> ((s, d) =>
+      Skew.keySkewProfile(fact(s, d), "o_custkey")),
+    // dead-letter routing: every raw order row to exactly one
+    // first-match-wins disposition with money at stake
+    "orders_quarantine" -> ((s, d) =>
+      Silver.ordersQuarantine(Tables.orders(s, d), Tables.customer(s, d))),
     // partition-level restatement: 1996 rewritten (prices doubled) via
     // dynamic partition overwrite; the aggregate proves the other years
     // survived untouched AND 1996 changed exactly once
@@ -1042,6 +1049,48 @@ object SparkEntry {
               AND $V)
       WHERE rn = 1 AND o_custkey IN (SELECT c_custkey FROM customer)
       ORDER BY o_orderkey""",
+
+    // first-match-wins dispositions in cleanOrders' rule order; the
+    // duplicate window sorts rule-passing rows first so rn counts
+    // position among THEM (mirrors Silver.ordersQuarantine)
+    "orders_quarantine" -> s"""
+      WITH f AS (SELECT *,
+          (o_orderkey IS NULL OR o_custkey IS NULL OR o_orderdate IS NULL
+           OR o_totalprice IS NULL) AS missing,
+          (o_orderdate < TIMESTAMP '${Silver.MinDate} 00:00:00') AS bad_date,
+          (o_totalprice <= 0 OR o_totalprice > ${Gold.MaxAmount}) AS bad_amount
+        FROM orders),
+      r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY CASE WHEN NOT coalesce(missing, false)
+                             AND NOT coalesce(bad_date, false)
+                             AND NOT coalesce(bad_amount, false)
+                        THEN 0 ELSE 1 END, o_orderdate, o_custkey) AS rn
+            FROM f),
+      q AS (SELECT CASE WHEN missing THEN 'missing'
+                WHEN bad_date THEN 'invalid_date'
+                WHEN bad_amount THEN 'bad_amount'
+                WHEN rn > 1 THEN 'duplicate'
+                WHEN o_custkey NOT IN (SELECT c_custkey FROM customer
+                                       WHERE c_custkey IS NOT NULL)
+                  THEN 'orphan_customer'
+                ELSE 'valid' END AS disposition,
+              coalesce(o_totalprice, 0) AS p
+            FROM r)
+      SELECT disposition, count(*) AS n,
+             sum(CAST(round(p*100) AS BIGINT))/100.0 AS amount
+      FROM q GROUP BY 1 ORDER BY disposition""",
+
+    // top-20 heaviest keys with share + cumulative share of all rows
+    "key_skew_profile" -> s"""
+      WITH c AS (SELECT o_custkey AS key, count(*) AS n
+                 FROM orders WHERE $V GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+      top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+      SELECT key, n, round(n / (SELECT tot FROM t), 6) AS share,
+             round(sum(n) OVER (ORDER BY n DESC, key
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / (SELECT tot FROM t), 6) AS cum_share
+      FROM top ORDER BY n DESC, key""",
 
     "silver_customer" -> """
       SELECT c_custkey, c_name, c_nationkey, c_acctbal,

@@ -77,6 +77,48 @@ object Silver {
     * Customer-side rules mirror [[cleanCustomers]] sequentially, like the
     * reference's clients dict (invalid id first, then the name guard —
     * the email-format analog — then duplicates among survivors). */
+  /** Row-disposition quarantine — the dead-letter complement of
+    * [[qualityCounters]]: that one counts per-rule WOULD-DROP overlaps;
+    * this routes every raw row to exactly ONE disposition with a
+    * first-match-wins reason (the rule order of [[cleanOrders]]:
+    * missing → invalid_date → bad_amount → duplicate → orphan_customer
+    * → valid), plus the money at stake per disposition — what a
+    * production pipeline actually writes next to its silver table so
+    * rejected rows stay auditable instead of vanishing in filters.
+    *
+    * The duplicate rule applies among rows passing the row-local rules,
+    * exactly like [[cleanOrders]]' dedup-then-semi-join order: the
+    * window sorts rule-passing rows first, so rn counts position among
+    * THEM; the orphan check is a key-presence left join (a flag, not a
+    * filter — quarantined rows must survive to be counted). One pass,
+    * one window, one dimension join. */
+  def ordersQuarantine(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val missing = col("o_orderkey").isNull || col("o_custkey").isNull ||
+      col("o_orderdate").isNull || col("o_totalprice").isNull
+    val badDate = col("o_orderdate") < lit(MinDate).cast("timestamp")
+    val badAmount = col("o_totalprice") <= 0 || col("o_totalprice") > MaxAmount
+    val pass3 = !missing && !badDate && !badAmount
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(when(pass3, 0).otherwise(1), col("o_orderdate"), col("o_custkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .join(customer.select(col("c_custkey")).distinct()
+          .withColumn("has_cust", lit(true)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        when(missing, "missing")
+          .when(badDate, "invalid_date")
+          .when(badAmount, "bad_amount")
+          .when(col("rn") > 1, "duplicate")
+          .when(col("has_cust").isNull, "orphan_customer")
+          .otherwise("valid").as("disposition"),
+        col("o_totalprice"))
+      .groupBy("disposition")
+      .agg(count(lit(1)).as("n"),
+        Tables.moneySum(coalesce(col("o_totalprice"), lit(0.0))).as("amount"))
+      .orderBy("disposition")
+  }
+
   def qualityCounters(orders: DataFrame, customer: DataFrame): DataFrame = {
     val base = orders.agg(
       count(lit(1)).as("initial_rows"),

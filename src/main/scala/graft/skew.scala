@@ -45,4 +45,25 @@ object Skew {
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-distribution profile — the DIAGNOSTIC that decides when the
+    * salted tiers above earn their extra stage: top-N heaviest keys
+    * with per-key share and cumulative share of all rows. A cum_share
+    * that reaches ~1 within a handful of keys means the plain groupBy
+    * concentrates the table on a few reducers (salt, or AQE skew-join);
+    * a flat profile means salting would only add a stage. One key-grain
+    * aggregate over the table; the window runs on the top-N frame
+    * (N rows), never the key space. */
+  def keySkewProfile(df: DataFrame, keyCol: String,
+      topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n")).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), col("key"))
+      .rowsBetween(Long.MinValue, 0)
+    counts.orderBy(desc("n"), col("key")).limit(topN)
+      .withColumn("share", round(col("n") / lit(tot), 6))
+      .withColumn("cum_share", round(sum("n").over(w) / lit(tot), 6))
+      .orderBy(desc("n"), col("key"))
+  }
 }

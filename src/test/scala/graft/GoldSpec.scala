@@ -777,6 +777,39 @@ class GoldSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("ordersQuarantine: every disposition reachable, first-match-wins priority, money at stake") {
+    import spark.implicits._
+    val orders = Seq(
+      (null.asInstanceOf[java.lang.Long], 1L, "1995-01-01", 10.0),  // missing
+      (java.lang.Long.valueOf(1L), 1L, "1989-06-01", 20.0),         // invalid_date
+      (java.lang.Long.valueOf(2L), 1L, "1995-01-01", -5.0),         // bad_amount
+      // bad date AND bad amount -> date wins (priority pin)
+      (java.lang.Long.valueOf(5L), 1L, "1989-06-01", -1.0),
+      (java.lang.Long.valueOf(3L), 1L, "1995-01-01", 30.0),         // valid (first)
+      (java.lang.Long.valueOf(3L), 1L, "1995-02-01", 40.0),         // duplicate
+      (java.lang.Long.valueOf(4L), 99L, "1995-01-01", 50.0))        // orphan_customer
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val customer = Seq(1L).toDF("c_custkey")
+    val out = Silver.ordersQuarantine(orders, customer).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "missing" -> (1L, 10.0), "invalid_date" -> (2L, 19.0),
+      "bad_amount" -> (1L, -5.0), "duplicate" -> (1L, 40.0),
+      "orphan_customer" -> (1L, 50.0), "valid" -> (1L, 30.0)))
+  }
+
+  test("keySkewProfile: hot key leads with exact shares, cum_share reaches 1 when keys <= topN") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("o_custkey")
+    val out = Skew.keySkewProfile(df, "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.head == (7L, 6L, 0.6, 0.6))
+    assert(out.length == 5 && out.last._4 == 1.0)
+    // cum_share is monotone
+    assert(out.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("shippingPriority: all three filters strict, semi-join membership, exact scaled revenue") {
     import spark.implicits._
     val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
