@@ -367,6 +367,11 @@ object SparkEntry {
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "ca_supplier_nation" -> ((s, d) => Gold.caSupplierNation(Tables.lineitem(s, d),
       Tables.supplier(s, d), Tables.nation(s, d))),
+    // TPC-H Q5 shape: 6-table join whose customer/supplier nation
+    // equality closes a CYCLE in the join graph (not a star)
+    "local_supplier_volume" -> ((s, d) => Gold.localSupplierVolume(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
 
     // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
@@ -392,6 +397,8 @@ object SparkEntry {
     "revenue_gini" -> ((s, d) => Serving.revenueGini(fact(s, d))),
     // grouped exact percentiles (per-country median/p90 order value)
     "ca_country_quantiles" -> ((s, d) => Serving.caCountryQuantiles(fact(s, d))),
+    // per-client percent_rank/cume_dist via distributed global ranks
+    "client_percentiles" -> ((s, d) => Serving.clientPercentiles(fact(s, d))),
     "top_risk_clients" -> ((s, d) => Serving.topRiskClients(scored(s, d))),
     "repeat_rate" -> ((s, d) => Serving.repeatRate(fact(s, d))),
 
@@ -441,6 +448,9 @@ object SparkEntry {
     // containment tier of the same pair stats: catches a short doc quoted
     // wholesale inside a long one (low Jaccard, containment ~ 1)
     "dedup_containment" -> ((s, d) => Llm.containmentPairsFrom(ngramStats(s, d))),
+    // AllPairs/PPJoin prefix-filter tier: candidates only on the rarity
+    // prefix, exact in-row verify — bit-equal to the all-pairs filter
+    "dedup_ngram_prefix" -> ((s, d) => Llm.ngramJaccardPrefix(docShingles(s, d))),
     // cluster resolution over the near-dup pair graph: large-star/
     // small-star connected components -> canonical representative per doc
     "dedup_clusters" -> ((s, d) =>
@@ -1277,6 +1287,32 @@ object SparkEntry {
              round(sum((o - e) * (o - e) / e), 6) AS chi2
       FROM terms""",
 
+    // TPC-H Q5 restated; revenue in scaled integers like the Spark side
+    "local_supplier_volume" -> """
+      SELECT n_name,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
+    // manual (rk-1)/(n-1) and rk/n over the (spend, custkey) TOTAL order
+    // — rank == row_number by construction, so tie semantics can't
+    // diverge between engines
+    "client_percentiles" -> s"""
+      WITH pc AS (SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend
+                  FROM orders WHERE $V GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (ORDER BY total_spend, c_custkey) AS rk FROM pc),
+      nn AS (SELECT count(*) AS n FROM pc)
+      SELECT c_custkey, total_spend,
+             round((rk - 1) / ((SELECT n FROM nn) - 1.0), 6) AS pct_rank,
+             round(rk / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS cume_dist
+      FROM r ORDER BY c_custkey""",
+
     // grouped exact percentiles: quantile_cont == Spark's percentile
     "ca_country_quantiles" -> s"""
       SELECT coalesce(n_name, 'Inconnu') AS pays, count(*) AS n,
@@ -1621,6 +1657,23 @@ object SparkEntry {
       ORDER BY doc_id""",
 
     // transitive closure via recursive CTE == the Spark side's
+    // the prefix tier answers to the PLAIN all-pairs statement at the
+    // same threshold — completeness of the candidate scheme is the claim
+    "dedup_ngram_prefix" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+      WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
     // containment C = inter/min(na,nb); inner = the smaller side
     // (tie -> higher doc_id), mirroring Llm.containmentPairsFrom
     "dedup_containment" -> """

@@ -854,6 +854,48 @@ object Gold {
       .limit(k)
   }
 
+  /** Local-supplier volume — the public TPC-H Q5 shape and the suite's
+    * hardest join TOPOLOGY: six tables, where customer and supplier
+    * must share a nation (`c_nationkey = s_nationkey`), so the line
+    * item's two dimension paths (via order→customer and via supplier)
+    * CLOSE A CYCLE instead of forming a star. The equi-closure lands as
+    * a join predicate, not a filter, which is what makes Q5 the
+    * join-order stress test. Dimension chain (supplier→nation→region)
+    * broadcasts; the two big joins (orders⋈lineitem, then customer)
+    * shuffle on their keys; revenue in scaled integers per the
+    * [[pricingSummary]] discipline. */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    val supRegion = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // no broadcast hint here: the region-filtered supplier frame is
+      // ~|suppliers|/5 — small at test SF, but at the design scale AQE
+      // should pick broadcast vs shuffle from its measured size
+      .join(supRegion, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg((sum("rev4") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   /** Chi-square test of independence between country and the
     * high-ticket flag — the categorical sibling of [[abMetrics]]'
     * Welch t: "do big-ticket orders concentrate in some countries?".

@@ -327,6 +327,48 @@ object Llm {
         col("containment"))
       .orderBy("inner_doc", "outer_doc")
 
+  /** Prefix-filtering set-similarity self-join — the AllPairs/PPJoin
+    * candidate scheme, and the tier that replaces the df-pruned
+    * all-pairs expansion once shingle posting lists get long: under a
+    * GLOBAL rarity order (df, then hash), two sets with Jaccard ≥ t
+    * MUST share a shingle inside each one's first n − ⌈t·n⌉ + 1
+    * shingles (if they dodged both prefixes, the intersection would fit
+    * in the suffixes, which are too small — the AllPairs prefix lemma).
+    * So the candidate join runs on PREFIX rows only — a deterministic
+    * fraction (1−t) of each posting list, and crucially the COMMONEST
+    * shingles (the expansion's quadratic hot spots) sit at the ends of
+    * the order, where they rarely make any prefix. Verification is
+    * exact: candidate pairs pull both docs' sorted hash arrays and
+    * intersect in-row — per-pair work, no further shuffle. Bit-equal to
+    * filtering the all-pairs frame at the same threshold (LlmSpec). */
+  def ngramJaccardPrefix(shingleH: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val dfCounts = shingleH.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = shingleH.join(dfCounts, "h")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <=
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))
+      .select("doc_id", "h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleH.groupBy("doc_id", "n")
+      .agg(sort_array(collect_list("h")).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup cluster assignment — the keep-one-per-cluster step that
     * follows pairwise candidate generation in a training-data dedup
     * pipeline. Pairs at `minJaccard` become an undirected graph;

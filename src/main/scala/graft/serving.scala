@@ -440,6 +440,39 @@ object Serving {
       expr("round(percentile(o_totalprice, 0.9), 6)").as("p90"))
       .orderBy("pays")
 
+  /** Per-client spend percentile ranks (percent_rank + cume_dist
+    * semantics) WITHOUT the single-partition window the SQL forms
+    * compile to — the [[clientDeciles]] distributed-rank machinery at
+    * client grain, emitted per client instead of per bucket. Ordering
+    * is (total_spend, c_custkey), a total order, so rank == row_number
+    * and ties cannot diverge between engines; pct_rank = (rk−1)/(n−1),
+    * cume_dist = rk/n. */
+  def clientPercentiles(fact: DataFrame): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val perClient = fact.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val sorted = CacheOnce(perClient
+      .repartitionByRange(col("total_spend"), col("c_custkey"))
+      .sortWithinPartitions(col("total_spend"), col("c_custkey"))
+      .select(col("c_custkey"), col("total_spend"))).as[(Long, Double)]
+    val sizes = sorted.mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = sizes.sum
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = offsets(pid)
+      it.map { case (k, s) => r += 1; (k, s, r) }
+    }.toDF("c_custkey", "total_spend", "rk")
+    ranked.select(col("c_custkey"), col("total_spend"),
+        (if (n > 1) round((col("rk") - 1) / lit(n - 1.0), 6) else lit(0.0))
+          .as("pct_rank"),
+        round(col("rk") / lit(n.toDouble), 6).as("cume_dist"))
+      .orderBy("c_custkey")
+  }
+
   /** Revenue concentration across the customer base — exact Gini
     * coefficient plus the top-decile revenue share (the Lorenz-curve
     * numbers a "whales vs long tail" analysis reads off). Gini via the

@@ -777,6 +777,30 @@ class GoldSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("localSupplierVolume: nation-equality closes the join cycle; mismatched-nation lines excluded") {
+    import spark.implicits._
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "JAPAN", 0), (11, "FRANCE", 1), (12, "CHINA", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 10), (2L, 12)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((100L, 10), (101L, 11), (102L, 12))
+      .toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((1000L, 1L, "1996-06-01"), (1001L, 2L, "1996-07-01"),
+      (1002L, 1L, "1999-01-01")) // outside window
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val li = Seq(
+      (1000L, 100L, 100.0, 0.0),  // JAPAN cust x JAPAN supp -> counts
+      (1000L, 102L, 999.0, 0.0),  // JAPAN cust x CHINA supp -> cycle excludes
+      (1000L, 101L, 999.0, 0.0),  // FRANCE supp -> not ASIA
+      (1001L, 102L, 50.0, 0.5),   // CHINA x CHINA -> 25.0
+      (1002L, 100L, 999.0, 0.0))  // order outside window
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Gold.localSupplierVolume(customer, orders, li, supplier, nation, region)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(out == Seq("JAPAN" -> 100.0, "CHINA" -> 25.0))
+  }
+
   test("ordersQuarantine: every disposition reachable, first-match-wins priority, money at stake") {
     import spark.implicits._
     val orders = Seq(

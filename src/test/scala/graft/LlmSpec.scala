@@ -108,6 +108,27 @@ class LlmSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("prefix-filter similarity join is bit-identical to the all-pairs filter at multiple thresholds") {
+    val d = docs(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),           // high jaccard vs 1
+      (3L, "a b c q r s t u"),           // shares only "a b c" with 1/2
+      (4L, "m n o p q r s t"),
+      (5L, "m n o p q r s z"),           // high jaccard vs 4
+      (6L, "completely different words here entirely now"))
+    val sh = Llm.shingleHashes(d)
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val baseline = Llm.jaccardFromStats(Llm.ngramPairStatsFrom(sh))
+        .filter(col("jaccard") >= t)
+        .orderBy("doc_a", "doc_b")
+        .collect().map(_.toString).toSeq
+      val prefix = Llm.ngramJaccardPrefix(sh, t)
+        .collect().map(_.toString).toSeq
+      assert(prefix == baseline, s"threshold $t: $prefix vs $baseline")
+      assert(t > 0.5 || prefix.nonEmpty, s"threshold $t found nothing")
+    }
+  }
+
   test("dedupNgram: salted hot-shingle tier is bit-identical to in-task expansion") {
     // hotDf=1 forces every surviving (df>=2) shingle through the salted
     // self-join path; the default run keeps them all in the HOF expansion

@@ -205,6 +205,20 @@ class StreamsSpec extends SparkSpec {
       (2021, "added", 1L, 40.0), (2021, "same", 1L, 0.0)))
   }
 
+  test("clientPercentiles: endpoints exact, ranks follow the (spend, key) total order") {
+    import spark.implicits._
+    val f = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 30.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Serving.clientPercentiles(f).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume_dist")))
+      .toMap
+    // ascending (spend, key): 1(10) -> 3(20) -> 2(30) -> 4(30)
+    assert(out(1L) == (0.0, 0.25))
+    assert(out(3L) == (BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5))
+    assert(out(2L) == (BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.75))
+    assert(out(4L) == (1.0, 1.0))
+  }
+
   test("revenueGini: zero under perfect equality, hand-computed under concentration") {
     import spark.implicits._
     def f(rows: Seq[(Long, Double)]) =
