@@ -653,6 +653,10 @@ object SparkEntry {
     "copurchase_triangles" -> ((s, d) =>
       Gold.copurchaseTrianglesFrom(
         itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
+    // weighted label-propagation communities over the same shared
+    // co-occurrence frame (rows-only: iterative label dynamics)
+    "product_communities" -> ((s, d) =>
+      Gold.productCommunities(itemCooc(s, d))),
     // first BPE merge round: char-pair counts at VOCAB grain off the
     // shared term-frequency frame (pair expansion never sees the corpus)
     "bpe_pairs" -> ((s, d) => Llm.bpePairsFrom(docTf(s, d))),

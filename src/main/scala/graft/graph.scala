@@ -228,4 +228,42 @@ object Graph {
     }
     dist
   }
+
+  /** Deterministic weighted label propagation — the COMMUNITY member of
+    * the graph family (rank = pageRank, reach = bfs, cohesion =
+    * triangles, connectivity = components; communities are the partition
+    * the others can't see: densely-linked groups that need not be
+    * cliques or components). Each round every node adopts the label
+    * carrying the max total edge weight among its neighbors, ties to the
+    * SMALLEST label — no randomization, no async order-dependence, so
+    * the result is a pure function of the graph (the classic LPA
+    * oscillation risk is bounded by the fixed round count; bipartite
+    * flip-flops freeze at the round limit rather than diverge).
+    *
+    * Scale shape per round: one join of the symmetric edge list against
+    * the |V|-row label frame (8-byte keys) and one (node, label) weight
+    * aggregate with map-side combine; `localCheckpoint` truncates the
+    * accreting lineage as in the other iterative operators. Weights are
+    * integer counts, so the argmax is exact — no float accumulation. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val sym = edges
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels, col("dst") === col("v"))
+        .groupBy(col("src"), col("label"))
+        .agg(sum("w").as("wt"))
+        .groupBy("src")
+        .agg(max(struct(col("wt"), (-col("label")).as("nl"),
+          col("label").as("label"))).as("m"))
+        .select(col("src").as("v"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -144,4 +144,32 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
     assert(bounded == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("labelPropagation: two dense triangles stay separate communities across a weak bridge; deterministic") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),      // clique A
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L), // clique B
+      (3L, 10L, 1L))                                  // weak bridge
+      .toDF("a", "b", "w")
+    val out = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aLabels = Set(1L, 2L, 3L).map(out)
+    val bLabels = Set(10L, 11L, 12L).map(out)
+    assert(aLabels.size == 1, s"clique A split: $out")
+    assert(bLabels.size == 1, s"clique B split: $out")
+    assert(aLabels != bLabels, s"bridge merged the cliques: $out")
+    // pure function of the graph: a second run agrees exactly
+    val again = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again)
+    // the wired query: every part labeled once, sizes consistent
+    val q = SparkEntry.queries("product_communities")(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).distinct.length == rows.length)
+    val bySize = rows.groupBy(_.getLong(1)).map { case (c, rs) =>
+      (rs.length.toLong, rs.head.getLong(2)) }
+    assert(bySize.forall { case (actual, claimed) => actual == claimed },
+      "community_size column disagrees with actual member counts")
+  }
 }
