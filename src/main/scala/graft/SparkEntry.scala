@@ -654,9 +654,17 @@ object SparkEntry {
       Gold.copurchaseTrianglesFrom(
         itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
     // weighted label-propagation communities over the same shared
-    // co-occurrence frame (rows-only: iterative label dynamics)
-    "product_communities" -> ((s, d) =>
-      Gold.productCommunities(itemCooc(s, d))),
+    // co-occurrence frame (rows-only: iterative label dynamics);
+    // memoized — the modularity query reads the same partition
+    "product_communities" -> ((s, d) => memoFrame("lpaCommunities", s, d)(
+      Gold.productCommunities(itemCooc(s, d)))),
+    // partition quality: Newman modularity of the LPA communities over
+    // the same support-pruned edges (the silhouette analog for graphs)
+    "community_modularity" -> ((s, d) => Gold.communityModularity(
+      itemCooc(s, d).filter(col("together") >= 2)
+        .select(col("p1").as("a"), col("p2").as("b"), col("together").as("w")),
+      memoFrame("lpaCommunities", s, d)(Gold.productCommunities(itemCooc(s, d)))
+        .select(col("p_partkey").as("v"), col("community").as("label")))),
     // first BPE merge round: char-pair counts at VOCAB grain off the
     // shared term-frequency frame (pair expansion never sees the corpus)
     "bpe_pairs" -> ((s, d) => Llm.bpePairsFrom(docTf(s, d))),

@@ -969,6 +969,37 @@ object Gold {
       .orderBy("p_partkey")
   }
 
+  /** Newman modularity of a community partition — the quality metric
+    * next to [[productCommunities]] exactly as kmeans_silhouette sits
+    * next to kmeans_segments: Q = Σ_c (w_c/m − (d_c/2m)²), where w_c is
+    * intra-community edge weight, d_c the community's total degree, m
+    * the graph's total weight. Q ≈ 0 means the partition is no better
+    * than random wiring; the 0.3–0.7 band is real structure. All three
+    * sums fold from integer weights (exact longs — no float
+    * accumulation); the float formula touches only the |communities|-row
+    * frame. One edge join against the label frame, one aggregate. */
+  def communityModularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val la = labels.select(col("v").as("a"), col("label").as("ca"))
+    val lb = labels.select(col("v").as("b"), col("label").as("cb"))
+    val joined = edges.join(la, "a").join(lb, "b")
+    val m = edges.agg(sum("w")).head().getLong(0).toDouble
+    // degree per community: each undirected edge adds w to both sides
+    val deg = joined.select(explode(array(col("ca"), col("cb"))).as("c"), col("w"))
+      .groupBy("c").agg(sum("w").as("d"))
+    val intra = joined.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(sum("w").as("win"))
+    val q = deg.join(intra, Seq("c"), "left")
+      .na.fill(0L, Seq("win"))
+      .select((col("win") / lit(m) -
+        (col("d") / lit(2.0 * m)) * (col("d") / lit(2.0 * m))).as("t"))
+      .agg(sum("t")).head().getDouble(0)
+    val nC = labels.select("label").distinct().count()
+    spark.range(1).select(
+      lit(nC).as("n_communities"),
+      round(lit(q), 6).as("modularity"))
+  }
+
   /** Per-node triangle membership over the co-occurrence graph — the
     * third graph operator next to PageRank (rank) and BFS (reach):
     * cohesion. Degree-rank-oriented wedge enumeration (the node-iterator

@@ -145,6 +145,23 @@ class GraphSpec extends SparkSpec {
     assert(bounded == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("communityModularity: 0.5 for two clean cliques, 0 for the everything-community") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (10L, 12L, 1L))
+      .toDF("a", "b", "w")
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("v", "label")
+    val r = Gold.communityModularity(edges, perfect).head()
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    // the degenerate one-community partition scores exactly zero
+    val blob = perfect.select(col("v"), lit(1L).as("label"))
+    assert(Gold.communityModularity(edges, blob).head()
+      .getAs[Double]("modularity") == 0.0)
+  }
+
   test("labelPropagation: two dense triangles stay separate communities across a weak bridge; deterministic") {
     import spark.implicits._
     val edges = Seq(
