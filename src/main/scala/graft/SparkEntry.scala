@@ -500,6 +500,9 @@ object SparkEntry {
     // order-1 sequence family over the shared bigram frame: PMI
     // collocations (phrase detection) + add-k bigram-LM quality scoring
     "term_pmi" -> ((s, d) => Search.termPmiFrom(docBigrams(s, d))),
+    // source-grain TF-IDF: each domain's characteristic vocabulary
+    "source_top_terms" -> ((s, d) =>
+      Search.sourceTopTerms(docTf(s, d), Tables.documents(s, d))),
     "bigram_logprob" -> ((s, d) =>
       Search.bigramLogProbFrom(docBigrams(s, d), vocabSize(s, d))),
     // capstone keep/drop decisions with first-match-wins reasons, all
@@ -2003,6 +2006,22 @@ object SparkEntry {
 
     // same tokenization; ln n - ln N mirrors the Scala shape exactly
     "doc_logprob" -> logProbSql,
+
+    // source-grain TF-IDF: rank on the ROUNDED score with lexical ties,
+    // like tfidf_top_terms
+    "source_top_terms" -> """
+      WITH w AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      tok AS (SELECT source, unnest(ws) AS word FROM w),
+      st AS (SELECT source, word, count(*) AS tf FROM tok WHERE word != '' GROUP BY 1, 2),
+      s AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM documents),
+      df AS (SELECT word, count(*) AS df FROM st GROUP BY 1),
+      r AS (SELECT source, word, tf, df.df,
+              round(tf * ln((SELECT ns FROM s) / df.df), 9) AS score,
+              row_number() OVER (PARTITION BY source
+                ORDER BY round(tf * ln((SELECT ns FROM s) / df.df), 9) DESC, word) AS rk
+            FROM st JOIN df USING (word))
+      SELECT source, CAST(rk AS BIGINT) AS rk, word, tf, df, score
+      FROM r WHERE rk <= 5 ORDER BY source, rk""",
 
     // PMI over corpus bigram counts with self-consistent margins; the
     // float expression shape matches Search.termPmiFrom term-for-term

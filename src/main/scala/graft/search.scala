@@ -98,6 +98,32 @@ object Search {
       .limit(k)
   }
 
+  /** Characteristic vocabulary per SOURCE — [[tfidfTopTerms]] lifted one
+    * grain up: each source's token counts act as one "document", idf
+    * runs over the |sources| corpus, and the top-k terms are what makes
+    * each domain's language distinctive (the mix-analysis view a
+    * training-data curator reads next to [[Prep.sampleTemperature]]'s
+    * share plan). A term in every source scores exactly 0 (ln S/S) —
+    * common function words self-suppress without a stopword list.
+    *
+    * Scale shape: one doc→source attach on the shared tf frame, then a
+    * (source, word) re-aggregate; everything after is vocab-grain, and
+    * the per-source top-k window partitions on |sources| keys. */
+  def sourceTopTerms(tf: DataFrame, documents: DataFrame,
+      k: Int = 5): DataFrame = {
+    val srcTf = tf.join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "word").agg(sum("tf").as("tf"))
+    val s = documents.select("source").distinct().count()
+    val df = srcTf.groupBy("word").agg(count(lit(1)).as("df"))
+    val bySrc = Window.partitionBy("source").orderBy(desc("score"), col("word"))
+    srcTf.join(df, "word")
+      .withColumn("score", round(col("tf") * log(lit(s.toDouble) / col("df")), 9))
+      .withColumn("rk", row_number().over(bySrc).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "word", "tf", "df", "score")
+      .orderBy("source", "rk")
+  }
+
   // ------------------------------------------------------ word bigrams
 
   /** Per-document word-bigram counts — (doc_id, w1, w2, cnt): the

@@ -234,6 +234,19 @@ class SearchSpec extends SparkSpec {
   private def r9(x: Double) =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("sourceTopTerms: universal terms self-suppress to zero; distinctive terms lead per source") {
+    import spark.implicits._
+    val d = Seq((0L, "common alpha alpha", "A"), (1L, "common beta", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Search.sourceTopTerms(Search.docTermFreq(d), d, k = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("word"), r.getAs[Double]("score"))).toMap
+    assert(out(("A", 1L)) == ("alpha", r9(2 * math.log(2.0))))
+    assert(out(("A", 2L)) == ("common", 0.0))
+    assert(out(("B", 1L)) == ("beta", r9(math.log(2.0))))
+    assert(out(("B", 2L)) == ("common", 0.0))
+  }
+
   test("docBigrams: adjacency pairs with counts; 1-word and empty docs drop") {
     val d = docs((0L, "new york new york"), (1L, "solo"), (2L, "  "), (3L, "a b"))
     val out = Search.docBigrams(d).collect()
