@@ -95,6 +95,11 @@ object SparkEntry {
     memoFrame("orderItems", s, d)(Gold.orderItems(Tables.lineitem(s, d)))
   private def itemCooc(s: SparkSession, d: String): DataFrame =
     memoFrame("itemCooc", s, d)(Gold.itemCooccurrenceFrom(orderItemsF(s, d)))
+  /** The support-pruned weighted community graph — ONE frame feeding
+    * both the LPA labels and the modularity score (ADVICE r7: a drifted
+    * duplicate threshold would silently score a different graph). */
+  private def communityEdges(s: SparkSession, d: String): DataFrame =
+    memoFrame("communityEdges", s, d)(Gold.communityEdges(itemCooc(s, d)))
 
   /** The (doc_id, word, tf) term-frequency frame the text-ranking
     * queries share (tfidf_top_terms, doc_logprob): one corpus explode +
@@ -256,6 +261,13 @@ object SparkEntry {
     // union of a persisted sketch with the delta's — never an exact
     // recount over history (rows-only: the estimate is approximate)
     "kpis_incremental" -> ((s, d) => Serving.kpisFromPartials(
+      s.read.parquet(kpisPartialDir(s, d)).unionByName(
+        Serving.kpisPartial(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
+    // the exact algebraic half of the same refresh (sums/counts in
+    // integer cents merge bit-for-bit) — hash-checked against a full
+    // recompute; only the HLL client estimate stays rows-only above
+    "kpis_incremental_exact" -> ((s, d) => Serving.kpisExactFromPartials(
       s.read.parquet(kpisPartialDir(s, d)).unionByName(
         Serving.kpisPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
@@ -626,8 +638,9 @@ object SparkEntry {
     // edit-distance-1 similarity join over product-name vocabulary via
     // deletion-neighborhood candidates + exact levenshtein verify
     "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
-    // co-purchase PageRank (iterative graph ranking; rows-only — float
-    // power iteration isn't oracle-reproducible — GraphSpec pins values)
+    // co-purchase PageRank — oracle-checked: 5 fixed power-iteration
+    // rounds restated as unrolled DuckDB CTEs, compared on 9dp ranks
+    // (see the prRounds float-parity note); GraphSpec pins values too
     "product_rank" -> ((s, d) => Gold.productRankFrom(copurchase(s, d))),
     // single-source BFS over the co-purchase graph — the oracle-checked
     // iterative graph op (exact distances vs a recursive CTE)
@@ -657,16 +670,19 @@ object SparkEntry {
       Gold.copurchaseTrianglesFrom(
         itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
     // weighted label-propagation communities over the same shared
-    // co-occurrence frame (rows-only: iterative label dynamics);
-    // memoized — the modularity query reads the same partition
+    // co-occurrence frame; memoized — the modularity query reads the
+    // same partition. Oracle-checked: 5 unrolled exact-integer-argmax
+    // LPA rounds restated as DuckDB CTEs
     "product_communities" -> ((s, d) => memoFrame("lpaCommunities", s, d)(
-      Gold.productCommunities(itemCooc(s, d)))),
+      Gold.productCommunities(communityEdges(s, d)))),
     // partition quality: Newman modularity of the LPA communities over
-    // the same support-pruned edges (the silhouette analog for graphs)
+    // the SAME support-pruned edge frame (one builder feeds both calls,
+    // so the two can never drift onto different graphs); Q folds to
+    // A/m - B/(4m^2) from exact integer sums -> oracle-checked
     "community_modularity" -> ((s, d) => Gold.communityModularity(
-      itemCooc(s, d).filter(col("together") >= 2)
-        .select(col("p1").as("a"), col("p2").as("b"), col("together").as("w")),
-      memoFrame("lpaCommunities", s, d)(Gold.productCommunities(itemCooc(s, d)))
+      communityEdges(s, d),
+      memoFrame("lpaCommunities", s, d)(
+        Gold.productCommunities(communityEdges(s, d)))
         .select(col("p_partkey").as("v"), col("community").as("label")))),
     // first BPE merge round: char-pair counts at VOCAB grain off the
     // shared term-frequency frame (pair expansion never sees the corpus)
@@ -1063,7 +1079,92 @@ object SparkEntry {
       FROM tf JOIN uni USING (word) CROSS JOIN tot
       GROUP BY 1 ORDER BY doc_id"""
 
+  /** Shared CTE prefix for the community-family oracles: the support-
+    * pruned co-occurrence graph plus graft.Graph.labelPropagation's 5
+    * fixed rounds unrolled (each round is an exact integer-weight argmax
+    * with a (wt DESC, label ASC) tie-break — deterministic, so the label
+    * dynamics ARE SQL-stateable despite being iterative). */
+  private val lpaRounds = (1 to 5).map { i =>
+    s"""l$i AS (SELECT src AS v, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src ORDER BY wt DESC, label) AS rn
+        FROM (SELECT s.src, l.label, CAST(sum(s.w) AS BIGINT) AS wt
+              FROM sym s JOIN l${i - 1} l ON s.dst = l.v GROUP BY 1, 2))
+        WHERE rn = 1)"""
+  }.mkString(",\n      ")
+  private val lpaSql = s"""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      cooc AS (SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS w
+               FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= ${Gold.CommunityMinSupport}),
+      sym AS (SELECT p1 AS src, p2 AS dst, w FROM cooc
+              UNION ALL SELECT p2, p1, w FROM cooc),
+      l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+      $lpaRounds"""
+
+  /** graft.Graph.pageRank's 5 fixed power-iteration rounds unrolled for
+    * the product_rank oracle. Float-parity discipline: the damping
+    * constants are forced to DOUBLE before arithmetic so DuckDB computes
+    * the same `1 - 0.85 = 0.15000000000000002` the Scala driver does
+    * (DuckDB would otherwise subtract in DECIMAL and get exact 0.15 —
+    * a different double); contribution sums are double in both engines
+    * and the 9dp output rounding absorbs their order-of-addition noise
+    * (~1e-15 relative vs a 1e-9 grid). */
+  private val prRounds = (1 to 5).map { i =>
+    s"""r$i AS (SELECT d.src AS id,
+          (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+            + CAST(0.85 AS DOUBLE) * coalesce(s.contrib, 0) AS rank
+        FROM deg d LEFT JOIN (
+          SELECT ew.dst AS id, sum(r.rank / ew.deg) AS contrib
+          FROM ew JOIN r${i - 1} r ON ew.src = r.id GROUP BY 1) s
+          ON d.src = s.id)"""
+  }.mkString(",\n      ")
+
   def oracleSql: Map[String, String] = Map(
+    // fixed-iteration PageRank over the parity-encoded customer-part
+    // bipartite graph: 5 unrolled power-iteration rounds, 9dp ranks
+    "product_rank" -> s"""
+      WITH cp AS (SELECT DISTINCT o_custkey * 2 AS c, l_partkey * 2 + 1 AS p
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  WHERE $V),
+      e AS (SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p, c FROM cp),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM deg),
+      ew AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+      r0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+      $prRounds
+      SELECT (id - 1) // 2 AS p_partkey, round(rank, 9) AS rank
+      FROM r5 WHERE id % 2 = 1
+      ORDER BY rank DESC, p_partkey LIMIT 50""",
+
+    // 5 unrolled deterministic LPA rounds over the support-pruned
+    // co-purchase graph — integer weights, total-order tie-break
+    "product_communities" -> s"""$lpaSql,
+      sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                FROM l5 GROUP BY 1)
+      SELECT l.v AS p_partkey, l.label AS community, s.community_size
+      FROM l5 l JOIN sizes s USING (label)
+      ORDER BY p_partkey""",
+
+    // Newman Q = A/m - B/(4m^2) from exact integer sums over the SAME
+    // pruned edges + LPA labels; the single float expression is
+    // evaluated identically by both engines on the same three integers
+    "community_modularity" -> s"""$lpaSql,
+      j AS (SELECT e.w, la.label AS ca, lb.label AS cb
+            FROM cooc e JOIN l5 la ON e.p1 = la.v JOIN l5 lb ON e.p2 = lb.v),
+      deg AS (SELECT c, CAST(sum(w) AS BIGINT) AS d
+              FROM (SELECT ca AS c, w FROM j UNION ALL SELECT cb, w FROM j)
+              GROUP BY 1),
+      intra AS (SELECT ca AS c, CAST(sum(w) AS BIGINT) AS win
+                FROM j WHERE ca = cb GROUP BY 1),
+      agg AS (SELECT CAST(sum(coalesce(i.win, 0)) AS BIGINT) AS a,
+                     CAST(sum(CAST(d.d AS HUGEINT) * d.d) AS DOUBLE) AS b,
+                     CAST(sum(d.d) AS BIGINT) // 2 AS m
+              FROM deg d LEFT JOIN intra i USING (c))
+      SELECT CAST((SELECT count(DISTINCT label) FROM l5) AS BIGINT) AS n_communities,
+             round(a / m - b / (4.0 * m * m), 6) AS modularity
+      FROM agg""",
+
     "silver_orders" -> s"""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate, o_custkey) AS rn
@@ -1089,7 +1190,7 @@ object SparkEntry {
               ORDER BY CASE WHEN NOT coalesce(missing, false)
                              AND NOT coalesce(bad_date, false)
                              AND NOT coalesce(bad_amount, false)
-                        THEN 0 ELSE 1 END, o_orderdate, o_custkey) AS rn
+                        THEN 0 ELSE 1 END, o_orderdate, o_custkey, o_totalprice) AS rn
             FROM f),
       q AS (SELECT CASE WHEN missing THEN 'missing'
                 WHEN bad_date THEN 'invalid_date'
@@ -1503,6 +1604,13 @@ object SparkEntry {
                    count(DISTINCT o_custkey) AS nb_clients
             FROM orders WHERE $V)""",
 
+    // the incremental refresh's exact fields vs a FULL recompute: the
+    // partial+delta merge must be indistinguishable from one pass
+    "kpis_incremental_exact" -> s"""
+      SELECT ca_total, nb_achats, round(ca_total / nb_achats, 2) AS panier_moyen
+      FROM (SELECT ${ms("o_totalprice")} AS ca_total, count(o_orderkey) AS nb_achats
+            FROM orders WHERE $V)""",
+
     "top_clients" -> s"""
       SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend,
              count(o_orderkey) AS total_orders
@@ -1819,10 +1927,11 @@ object SparkEntry {
     "repetition_score" -> repetitionSql,
 
     // A-ES priority u^(1/n_chars): u from the ppm-granularity Knuth
-    // hash, +0.5 to stay inside (0,1); 9dp-rounded rank, doc_id ties
+    // hash (seed 13 — independent of sample_mix's 7 and split_assign's
+    // 11), +0.5 to stay inside (0,1); 9dp-rounded rank, doc_id ties
     "sample_priority" -> """
       WITH s AS (SELECT doc_id, source, n_chars,
-        (CAST(floor(((doc_id + 7) * 2654435761) % 4294967296 * 1000000
+        (CAST(floor(((doc_id + 13) * 2654435761) % 4294967296 * 1000000
                     / 4294967296) AS BIGINT) + 0.5) / 1000000.0 AS u
         FROM documents)
       SELECT doc_id, source, n_chars, round(pow(u, 1.0 / n_chars), 9) AS priority

@@ -269,8 +269,12 @@ object Gold {
     * buy broadly — the standard graph signal the plain frequency top-k
     * ([[Serving.topClients]]-style counting) cannot see. Node ids embed
     * the side in the low bit (cust = 2k, part = 2k+1) so the two key
-    * spaces cannot collide. Gated rows-only (iterative float ranks are
-    * not oracle-reproducible) + GraphSpec reference-value and
+    * spaces cannot collide. Oracle-checked: the 5 fixed power-iteration
+    * rounds are restated as unrolled DuckDB CTEs and compared on
+    * 9dp-rounded ranks (constants forced to DOUBLE on the SQL side so
+    * both engines damp by the same `1 - 0.85` double; measured minimum
+    * distance of any rank to the 9dp grid is ~4e-14, ~400x the
+    * cross-engine sum-order noise) + GraphSpec reference-value and
     * mass-conservation pins. */
   /** Distinct (customer, part) co-purchase pairs, parity-encoded into
     * one node-id space (even = customer·2, odd = part·2+1) — the shared
@@ -954,14 +958,19 @@ object Gold {
     * family structure lives. Parts with no surviving edge are isolated
     * and not emitted. Consumes the SAME memoized co-occurrence frame
     * as basket_pairs and the triangle edge set — zero extra corpus
-    * passes. Gated rows-only (iterative label dynamics aren't
-    * SQL-expressible) + GraphSpec determinism/two-cliques pins. */
-  def productCommunities(cooc: DataFrame, rounds: Int = 5,
-      minSupport: Long = 2): DataFrame = {
-    val labels = Graph.labelPropagation(
-      cooc.filter(col("together") >= minSupport)
-        .select(col("p1").as("a"), col("p2").as("b"),
-          col("together").as("w")), rounds)
+    * passes. Oracle-checked: the 5 fixed LPA rounds are exact integer
+    * argmax dynamics, restated in DuckDB as unrolled per-round CTEs. */
+  val CommunityMinSupport = 2L
+
+  /** The support-pruned weighted edge frame the community family shares —
+    * built ONCE and fed to both the LPA call and the modularity call, so
+    * the two can never silently compute over different graphs. */
+  def communityEdges(cooc: DataFrame): DataFrame =
+    cooc.filter(col("together") >= CommunityMinSupport)
+      .select(col("p1").as("a"), col("p2").as("b"), col("together").as("w"))
+
+  def productCommunities(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val labels = Graph.labelPropagation(edges, rounds)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("v").as("p_partkey"), col("label").as("community"),
@@ -974,26 +983,37 @@ object Gold {
     * next to kmeans_segments: Q = Σ_c (w_c/m − (d_c/2m)²), where w_c is
     * intra-community edge weight, d_c the community's total degree, m
     * the graph's total weight. Q ≈ 0 means the partition is no better
-    * than random wiring; the 0.3–0.7 band is real structure. All three
-    * sums fold from integer weights (exact longs — no float
-    * accumulation); the float formula touches only the |communities|-row
-    * frame. One edge join against the label frame, one aggregate. */
+    * than random wiring; the 0.3–0.7 band is real structure.
+    *
+    * Algebraic form for cross-engine exactness: Q folds to
+    * A/m − B/(4m²) with A = Σ_c w_c and B = Σ_c d_c² — ALL integer
+    * sums (longs; d² in DECIMAL(38,0) so a heavy community can't
+    * overflow at scale), so the only float arithmetic is ONE driver-side
+    * expression both engines evaluate identically on the same three
+    * integers. m comes from the label-joined frame, not the raw edge
+    * argument: an edge with an unlabeled endpoint must not inflate the
+    * denominator while being dropped from the numerator terms — here it
+    * simply isn't part of the scored graph (and with the shared
+    * [[communityEdges]] frame the join is lossless by construction).
+    * One edge join against the label frame, two integer aggregates. */
   def communityModularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val la = labels.select(col("v").as("a"), col("label").as("ca"))
     val lb = labels.select(col("v").as("b"), col("label").as("cb"))
     val joined = edges.join(la, "a").join(lb, "b")
-    val m = edges.agg(sum("w")).head().getLong(0).toDouble
     // degree per community: each undirected edge adds w to both sides
     val deg = joined.select(explode(array(col("ca"), col("cb"))).as("c"), col("w"))
       .groupBy("c").agg(sum("w").as("d"))
     val intra = joined.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(sum("w").as("win"))
-    val q = deg.join(intra, Seq("c"), "left")
+    val r = deg.join(intra, Seq("c"), "left")
       .na.fill(0L, Seq("win"))
-      .select((col("win") / lit(m) -
-        (col("d") / lit(2.0 * m)) * (col("d") / lit(2.0 * m))).as("t"))
-      .agg(sum("t")).head().getDouble(0)
+      .agg(sum("win").as("a"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("b"),
+        sum("d").as("d2")) // Σ_c d_c = 2m exactly (each edge adds w twice)
+      .head()
+    val (a, b, m) = (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2) / 2)
+    val q = a.toDouble / m - b / (4.0 * m * m)
     val nC = labels.select("label").distinct().count()
     spark.range(1).select(
       lit(nC).as("n_communities"),

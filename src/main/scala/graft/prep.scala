@@ -110,9 +110,13 @@ object Prep {
     * engines and re-runs, and mergeable across partitions by
     * construction. Priorities round to 9 dp with a doc_id tie-break
     * (the suite's transcendental-score convention — pow is within
-    * 1 ulp across engines, far inside 9 dp). */
+    * 1 ulp across engines, far inside 9 dp). Seed 13 — distinct from
+    * [[sampleMix]]'s 7 and [[splitAssign]]'s 11, keeping the suite's
+    * convention that each sampling decision draws an independent
+    * uniform (seed 7 here would make a doc's priority draw perfectly
+    * correlated with its mix draw). */
   def samplePriority(documents: DataFrame, k: Int = 100,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 13L): DataFrame = {
     val u = (hashPpm(col("doc_id"), seed) + lit(0.5)) / lit(1000000.0)
     documents.select(col("doc_id"), col("source"), col("n_chars"),
         round(pow(u, lit(1.0) / col("n_chars")), 9).as("priority"))

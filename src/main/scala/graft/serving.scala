@@ -302,6 +302,20 @@ object Serving {
         hll_sketch_estimate(col("clients_sketch")).as("nb_clients_approx"),
         round((col("ca_cents") / 100.0) / col("nb_achats"), 2).as("panier_moyen"))
 
+  /** The exact algebraic half of [[kpisFromPartials]] — split out so the
+    * incremental refresh's provable part earns a cross-engine hash check:
+    * revenue and purchase count merge in integer cents (sum of sums), so
+    * the merged partials equal a full recompute BIT-FOR-BIT, and DuckDB
+    * can state that recompute as plain SQL. Only the distinct-client
+    * estimate is approximate, and it stays in [[kpisFromPartials]]
+    * (rows-only, 5%-bound GoldSpec gate). */
+  def kpisExactFromPartials(partials: DataFrame): DataFrame =
+    partials.agg(
+      sum("ca_cents").as("ca_cents"),
+      sum("nb_achats").as("nb_achats"))
+      .select((col("ca_cents") / 100.0).as("ca_total"), col("nb_achats"),
+        round((col("ca_cents") / 100.0) / col("nb_achats"), 2).as("panier_moyen"))
+
   /** Top-K clients by lifetime spend (reference scripts/dashboard.py:165,
     * W3/O2/O4). Global top-k = TakeOrderedAndProject — no full sort. */
   def topClients(fact: DataFrame, k: Int = 20): DataFrame =

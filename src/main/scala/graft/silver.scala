@@ -98,8 +98,12 @@ object Silver {
     val badDate = col("o_orderdate") < lit(MinDate).cast("timestamp")
     val badAmount = col("o_totalprice") <= 0 || col("o_totalprice") > MaxAmount
     val pass3 = !missing && !badDate && !badAmount
+    // o_totalprice closes the total order: two rule-passing duplicates
+    // sharing date+custkey would otherwise split valid/duplicate money
+    // nondeterministically across runs/engines (counts stable, amounts not)
     val w = Window.partitionBy("o_orderkey")
-      .orderBy(when(pass3, 0).otherwise(1), col("o_orderdate"), col("o_custkey"))
+      .orderBy(when(pass3, 0).otherwise(1), col("o_orderdate"), col("o_custkey"),
+        col("o_totalprice"))
     orders
       .withColumn("rn", row_number().over(w))
       .join(customer.select(col("c_custkey")).distinct()

@@ -183,7 +183,7 @@ class PrepSpec extends SparkSpec {
     assert(out.length == 100)
     // spot-check the A-ES priority of the top row against the formula
     val (id0, nc0, p0) = out.head
-    val u0 = (math.floorMod((id0 + 7L) * 2654435761L, 4294967296L) * 1000000L /
+    val u0 = (math.floorMod((id0 + 13L) * 2654435761L, 4294967296L) * 1000000L /
       4294967296L + 0.5) / 1000000.0
     val expect = BigDecimal(math.pow(u0, 1.0 / nc0))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
