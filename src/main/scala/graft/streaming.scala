@@ -158,29 +158,47 @@ object Streams extends Serializable {
     * micro-batch replaces rows sharing its keys (batch wins), others
     * survive.
     *
-    * The key space is hash-bucketed into `current/_bucket=N` partitions
-    * and each merge touches ONLY the buckets the batch's keys hash into —
-    * the merge scan and rewrite are proportional to the batch's key
-    * spread, not the table (a continuously-running upsert over a large
-    * table rewrites a few buckets per trigger). Staged per-bucket
-    * directory swaps with checked renames; production would target
-    * Delta/Iceberg MERGE with the same batch fn. */
+    * The key space is hash-bucketed and each merge touches ONLY the
+    * buckets the batch's keys hash into — the merge scan and rewrite are
+    * proportional to the batch's key spread, not the table (a
+    * continuously-running upsert over a large table rewrites a few
+    * buckets per trigger).
+    *
+    * COMMIT IS ATOMIC via a manifest pointer (the snapshot discipline
+    * Delta/Iceberg formalize, reduced to its two essentials): bucket
+    * data lives in immutable generation directories `store/b<i>_g<gen>`
+    * that no reader ever discovers by listing — the single source of
+    * truth is the `MANIFEST` file mapping bucket -> directory, replaced
+    * with ONE atomic rename. A crash anywhere before that rename leaves
+    * the previous manifest — and therefore the previous generation,
+    * whole — visible; a crash after it leaves the new generation whole.
+    * There is no window where readers can see buckets from two
+    * generations (the flaw of the previous per-bucket directory swaps).
+    * Orphaned store directories from a crashed stage are garbage, not
+    * corruption, and the next successful commit sweeps them. */
   def upsertByKey(spark: SparkSession, sinkDir: String, key: String,
-      buckets: Int = 16)(batch: DataFrame): Unit = {
-    val target = new java.io.File(sinkDir, "current")
+      buckets: Int = 16)(batch: DataFrame): Unit =
+    upsertCommit(sinkDir, upsertStage(spark, sinkDir, key, buckets)(batch))
+
+  /** Stage one batch's merge: write the touched buckets' next generation
+    * into the immutable store and return the manifest the commit should
+    * publish. Performs NO visible state change — a crash after staging
+    * is invisible to readers (split from [[upsertCommit]] exactly so the
+    * crash window is testable). */
+  private[graft] def upsertStage(spark: SparkSession, sinkDir: String,
+      key: String, buckets: Int = 16)(batch: DataFrame): Map[Long, String] = {
+    val man = readManifest(sinkDir)
+    val store = new java.io.File(sinkDir, "store")
     val b = batch.withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
     // driver-side list of touched buckets: bounded by `buckets`, not keys
     val touched = b.select("_bucket").distinct()
       .collect().map(_.getLong(0)).sorted
-    val onDisk = touched
-      .filter(i => new java.io.File(target, s"_bucket=$i").isDirectory)
+    val onDisk = touched.filter(man.contains)
     val merged =
       if (onDisk.isEmpty) b
       else {
         val existing = spark.read
-          .option("basePath", target.getAbsolutePath)
-          .parquet(onDisk.toSeq.map(i => s"${target.getAbsolutePath}/_bucket=$i"): _*)
-          .drop("_bucket")
+          .parquet(onDisk.toSeq.map(i => s"${store.getAbsolutePath}/${man(i)}"): _*)
         existing.join(b.select(key).distinct(), Seq(key), "left_anti")
           .withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
           .unionByName(b)
@@ -191,18 +209,60 @@ object Streams extends Serializable {
     merged.repartition(buckets, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(staging.getAbsolutePath)
-    target.mkdirs()
-    for (i <- touched) {
+    store.mkdirs()
+    val gen = System.nanoTime()
+    val fresh = touched.flatMap { i =>
       val src = new java.io.File(staging, s"_bucket=$i")
-      val dst = new java.io.File(target, s"_bucket=$i")
-      val old = new java.io.File(sinkDir, s"old_${i}_${System.nanoTime()}")
-      if (dst.isDirectory)
-        require(dst.renameTo(old), s"upsert swap failed: $dst -> $old")
-      if (src.isDirectory) // a touched bucket can be empty after the merge
-        require(src.renameTo(dst), s"upsert swap failed: $src -> $dst")
-      deleteRec(old)
-    }
+      if (src.isDirectory) { // a touched bucket can be empty after the merge
+        val name = s"b${i}_g$gen"
+        require(src.renameTo(new java.io.File(store, name)),
+          s"upsert stage failed: $src -> $store/$name")
+        Some(i -> name)
+      } else None
+    }.toMap
     deleteRec(staging)
+    // untouched buckets carry over; emptied touched buckets drop out
+    (man -- touched) ++ fresh
+  }
+
+  /** Publish a staged generation: write the manifest beside the store,
+    * then ONE atomic rename onto `MANIFEST` — the only visible state
+    * change the sink ever makes — and sweep store directories the new
+    * manifest no longer references (replaced generations + any garbage a
+    * crashed stage left). */
+  private[graft] def upsertCommit(sinkDir: String, next: Map[Long, String]): Unit = {
+    val tmp = new java.io.File(sinkDir, s"MANIFEST_tmp_${System.nanoTime()}")
+    val body = next.toSeq.sorted.map { case (i, n) => s"$i $n" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(sinkDir, "MANIFEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val store = new java.io.File(sinkDir, "store")
+    val live = next.values.toSet
+    Option(store.listFiles()).getOrElse(Array.empty)
+      .filterNot(d => live(d.getName)).foreach(deleteRec)
+  }
+
+  /** Parse `MANIFEST` (bucket -> store directory); empty before the
+    * first commit. */
+  private[graft] def readManifest(sinkDir: String): Map[Long, String] = {
+    val f = new java.io.File(sinkDir, "MANIFEST")
+    if (!f.isFile) Map.empty
+    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
+      val Array(i, n) = l.split(" ", 2)
+      i.toLong -> n
+    }.toMap
+  }
+
+  /** Read the sink's current committed generation — the manifest IS the
+    * table; store directories are never discovered by listing. */
+  def readUpserted(spark: SparkSession, sinkDir: String): DataFrame = {
+    val man = readManifest(sinkDir)
+    require(man.nonEmpty, s"upsert sink has no committed generation: $sinkDir")
+    spark.read.parquet(
+      man.toSeq.sortBy(_._1).map { case (_, n) => s"$sinkDir/store/$n" }: _*)
   }
 
   /** Streaming job publishing per-user running aggregates with
@@ -218,7 +278,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$sinkDir/current").drop("_bucket").orderBy("user_id")
+    readUpserted(spark, sinkDir).orderBy("user_id")
   }
 
   /** Streaming incremental gold maintenance — continuous ingest keeping

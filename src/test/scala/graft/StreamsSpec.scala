@@ -437,21 +437,50 @@ class StreamsSpec extends SparkSpec {
     val init = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (100L, 1.0), (7L, 7.0))
       .toDF("user_id", "v")
     Streams.upsertByKey(spark, sink, "user_id")(init)
-    def listing = new java.io.File(sink, "current").listFiles()
-      .filter(_.getName.startsWith("_bucket="))
-      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
-    val before = listing
+    val before = Streams.readManifest(sink)
     val touchedBucket = Seq(1L).toDF("user_id")
       .select(pmod(xxhash64(col("user_id")), lit(16L))).first().getLong(0)
     Streams.upsertByKey(spark, sink, "user_id")(Seq((1L, 99.0)).toDF("user_id", "v"))
-    val after = listing
-    // untouched buckets keep their exact files; the touched one is rewritten
-    (before.keySet - s"_bucket=$touchedBucket").foreach(bk => assert(before(bk) == after(bk)))
-    assert(before(s"_bucket=$touchedBucket") != after(s"_bucket=$touchedBucket"))
+    val after = Streams.readManifest(sink)
+    // untouched buckets keep their exact generation dirs; the touched
+    // one points at a fresh generation
+    (before.keySet - touchedBucket).foreach(bk => assert(before(bk) == after(bk)))
+    assert(before(touchedBucket) != after(touchedBucket))
     // replace-by-key semantics intact across the scoped merge
-    val cur = spark.read.parquet(s"$sink/current").drop("_bucket")
+    val cur = Streams.readUpserted(spark, sink)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(cur == Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0, 100L -> 1.0, 7L -> 7.0))
+    // the store carries no unreferenced directories after a commit
+    val stored = new java.io.File(sink, "store").listFiles().map(_.getName).toSet
+    assert(stored == after.values.toSet)
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
+  test("upsert commit is atomic: a crash between staging and the manifest swap leaves one whole generation") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert_atomic").toString
+    Streams.upsertByKey(spark, sink, "user_id")(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "v"))
+    val gen1 = Streams.readManifest(sink)
+    def snapshot = Streams.readUpserted(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(snapshot == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // batch 2 stages its buckets into the store but dies BEFORE the
+    // manifest rename (the window where the old per-bucket swap design
+    // could expose buckets from two generations)
+    Streams.upsertStage(spark, sink, "user_id")(
+      Seq((1L, 99.0), (4L, 44.0)).toDF("user_id", "v"))
+    // reopen: the manifest still points at generation 1, whole — the
+    // half-written generation is invisible, not half-visible
+    assert(Streams.readManifest(sink) == gen1)
+    assert(snapshot == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // recovery = retry the batch end-to-end; the commit publishes one
+    // consistent generation and sweeps the crashed stage's orphans
+    Streams.upsertByKey(spark, sink, "user_id")(
+      Seq((1L, 99.0), (4L, 44.0)).toDF("user_id", "v"))
+    assert(snapshot == Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0, 4L -> 44.0))
+    val stored = new java.io.File(sink, "store").listFiles().map(_.getName).toSet
+    assert(stored == Streams.readManifest(sink).values.toSet)
     Streams.deleteRec(new java.io.File(sink))
   }
 
