@@ -269,6 +269,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange rangepartitioning") == 1, p)
   }
 
+  test("local_supplier_volume: Q5 cycle closes as equi-joins, dim chain broadcast") {
+    val p = plan("local_supplier_volume")
+    // the customer=supplier nation closure must land as a join KEY —
+    // a cartesian/nested-loop here means the cycle degenerated to a
+    // filter over a cross product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // nation and region (the dimension chain) both broadcast; the
+    // supplier side is deliberately left to AQE (see the source note)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("dedup_ngram_prefix: candidate join keys on df-ordered prefix tokens, not all shingles") {
+    val p = plan("dedup_ngram_prefix")
+    // the AllPairs prefix bound (pos <= n - ceil(j*n) + 1) must gate
+    // BOTH self-join sides before the candidate join — without it the
+    // join is the full posting-list self-join, i.e. all-pairs again
+    assert(p.toUpperCase.contains("CEIL"), p)
+    assert(count(p, "row_number") >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("client_percentiles: distributed ranks, never a single-partition window") {
+    val p = plan("client_percentiles")
+    // percent_rank/cume_dist SQL forms compile to an empty-partition
+    // Window = Exchange SinglePartition — the one shape that cannot
+    // scale; this query exists to avoid it
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    // the machinery that replaces it: one range repartition for the
+    // global order (+ the ORDER BY contract), ranks via mapPartitions
+    assert(count(p, "Exchange rangepartitioning") >= 1, p)
+  }
+
   test("merge_upsert: full-outer join rides the two aggregate exchanges, filters pushed") {
     val p = plan("merge_upsert")
     // one exchange per aggregated side; the key-unique full-outer join
