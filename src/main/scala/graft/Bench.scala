@@ -23,12 +23,16 @@ import org.apache.spark.sql.SparkSession
   * Timing materializes EVERY output row through the noop DataSourceV2 sink
   * (full projection + row production, no I/O) — `count()` would let
   * Catalyst prune wide projections and under-measure projection-heavy
-  * queries. Two timed passes run after warmup and each query reports its
-  * MIN — single-pass wall times on a 55-query shared session swing ±20%
-  * from GC/scheduler noise, and the min of two is the standard estimator
-  * for steady-state cost. Failures are loud: per-query status goes to
-  * stderr and an `errors` map into the JSON line; a failed query reports
-  * value -1, never a silently-tiny wall time.
+  * queries. Three timed passes run after warmup and each query reports
+  * its MIN — single-pass wall times on a 55-query shared session swing
+  * ±20% from GC/scheduler noise, and the min of repeated runs is the
+  * standard estimator for steady-state cost. The per-query SPREAD
+  * (max−min across the three passes) is recorded next to the min in
+  * BENCH_FULL.json so a reader can tell a regression from same-machine
+  * noise without re-running older code: a cross-round delta inside the
+  * recorded spread is not signal. Failures are loud: per-query status
+  * goes to stderr and an `errors` map into the JSON line; a failed query
+  * reports value -1, never a silently-tiny wall time.
   *
   * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run — a dev
   * convenience for timing one operator without the whole suite.
@@ -72,11 +76,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (err.isEmpty) sec else -1.0, err)
     }.toSeq
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((n, s1, e1), (_, s2, e2)) =>
-      if (e1.nonEmpty || e2.nonEmpty) (n, -1.0, e1.orElse(e2))
-      else (n, math.min(s1, s2), None)
-    }
+    val (p1, p2, p3) = (timedPass(), timedPass(), timedPass())
+    // (name, min, firstError, spread = max - min over the clean passes)
+    val results = p1.lazyZip(p2).lazyZip(p3).map {
+      case ((n, s1, e1), (_, s2, e2), (_, s3, e3)) =>
+        val err = e1.orElse(e2).orElse(e3)
+        if (err.nonEmpty) (n, -1.0, err, 0.0)
+        else {
+          val ts = Seq(s1, s2, s3)
+          (n, ts.min, None, ts.max - ts.min)
+        }
+    }.toSeq
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -84,12 +94,13 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val total = results.collect { case (_, v, None) => v }.sum
-    val errJson = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    val errJson = results.collect { case (k, _, Some(m), _) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     // crashed queries live ONLY in `errors` — a -1.0 inside `queries`
     // would poison any consumer that sums or mins the map
-    val timed = results.collect { case (k, v, None) => (k, v) }
+    val timed = results.collect { case (k, v, None, _) => (k, v) }
+    val spreads = results.collect { case (k, _, None, sp) => (k, sp) }
     // cached-frame footprint, then the end-of-suite release (after every
     // shared frame's last consumer); async drop, so only the pre-release
     // size is meaningful
@@ -103,7 +114,9 @@ object Bench {
     val fullJson = {
       val q = timed.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"timing":"noop-materialize min-of-2 (r1 was count() single-pass)","sf":"$sfDir"}"""
+      val sp = spreads.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
     }
     // best-effort: a read-only/odd cwd must not kill the run after the
     // queries already completed — the stdout line below is the record
