@@ -552,7 +552,10 @@ object SparkEntry {
     // gates determinism, ordering and the variance-ratio invariants)
     "embedding_pca" -> ((s, d) => Ml.embeddingPca(Tables.embeddings(s, d))),
     "label_centroids" -> ((s, d) => Ml.labelCentroids(Tables.embeddings(s, d))),
-    // streaming exact dedup over a deliberately doubled stream
+    // streaming exact dedup over a deliberately doubled stream —
+    // oracle-checked: event_ids are unique and the doubled copies are
+    // bit-identical rows, so full suppression must reproduce the raw
+    // events table exactly (not just matching counts)
     "events_dedup_stream" -> ((s, d) => Streams.eventsDedupStreamed(s, d)),
     // stream-static broadcast join: event stream enriched with the
     // customer->nation dim, hourly revenue by country
@@ -687,10 +690,12 @@ object SparkEntry {
     // first BPE merge round: char-pair counts at VOCAB grain off the
     // shared term-frequency frame (pair expansion never sees the corpus)
     "bpe_pairs" -> ((s, d) => Llm.bpePairsFrom(docTf(s, d))),
-    // iterated greedy merge learning (rows-only: the fold rewrite has no
-    // SQL statement; LlmSpec hand-computes the merge table)
+    // iterated greedy merge learning — oracle-checked: the merge fold
+    // restates positionally (run-parity rule, see bpeRounds) so all 5
+    // rounds cross-check in DuckDB; LlmSpec hand-computes the table too
     "bpe_learn" -> ((s, d) => Llm.bpeLearn(docTf(s, d))),
     // the encode pass: corpus token counts under the learned merges
+    // (oracle-checked via the same unrolled rounds)
     "bpe_tokenize" -> ((s, d) => Llm.bpeTokenize(docTf(s, d))),
     // temperature-weighted domain-mixing plan (shares ∝ n^0.7)
     "sample_temperature" -> ((s, d) => Prep.sampleTemperature(Tables.documents(s, d))),
@@ -1120,7 +1125,68 @@ object SparkEntry {
           ON d.src = s.id)"""
   }.mkString(",\n      ")
 
+  /** graft.Llm.bpeLearn's 5 greedy merge rounds unrolled for the BPE
+    * oracles. The left-to-right non-overlapping merge fold IS
+    * SQL-stateable without recursion via a positional rule: an adjacent
+    * (x,y) occurrence merges iff x≠y (occurrences can never overlap —
+    * overlap forces x=y) or its offset inside its maximal run of x is
+    * even (the greedy pairing inside "aaaa…"). Reassembly keeps merged
+    * positions and drops each merge's consumed right neighbor. Pair
+    * stats, winner pick (count desc, pair asc) and the rewrite are all
+    * exact integer/string operations at VOCABULARY grain, so the whole
+    * iterative tokenizer build cross-checks bit-for-bit. */
+  private val bpeRounds = (1 to 5).map { r =>
+    s"""p$r AS (SELECT syms[i] AS x, syms[i+1] AS y, CAST(sum(n) AS BIGINT) AS c
+           FROM v${r - 1}, unnest(range(1, len(syms))) AS t(i)
+           GROUP BY 1, 2),
+      m$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+      e$r AS (SELECT word, n, i, syms[i] AS s,
+                (SELECT x FROM m$r) AS mx, (SELECT y FROM m$r) AS my,
+                CASE WHEN i < len(syms) THEN syms[i+1] END AS nxt
+           FROM v${r - 1}, unnest(range(1, len(syms)+1)) AS t(i)),
+      f$r AS (SELECT *,
+           coalesce(max(CASE WHEN s <> mx THEN i END)
+             OVER (PARTITION BY word ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+             AS run_start
+         FROM e$r),
+      g$r AS (SELECT *, (s = mx AND nxt = my
+                AND (mx <> my OR (i - run_start) % 2 = 0)) AS ms FROM f$r),
+      h$r AS (SELECT *, coalesce(lag(ms) OVER (PARTITION BY word ORDER BY i),
+                false) AS prev_ms FROM g$r),
+      v$r AS (SELECT word, any_value(n) AS n,
+                list(CASE WHEN ms THEN mx || my ELSE s END ORDER BY i)
+                  FILTER (WHERE ms OR NOT prev_ms) AS syms
+         FROM h$r GROUP BY word)"""
+  }.mkString(",\n      ")
+  private val bpeSql = s"""
+      WITH tf AS (SELECT word, count(*) AS tf
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1),
+      v0 AS (SELECT word, CAST(tf AS BIGINT) AS n,
+               list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+             FROM tf),
+      $bpeRounds"""
+
   def oracleSql: Map[String, String] = Map(
+    // the full iterative BPE build: greedy merge picks are exact integer
+    // argmax + deterministic tie-break, the rewrite is the positional
+    // run-parity rule — see bpeRounds
+    "bpe_learn" -> s"""$bpeSql
+      SELECT r AS round, x, y, c AS n FROM (
+        SELECT 1 AS r, * FROM m1 UNION ALL SELECT 2, * FROM m2
+        UNION ALL SELECT 3, * FROM m3 UNION ALL SELECT 4, * FROM m4
+        UNION ALL SELECT 5, * FROM m5)
+      ORDER BY round""",
+
+    // the encode pass under the same learned merges: corpus token
+    // counts over the round-5 vocabulary
+    "bpe_tokenize" -> s"""$bpeSql
+      SELECT token, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT unnest(syms) AS token, n FROM v5)
+      GROUP BY 1 ORDER BY n DESC, token LIMIT 30""",
+
     // fixed-iteration PageRank over the parity-encoded customer-part
     // bipartite graph: 5 unrolled power-iteration rounds, 9dp ranks
     "product_rank" -> s"""
@@ -1663,6 +1729,13 @@ object SparkEntry {
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS heure, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY heure, event_type""",
+
+    // watermarked dedup of the doubled stream == the raw table: ids are
+    // unique, duplicate copies identical, so survival is deterministic
+    "events_dedup_stream" -> """
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             value, props
+      FROM events ORDER BY event_id""",
 
     // the JSON ingest path must agree with the parquet path exactly
     "events_hourly_json" -> """
