@@ -521,6 +521,8 @@ object SparkEntry {
     // three component frames shared with their per-metric queries
     "corpus_filter" -> ((s, d) => Llm.corpusFilterFrom(
       textStatsF(s, d), repetitionF(s, d), Llm.unigramLogProbFrom(docTf(s, d)))),
+    // winnowing fingerprints — oracle-checked: the native expression's
+    // xxhash64 is restated bit-exactly in DuckDB wrapping arithmetic
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),
 
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
@@ -1169,7 +1171,68 @@ object SparkEntry {
              FROM tf),
       $bpeRounds"""
 
+  /** 64-bit wrapping arithmetic restated for DuckDB (HUGEINT domain,
+    * values kept in [0, 2^64)): the building blocks that let the
+    * doc_fingerprint oracle reproduce Spark's xxhash64 (XXH64, seed 42)
+    * bit-for-bit in SQL. A full 64x64 product overflows HUGEINT
+    * (~1.7e38 < (2^64)^2), so the wrapping multiply splits the left
+    * operand at 2^32 — only the low 32 bits of the high-half partial
+    * product survive mod 2^64. XOR hops through signed BIGINT (bitwise
+    * identical) and back. */
+  private val XxM = "18446744073709551616" // 2^64
+  private def xxMul(a: String, b: String): String =
+    s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * ($b % 4294967296))" +
+      s" % 4294967296) * 4294967296) % $XxM"
+  private def xxRotl(a: String, r: Int): String =
+    s"((($a) % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} + ($a) // ${BigInt(1) << (64 - r)})"
+  private def xxSigned(a: String): String =
+    s"CAST(CASE WHEN ($a) >= 9223372036854775808 THEN ($a) - $XxM ELSE ($a) END AS BIGINT)"
+  private def xxXor(a: String, b: String): String =
+    s"(CAST(xor(${xxSigned(a)}, ${xxSigned(b)}) AS HUGEINT) + " +
+      s"CASE WHEN xor(${xxSigned(a)}, ${xxSigned(b)}) < 0 THEN $XxM::HUGEINT ELSE 0 END)"
+  private def xxShr(a: String, r: Int): String = s"(($a) // ${BigInt(1) << r})"
+  // XXH64 primes and the precomputed 8-byte-input seed state (42 + P5 + 8)
+  private val XxP1 = "11400714785074694791"
+  private val XxP2 = "14029467366897019727"
+  private val XxP3 = "1609587929392839161"
+  private val XxP4 = "9650029242287828579"
+  private val XxH0 = "2870177450012600311"
+
   def oracleSql: Map[String, String] = Map(
+    // winnowing fingerprints: per-position xxhash64 of the 8-char
+    // shingle (XXH64 tail round + fmix, restated in wrapping HUGEINT
+    // arithmetic — ASCII text, so chars are the hashed UTF-8 bytes),
+    // window-4 sliding minima, distinct count + global min per doc
+    "doc_fingerprint" -> s"""
+      WITH d0 AS (SELECT doc_id, length(text) AS L,
+              list_transform(range(1, length(text)+1),
+                j -> CAST(ord(text[j]) AS HUGEINT)) AS cs
+            FROM documents WHERE length(text) >= 11),
+      pos AS (SELECT doc_id, L, i,
+          cs[i] + cs[i+1]*256 + cs[i+2]*65536 + cs[i+3]*16777216
+          + cs[i+4]*4294967296 + cs[i+5]*1099511627776
+          + cs[i+6]*281474976710656 + cs[i+7]*72057594037927936 AS k1
+        FROM d0, unnest(range(1, L - 6)) AS t(i)),
+      s1 AS (SELECT doc_id, L, i, ${xxMul("k1", XxP2)} AS a FROM pos),
+      s2 AS (SELECT doc_id, L, i, ${xxMul(xxRotl("a", 31), XxP1)} AS b FROM s1),
+      s3 AS (SELECT doc_id, L, i, ${xxXor(XxH0, "b")} AS h1 FROM s2),
+      s4 AS (SELECT doc_id, L, i,
+               (${xxMul(xxRotl("h1", 27), XxP1)} + $XxP4) % $XxM AS f FROM s3),
+      s5 AS (SELECT doc_id, L, i, ${xxXor("f", xxShr("f", 33))} AS g1 FROM s4),
+      s6 AS (SELECT doc_id, L, i, ${xxMul("g1", XxP2)} AS g2 FROM s5),
+      s7 AS (SELECT doc_id, L, i, ${xxXor("g2", xxShr("g2", 29))} AS g3 FROM s6),
+      s8 AS (SELECT doc_id, L, i, ${xxMul("g3", XxP3)} AS g4 FROM s7),
+      hs AS (SELECT doc_id, L, i,
+               ${xxSigned(xxXor("g4", xxShr("g4", 32)))} AS h FROM s8),
+      w AS (SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        L - 7 - 3 AS m
+      FROM hs)
+      SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+             min(wmin) AS min_fp
+      FROM w WHERE i <= m GROUP BY doc_id ORDER BY doc_id""",
+
     // the full iterative BPE build: greedy merge picks are exact integer
     // argmax + deterministic tie-break, the rewrite is the positional
     // run-parity rule — see bpeRounds
