@@ -384,6 +384,53 @@ object SparkEntry {
     "local_supplier_volume" -> ((s, d) => Gold.localSupplierVolume(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI whose condition
+    // mixes the equi-key with a per-order inequality residual
+    "order_priority" -> ((s, d) => Gold.orderPriority(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // TPC-H Q7 shape: nation-pair disjunction as a residual over
+    // IN-pruned dim chains
+    "nation_trade_volume" -> ((s, d) => Gold.nationTradeVolume(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d))),
+    // TPC-H Q8 shape: conditional-sum market-share ratio out of ONE
+    // grouped pass (no self-join of aggregates)
+    "market_share" -> ((s, d) => Gold.marketShare(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // TPC-H Q10 shape: returned-line revenue per customer, dims attached
+    // after the fact-grain reduction, global top-k
+    "returned_item_revenue" -> ((s, d) => Gold.returnedItemRevenue(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.nation(s, d))),
+    // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity bands; part-side
+    // disjunction distributed out and pushed to the scan
+    "disjunctive_revenue" -> ((s, d) => Gold.disjunctiveRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q22 shape: exact-cents global average folded to a driver
+    // scalar, NOT EXISTS as LEFT ANTI on keys
+    "idle_customers" -> ((s, d) => Gold.idleCustomers(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    // TPC-H Q6 shape: pure filter-scan-sum, all predicates pushed
+    "forecast_revenue" -> ((s, d) => Gold.forecastRevenue(Tables.lineitem(s, d))),
+    // TPC-H Q12 shape: late-line two-bucket conditional counts over a
+    // fact-fact join with a cross-side date residual
+    "late_priority_lines" -> ((s, d) => Gold.latePriorityLines(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // TPC-H Q14 shape: PROMO revenue share out of one grouped pass
+    "promo_revenue_share" -> ((s, d) => Gold.promoRevenueShare(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q15 shape: max-revenue supplier(s) via exact integer
+    // equality against a two-phase driver scalar
+    "top_supplier" -> ((s, d) => Gold.topSupplier(
+      Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // TPC-H Q17 shape: per-part correlated average, decorrelated to
+    // aggregate + join over the brand-pruned line frame
+    "small_quantity_revenue" -> ((s, d) => Gold.smallQuantityRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    // TPC-H Q18 shape: HAVING membership as aggregate-then-join
+    "large_volume_customers" -> ((s, d) => Gold.largeVolumeCustomers(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
 
     // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
@@ -643,6 +690,9 @@ object SparkEntry {
     // edit-distance-1 similarity join over product-name vocabulary via
     // deletion-neighborhood candidates + exact levenshtein verify
     "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
+    // entity-resolution transitive closure over the typo candidate graph:
+    // string-keyed connected components, cluster = min member
+    "typo_clusters" -> ((s, d) => Llm.typoClusters(Tables.part(s, d), "p_name")),
     // co-purchase PageRank — oracle-checked: 5 fixed power-iteration
     // rounds restated as unrolled DuckDB CTEs, compared on 9dp ranks
     // (see the prRounds float-parity note); GraphSpec pins values too
@@ -717,6 +767,12 @@ object SparkEntry {
     // robust (median/MAD) twin of gold_daily_anomaly
     "gold_daily_anomaly_robust" -> ((s, d) =>
       Serving.dailyAnomalyRobust(fact(s, d))),
+    // drift check: PSI of the 1997 amount distribution against 1996's
+    // exact decile edges, per-bucket terms from exact counts
+    "spend_psi" -> ((s, d) => Serving.spendPsi(Tables.orders(s, d))),
+    // drift check: exact two-sample KS via all-integer CDF gaps over the
+    // distributed-rank machinery (no single-partition window)
+    "spend_ks" -> ((s, d) => Serving.spendKs(Tables.orders(s, d))),
     // schema evolution: v1 files lack o_orderdate; the mergeSchema read
     // must surface it as null for v1 rows and aggregate across both
     "schema_evolution" -> ((s, d) => {
@@ -737,6 +793,24 @@ object SparkEntry {
           count(col("o_orderdate")).as("n_dated"),
           min("o_orderdate").as("first_date"),
           max("o_orderdate").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
+    // co-located join over bucketed twins of orders/lineitem: the write
+    // (memoized, the amortized one-time cost) buckets both sides on the
+    // order key, so the per-run join plans with ZERO shuffle exchanges
+    // (BucketingSpec pins the plan); the agg proves the join's content
+    // against the plain-join oracle
+    "bucketed_join" -> ((s, d) => {
+      bucketMemo.getOrElseUpdate((s.hashCode, d), {
+        val base = java.nio.file.Files.createTempDirectory("graft_bucket")
+        sys.addShutdownHook(Streams.deleteRec(base.toFile))
+        Bucketing.cooLocatedOrderLines(s, d, path = Some(base.toString))
+        base.toString
+      })
+      s.table("graft_orders_b").join(s.table("graft_lineitem_b"), Seq("key"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          Tables.moneySum(col("l_extendedprice")).as("ca"))
         .orderBy("o_orderstatus")
     }),
     // batch hopping-window aggregate (hourly totals every 15 min)
@@ -903,6 +977,12 @@ object SparkEntry {
   // fragmented 48-file copy of orders for the compaction job
   private val compactMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  // external-path location for the bucketed orders/lineitem twins; the
+  // write is the one-time amortized cost, the per-run query is the
+  // shuffle-free join it buys
+  private val bucketMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   // annee-partitioned fact copy that the dynamic-overwrite restatement
   // mutates (factSink stays pristine for the pruning queries); shared by
@@ -1544,6 +1624,182 @@ object SparkEntry {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
+    // TPC-H Q4 restated (late-ship correlate for the missing
+    // commit/receipt dates); the EXISTS matches the Spark LEFT SEMI
+    "order_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q7 restated; scaled-integer revenue, nation-pair disjunction
+    "nation_trade_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // TPC-H Q8 restated: conditional-sum ratio out of one grouped pass,
+    // scaled-integer numerator/denominator, one 6dp float divide
+    "market_share" -> """
+      WITH t AS (
+        SELECT year(o_orderdate) AS o_year,
+               CASE WHEN n2.n_name = 'NATION_7'
+                    THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                    ELSE 0 END AS num4,
+               CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev4
+        FROM lineitem, orders, customer, supplier, nation n1, region, nation n2
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      SELECT o_year,
+             round(sum(num4) / CAST(sum(rev4) AS DOUBLE), 6) AS mkt_share
+      FROM t GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q10 restated: per-customer returned-line revenue, dims after
+    // the reduction, deterministic top-20
+    "returned_item_revenue" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey AND l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+             coalesce(n_name, 'Inconnu') AS pays, revenue
+      FROM rev
+      JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    // TPC-H Q19 restated: the conjunctive per-branch form — equivalent
+    // to the Spark side's pushed part-filter + residual because each
+    // branch is keyed by a distinct brand
+    "disjunctive_revenue" -> """
+      SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR
+        (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR
+        (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""",
+
+    // TPC-H Q22 restated: exact-cents average threshold in the same
+    // expression order as the Spark driver scalar; NOT EXISTS ≙ LEFT ANTI
+    "idle_customers" -> """
+      WITH avg_bal AS (
+        SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0/count(*) AS t
+        FROM customer WHERE c_acctbal > 0)
+      SELECT coalesce(n_name, 'Inconnu') AS pays, count(*) AS numcust,
+             sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (SELECT t FROM avg_bal)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q6 restated: one filter-scan-sum, scaled-integer product
+    "forecast_revenue" -> """
+      SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))/10000.0 AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    // TPC-H Q12 restated (returnflag for the missing shipmode; lateness
+    // = shipped > 30 days after the order date)
+    "late_priority_lines" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q14 restated: conditional-sum ratio, one grouped pass
+    "promo_revenue_share" -> """
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                   ELSE 0 END)
+             / CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE), 6) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+
+    // TPC-H Q15 restated: exact integer revenue equality against the max
+    "top_supplier" -> """
+      WITH r AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, rev4/10000.0 AS total_revenue
+      FROM r JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev4 = (SELECT max(rev4) FROM r)
+      ORDER BY s_suppkey""",
+
+    // TPC-H Q17 restated: correlated per-part average decorrelated to
+    // aggregate + join; threshold arithmetic in the Spark expression order
+    "small_quantity_revenue" -> """
+      WITH lines AS (
+        SELECT l_partkey, l_quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price2
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM part
+                      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23')),
+      thr AS (
+        SELECT l_partkey AS t_partkey,
+               0.2 * (sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*)) AS qty_threshold
+        FROM lines GROUP BY 1)
+      SELECT round(sum(price2)/100.0/7.0, 6) AS avg_yearly
+      FROM lines JOIN thr ON l_partkey = t_partkey
+      WHERE l_quantity < qty_threshold""",
+
+    // TPC-H Q18 restated: HAVING membership as aggregate-then-join,
+    // exact-cents quantity totals, deterministic top-50
+    "large_volume_customers" -> """
+      WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 > 180.0)
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate,
+             round(o_totalprice, 2) AS o_totalprice, total_qty
+      FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    // the bucketed twins must agree with the PLAIN join of the source
+    // tables — bucketing is a layout property, never a semantic one
+    "bucketed_join" -> """
+      SELECT o_orderstatus, count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS ca
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1""",
 
     // manual (rk-1)/(n-1) and rk/n over the (spend, custkey) TOTAL order
     // — rank == row_number by construction, so tie semantics can't
@@ -2722,6 +2978,81 @@ object SparkEntry {
       FROM vocab a JOIN vocab b ON a.word < b.word
       WHERE levenshtein(a.word, b.word) <= 1
       ORDER BY w1, w2""",
+
+    // transitive closure of the same candidate graph: recursive min-label
+    // propagation — min reachable word == the alternating-star component
+    // label (binary string order agrees across engines on this ascii vocab)
+    "typo_clusters" -> """
+      WITH RECURSIVE vocab AS (
+        SELECT DISTINCT word FROM (
+          SELECT unnest(string_split_regex(lower(p_name), '\s+')) AS word FROM part)
+        WHERE length(word) >= 3),
+      e AS (SELECT a.word AS a, b.word AS b FROM vocab a JOIN vocab b
+            ON a.word < b.word AND levenshtein(a.word, b.word) <= 1),
+      und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      cc(node, comp) AS (
+        SELECT DISTINCT a AS node, a AS comp FROM und
+        UNION
+        SELECT und.a AS node, cc.comp FROM cc JOIN und ON und.b = cc.node),
+      lab AS (SELECT node, min(comp) AS cluster_rep FROM cc GROUP BY 1)
+      SELECT node AS word, cluster_rep,
+             count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+      FROM lab ORDER BY cluster_rep, word""",
+
+    // PSI against 1996's exact decile edges (quantile_cont ==
+    // Spark `percentile`, the gold_distribution_quantile precedent);
+    // per-bucket terms from exact counts, NULL where 1997 is absent
+    "spend_psi" -> """
+      WITH a AS (SELECT o_totalprice AS amount FROM orders
+                 WHERE year(o_orderdate) = 1996),
+      b AS (SELECT o_totalprice AS amount FROM orders
+            WHERE year(o_orderdate) = 1997),
+      e AS (SELECT quantile_cont(amount,
+              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed FROM a),
+      na AS (SELECT count(*) AS n FROM a), nb AS (SELECT count(*) AS n FROM b),
+      ba AS (SELECT CAST(len(list_filter((SELECT ed FROM e),
+                                         x -> amount >= x)) AS BIGINT) AS bucket,
+                    count(*) AS n_a
+             FROM a GROUP BY 1),
+      bb AS (SELECT CAST(len(list_filter((SELECT ed FROM e),
+                                         x -> amount >= x)) AS BIGINT) AS bucket,
+                    count(*) AS n_b
+             FROM b GROUP BY 1)
+      SELECT coalesce(ba.bucket, bb.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             CASE WHEN coalesce(n_a, 0) > 0 AND coalesce(n_b, 0) > 0 THEN
+               round((n_a / CAST((SELECT n FROM na) AS DOUBLE)
+                      - n_b / CAST((SELECT n FROM nb) AS DOUBLE))
+                     * ln((n_a / CAST((SELECT n FROM na) AS DOUBLE))
+                          / (n_b / CAST((SELECT n FROM nb) AS DOUBLE))), 6)
+             END AS psi_term
+      FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket
+      ORDER BY bucket""",
+
+    // exact KS: all-integer CDF gaps |cumA·n_b − cumB·n_a| maximized over
+    // pooled distinct amounts; the one float is the final normalization
+    "spend_ks" -> """
+      WITH p AS (
+        SELECT o_totalprice AS amount,
+               CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS ia,
+               CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END AS ib
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+      g AS (SELECT amount, CAST(sum(ia) AS BIGINT) AS ca,
+                   CAST(sum(ib) AS BIGINT) AS cb FROM p GROUP BY 1),
+      c AS (SELECT amount,
+                   CAST(sum(ca) OVER (ORDER BY amount) AS BIGINT) AS cum_a,
+                   CAST(sum(cb) OVER (ORDER BY amount) AS BIGINT) AS cum_b
+            FROM g),
+      nn AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                    CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      gaps AS (SELECT amount,
+                      abs(cum_a * (SELECT nb FROM nn)
+                          - cum_b * (SELECT na FROM nn)) AS gap
+               FROM c)
+      SELECT round(gap / ((SELECT na FROM nn) * CAST((SELECT nb FROM nn) AS DOUBLE)), 6) AS ks_stat,
+             round(amount, 2) AS at_amount,
+             (SELECT na FROM nn) AS n_a, (SELECT nb FROM nn) AS n_b
+      FROM gaps ORDER BY gap DESC, amount LIMIT 1""",
 
     "ca_monthly_incremental" -> s"""
       SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca

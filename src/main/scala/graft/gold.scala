@@ -1074,4 +1074,337 @@ object Gold {
       .orderBy(desc("n_triangles"), col("p_partkey"))
       .limit(k)
   }
+
+  /** Order-priority check (TPC-H Q4 shape): orders placed in a quarter
+    * counted per priority class, keeping only orders where EXISTS a line
+    * shipped after the order date (the test schema carries no
+    * l_commitdate/l_receiptdate, so "late line" restates Q4's
+    * commit<receipt correlate as shipdate>orderdate). The correlated
+    * EXISTS is a LEFT SEMI join whose condition mixes the equi-key with
+    * the per-order inequality — Spark keys the shuffle on l_orderkey and
+    * evaluates the inequality as a residual, so the semi stays a hash
+    * join, never a nested loop. Only (key, date) columns travel. */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    ord.join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Nation trade volume (TPC-H Q7 shape): line revenue shipped between
+    * two named nations, one leg the supplier's nation, the other the
+    * ordering customer's, by ship year. The IN-filter on BOTH dim chains
+    * lands before the big joins — each side of the fact join carries only
+    * the two nations' keys — and the disjunctive pair predicate
+    * ((n1→n2) OR (n2→n1)) applies at the joined grain where it is a
+    * residual comparison of two small ints, not a join condition. nation
+    * broadcasts; supplier/customer shuffle on their keys (SF-proportional
+    * dims — the [[caSupplierNation]] no-hint discipline). */
+  def nationTradeVolume(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_9", nationB: String = "NATION_10",
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val picked = nation.filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val supp = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(picked.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(picked.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum("rev4") / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share (TPC-H Q8 shape): inside one region's market,
+    * the share of line revenue supplied by a target nation, per order
+    * year. The share is a conditional-sum ratio over the SAME aggregated
+    * frame — numerator and denominator come out of one grouped pass as
+    * exact scaled-integer sums, divided once per year row (never a
+    * self-join of two aggregates). Region filter prunes the customer dim
+    * chain before the fact joins; the target-nation test is a residual
+    * on the already-joined supplier nation. Rounded to 6dp — the one
+    * float op, in the same expression order as the oracle. */
+  def marketShare(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "EUROPE",
+      targetNation: String = "NATION_7",
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val custRegion = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("rev4"))
+          .otherwise(0L)).as("num4"),
+        sum(col("rev4")).as("den4"))
+      .select(col("o_year"),
+        round(col("num4") / col("den4").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Returned-item revenue (TPC-H Q10 shape): the top customers by
+    * revenue on RETURNED lines for orders placed in a quarter. Join
+    * order: quarter-filtered orders ⋈ returnflag-filtered lineitem first
+    * (both selective filters reach their scans), THEN the customer dim
+    * attach — the dim join runs at the already-reduced (customer×quarter)
+    * grain. Global top-k folds to TakeOrderedAndProject; c_custkey
+    * tie-breaks equal revenues so the cut is deterministic. */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01",
+      k: Int = 20): DataFrame = {
+    val rev = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long").as("rev4")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg((sum("rev4") / 10000.0).as("revenue"))
+    rev
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        coalesce(col("n_name"), lit("Inconnu")).as("pays"), col("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Discounted revenue under a disjunction of brand/size/quantity
+    * bands (TPC-H Q19 shape): the OR-of-ANDs predicate mixes part
+    * attributes with line attributes, so no single branch can prune the
+    * join — the part-side disjunction (brand ∈ {…}, size bounds) is
+    * DISTRIBUTED OUT and pushed to the part scan as a standalone filter
+    * (the classic Q19 rewrite), shrinking the build side to the union of
+    * the three brands before the join; the full three-branch predicate
+    * then applies as a residual at the joined grain. One global sum —
+    * scaled-integer, one output row. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = part.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+      .select("p_partkey", "p_brand", "p_size")
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+      .agg((sum("rev4") / 10000.0).as("revenue"))
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape): customers whose
+    * account balance beats the positive-balance average but who placed
+    * no order since `since` (every test customer has SOME order, so the
+    * recency cutoff is what realizes Q22's "no orders" correlate),
+    * counted per nation. The global average folds to a driver scalar in
+    * exact integer cents (two-phase, the [[scoreThresholds]] discipline
+    * — sum(cents)/100.0/count, same expression order as the oracle so
+    * the float threshold is bit-identical); "no recent order" is a LEFT
+    * ANTI against the date-filtered order keys (keys only travel — the
+    * Spark restatement of NOT EXISTS that the reference would have
+    * written as a collected id set). */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, since: String = "2000-01-01"): DataFrame = {
+    val r = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))), count(lit(1))).first()
+    val avgBal = r.getLong(0) / 100.0 / r.getLong(1)
+    customer.filter(col("c_acctbal") > avgBal)
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+      .join(orders.filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(coalesce(col("n_name"), lit("Inconnu")).as("pays"))
+      .agg(count(lit(1)).as("numcust"),
+        moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("pays")
+  }
+
+  /** Forecast-revenue change (TPC-H Q6 shape): one tight filter-scan-sum
+    * — the query whose whole cost is how much the scan can skip. All
+    * three predicates (date range, discount band, quantity cap) land in
+    * PushedFilters; the aggregate is a single scaled-integer sum of
+    * price×discount, so the output is bit-deterministic. The simplest
+    * query in the family and the purest pushdown probe. */
+  def forecastRevenue(lineitem: DataFrame,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+        .cast("long")) / 10000.0).as("revenue"))
+
+  /** Late-shipment priority split (TPC-H Q12 shape, l_returnflag standing
+    * in for the missing l_shipmode): per flag, the count of lines shipped
+    * more than `lateDays` after their order date in a year, split into
+    * critical (URGENT/HIGH) vs other priorities — the two-bucket
+    * conditional-count aggregation over a fact-fact join. The date
+    * arithmetic stays on the join's residual (it references both sides);
+    * the year filter pushes to the lineitem scan. */
+  def latePriorityLines(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 30,
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** Promotion revenue share (TPC-H Q14 shape): the percentage of one
+    * month's line revenue on PROMO-type parts — a conditional-sum ratio
+    * out of ONE grouped pass (the [[marketShare]] discipline), part dim
+    * broadcast, scaled-integer sums, one 6dp float divide at the end. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+      from: String = "1996-03-01", until: String = "1996-04-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev4")).otherwise(0L)).as("num4"),
+        sum(col("rev4")).as("den4"))
+      .select(round(lit(100.0) * col("num4") / col("den4").cast("double"), 6)
+        .as("promo_share"))
+
+  /** Top supplier(s) by quarter revenue (TPC-H Q15 shape): per-supplier
+    * revenue aggregated in exact 10⁻⁴-dollar integers, the maximum folded
+    * to a DRIVER SCALAR (two-phase, the [[scoreThresholds]] discipline),
+    * and the equality filter applied to the same integer — exact long
+    * equality, so the "all suppliers achieving the max" semantics can't
+    * be broken by float drift. Supplier dim attaches after the
+    * reduction, at winner grain. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val bySupp = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev4").as("rev4"))
+    val maxRev = bySupp.agg(max("rev4")).first().getLong(0)
+    bySupp.filter(col("rev4") === maxRev)
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    * revenue lost to sub-threshold orders of one brand's parts, where
+    * the threshold is 20% of EACH PART'S average order quantity — the
+    * correlated-average subquery, decorrelated the way Catalyst would:
+    * the per-part average is its own aggregation of the SAME
+    * brand-pruned line frame (exact cents/count, matched expression
+    * order), joined back at part grain. The brand filter semi-prunes
+    * lineitem through the broadcast part dim BEFORE either pass, so
+    * both the average and the probe run over the brand's lines only. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#23"): DataFrame = {
+    val brandParts = broadcast(part.filter(col("p_brand") === brand)
+      .select("p_partkey"))
+    val lines = lineitem
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("price2"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQty = lines.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(cents(col("l_quantity"))) / 100.0 / count(lit(1))))
+        .as("qty_threshold"))
+    lines.join(avgQty, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(round(sum(col("price2")) / 100.0 / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity clears a threshold, with their customers — the
+    * HAVING-subquery membership restated as aggregate-then-join: the
+    * line-grain aggregation reduces FIRST (exact cents), the threshold
+    * is a post-aggregation filter, and orders/customer attach at the
+    * surviving-order grain. Top-k by order value with key tie-breaks. */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Double = 180.0, k: Int = 50): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(k)
+  }
 }

@@ -73,9 +73,19 @@ object Graph {
     * with its component's minimum node id. Output: (node, component),
     * one row per distinct node appearing in the edge list — callers
     * left-join and coalesce to cover isolated vertices. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsBy(edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")), maxIter)
+
+  /** [[connectedComponents]] over nodes of ANY ordered type (the
+    * alternating-star algorithm only ever compares and min-folds node
+    * labels, so string nodes — entity-resolution vocabularies, URL
+    * hosts — work unchanged; Spark's UTF8 binary string order matches
+    * DuckDB's default binary collation, which is what lets a string-keyed
+    * component map hash-match a recursive-CTE oracle). */
+  def connectedComponentsBy(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     var e = edges
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .select(col("a"), col("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()

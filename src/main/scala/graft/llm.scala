@@ -903,6 +903,28 @@ object Llm {
       .orderBy("w1", "w2")
   }
 
+  /** Entity-resolution clusters over the [[typoPairs]] candidate graph:
+    * words within edit distance 1 of each other collapse into one
+    * cluster, labeled by the cluster's alphabetically-smallest member —
+    * the blocking→verify→transitive-closure pipeline of record linkage,
+    * run here at vocabulary grain. Components come from the same
+    * alternating-star machinery as [[dedupClusters]], operating DIRECTLY
+    * on string nodes (no id-assignment pass — see
+    * [[Graph.connectedComponentsBy]]); the size window keys on the
+    * cluster label, never a global order. Only edge-participating words
+    * appear: a word with no ≤1-distance neighbor is its own trivial
+    * cluster and is left implicit. */
+  def typoClusters(df: DataFrame, textCol: String, minLen: Int = 3): DataFrame = {
+    val edges = typoPairs(df, textCol, minLen)
+      .select(col("w1").as("a"), col("w2").as("b"))
+    Graph.connectedComponentsBy(edges)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .select(col("node").as("word"), col("component").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("cluster_rep", "word")
+  }
+
   /** Misra-Gries frequent-items summary over one partition: at most `m`
     * counters; on overflow every counter is decremented and zeros are
     * evicted. Any item with partition frequency > n_p/(m+1) is guaranteed

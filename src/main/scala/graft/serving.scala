@@ -958,4 +958,95 @@ object Serving {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
       .orderBy("event_id")
   }
+
+  /** Population Stability Index between two order-amount cohorts (the
+    * drift check a training pipeline runs before trusting a refreshed
+    * feature snapshot): decile edges come from the BASELINE year's exact
+    * `percentile` (one agg pass, driver-folded to literals — the
+    * [[distributionQuantile]] discipline, so the DuckDB `quantile_cont`
+    * oracle lands on bit-identical edges), both cohorts bucket against
+    * those same edges map-side, and the PSI term (p_a−p_b)·ln(p_a/p_b)
+    * is emitted PER BUCKET from exact counts. Buckets the comparison
+    * year never hits keep a NULL term (the honest answer — the
+    * ±0.5-smoothing conventions are a modeling choice, not engine
+    * semantics) and the row still shows both counts. Scale shape: two
+    * grouped passes over the fact column, no sort, no join wider than
+    * the 10-row bucket frame. */
+  def spendPsi(orders: DataFrame, yearA: Int = 1996, yearB: Int = 1997,
+      buckets: Int = 10): DataFrame = {
+    val a = orders.filter(year(col("o_orderdate")) === yearA)
+      .select(col("o_totalprice").as("amount"))
+    val b = orders.filter(year(col("o_orderdate")) === yearB)
+      .select(col("o_totalprice").as("amount"))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val interior = a.select(expr(
+      s"percentile(amount, array(${probs.mkString(", ")}))").as("e"))
+      .first().getSeq[Double](0)
+    val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col("amount") >= lit(e), 1L).otherwise(0L)
+    }
+    def counts(df: DataFrame, name: String) =
+      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as(name))
+    val (na, nb) = (a.count(), b.count())
+    // bucket frame is ≤ `buckets` rows — the outer join is trivial; a
+    // baseline decile can't be empty, a comparison decile can
+    counts(a, "n_a").join(counts(b, "n_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("psi_term",
+        when(col("n_a") > 0 && col("n_b") > 0, round(
+          (col("n_a") / lit(na.toDouble) - col("n_b") / lit(nb.toDouble)) *
+            log(col("n_a") / lit(na.toDouble) / (col("n_b") / lit(nb.toDouble))),
+          6)))
+      .orderBy("bucket")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the same two
+    * cohorts, computed ENTIRELY in integer arithmetic: at every pooled
+    * distinct amount v, D(v) = |cntA(≤v)·n_b − cntB(≤v)·n_a| — the CDF
+    * gap scaled by n_a·n_b, so the running comparison never touches a
+    * float and the argmax is exact. The cumulative counts use the
+    * [[clientDeciles]] distributed-rank machinery (range-repartition on
+    * amount, one per-partition subtotal pair collected — bounded by the
+    * partition count — then partition-offset running sums), NOT the
+    * single-partition window the SQL form compiles to. The argmax is a
+    * TakeOrderedAndProject over the per-value gap frame. Output: the KS
+    * statistic (the single float, rounded 6dp), the smallest amount
+    * achieving it (deterministic argmax), and both cohort sizes. */
+  def spendKs(orders: DataFrame, yearA: Int = 1996, yearB: Int = 1997): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val pooled = orders
+      .filter(year(col("o_orderdate")).isin(yearA, yearB))
+      .select(col("o_totalprice").as("amount"),
+        when(year(col("o_orderdate")) === yearA, 1L).otherwise(0L).as("ia"),
+        when(year(col("o_orderdate")) === yearB, 1L).otherwise(0L).as("ib"))
+      .groupBy("amount")
+      .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val sorted = CacheOnce(pooled
+      .repartitionByRange(col("amount"))
+      .sortWithinPartitions(col("amount"))
+      .select(col("amount"), col("ca"), col("cb"))).as[(Double, Long, Long)]
+    val parts = sorted.mapPartitions { it =>
+      var (a, b) = (0L, 0L)
+      it.foreach { case (_, ca, cb) => a += ca; b += cb }
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), a, b))
+    }.collect().sortBy(_._1)
+    val offA = parts.map(_._2).scanLeft(0L)(_ + _)
+    val offB = parts.map(_._3).scanLeft(0L)(_ + _)
+    val (na, nb) = (offA.last, offB.last)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (a, b) = (offA(pid), offB(pid))
+      it.map { case (v, ca, cb) => a += ca; b += cb; (v, a, b) }
+    }.toDF("amount", "cum_a", "cum_b")
+      .withColumn("gap", abs(col("cum_a") * nb - col("cum_b") * na))
+      .orderBy(desc("gap"), col("amount"))
+      .limit(1)
+      .select(
+        round(col("gap") / lit(na.toDouble * nb), 6).as("ks_stat"),
+        round(col("amount"), 2).as("at_amount"),
+        lit(na).as("n_a"), lit(nb).as("n_b"))
+  }
 }
