@@ -693,6 +693,9 @@ object SparkEntry {
     // entity-resolution transitive closure over the typo candidate graph:
     // string-keyed connected components, cluster = min member
     "typo_clusters" -> ((s, d) => Llm.typoClusters(Tables.part(s, d), "p_name")),
+    // C4-style duplicated-span removal: keep-first across the corpus,
+    // documents re-assembled from surviving blocks
+    "span_dedup" -> ((s, d) => Llm.spanDedup(Tables.documents(s, d))),
     // co-purchase PageRank — oracle-checked: 5 fixed power-iteration
     // rounds restated as unrolled DuckDB CTEs, compared on 9dp ranks
     // (see the prRounds float-parity note); GraphSpec pins values too
@@ -2438,6 +2441,34 @@ object SparkEntry {
       SELECT probe_id, neighbor_id, rank, sim FROM r
       WHERE rank <= 5 ORDER BY probe_id, rank""",
 
+    // int8 scalar quantization restated: same affine codebook (per-dim
+    // min/span), same quantize/dequantize expression order, then the
+    // knn_bruteforce scoring contract over the reconstructed vectors —
+    // promoted from rows-only because every step is deterministic float
+    // arithmetic both engines execute identically
+    "knn_quantized" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      x AS (SELECT unnest(emb) AS x, unnest(range(len(emb))) AS pos FROM e),
+      d AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),
+      cb AS (SELECT list(lo ORDER BY pos) AS clo,
+                    list(CASE WHEN hi - lo > 0 THEN hi - lo ELSE 1.0 END ORDER BY pos) AS cspan
+             FROM d),
+      deq AS (SELECT vec_id,
+                list_transform(range(len(emb)), i ->
+                  clo[i+1]
+                  + (least(floor((emb[i+1] - clo[i+1]) / cspan[i+1] * 256), CAST(255 AS DOUBLE)) + 0.5)
+                    * cspan[i+1] / 256.0) AS emb
+              FROM e CROSS JOIN cb),
+      p AS (SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 10),
+      s AS (SELECT probe_id, deq.vec_id AS neighbor_id,
+              round(list_cosine_similarity(pemb, deq.emb), 6) AS sim
+            FROM p CROSS JOIN deq WHERE deq.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT probe_id, neighbor_id, rank, sim FROM r
+      WHERE rank <= 5 ORDER BY probe_id, rank""",
+
     // same selection contract as knn_bruteforce — shared oracle shape
     "knn_topk_agg" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2998,6 +3029,23 @@ object SparkEntry {
       SELECT node AS word, cluster_rep,
              count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
       FROM lab ORDER BY cluster_rep, word""",
+
+    // keep-first span dedup: same block split as doc_chunks' slices,
+    // winner by (doc_id, blk) row_number, re-assembly ordered by blk
+    "span_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                 FROM documents),
+      k AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nb FROM w),
+      b AS (SELECT doc_id, i AS blk,
+              array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS block_text
+            FROM k, unnest(range(0, nb)) AS t(i)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY block_text
+                                         ORDER BY doc_id, blk) AS rk FROM b)
+      SELECT doc_id, count(*) AS n_blocks,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN block_text END,
+                                 ' ' ORDER BY blk), '') AS clean_text
+      FROM r GROUP BY 1 ORDER BY doc_id""",
 
     // PSI against 1996's exact decile edges (quantile_cont ==
     // Spark `percentile`, the gold_distribution_quantile precedent);

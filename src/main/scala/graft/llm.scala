@@ -925,6 +925,51 @@ object Llm {
       .orderBy("cluster_rep", "word")
   }
 
+  /** C4-style duplicated-span removal producing a CLEANED corpus: each
+    * document splits into consecutive `span`-word blocks (the stand-in
+    * for C4's three-sentence spans — this corpus has no sentence
+    * boundaries), a block occurring anywhere else in the corpus keeps
+    * ONLY its first occurrence in (doc_id, block) order, and every
+    * document is re-assembled from its surviving blocks. This is the
+    * transforming sibling of the scoring-only dedup tiers: the output
+    * IS the cleaned text, plus the per-doc block accounting.
+    *
+    * Scale shape: block assembly is in-array (slice/concat per doc, no
+    * explode-shuffle until block grain); the keep-first winner is a
+    * row_number window PARTITIONED BY the block text — each partition
+    * is one block's occurrence list, bounded by its duplication count,
+    * never the corpus; re-assembly is one doc-grain aggregation whose
+    * order key is the in-doc block index (array_sort on the collected
+    * (blk, text) structs — collect_list order is partition-
+    * nondeterministic, the sort restores it). At 100 TB the window key
+    * would be a 128-bit block hash so only winners carry text; the
+    * exact-text key here is what lets the DuckDB oracle replay the
+    * query verbatim. */
+  def spanDedup(documents: DataFrame, span: Int = 8): DataFrame = {
+    val ws = split(lower(col("text")), "\\s+")
+    val base = spread(documents).select(col("doc_id"), ws.as("ws"),
+      size(ws).cast("long").as("n"))
+    val blocks = base
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L),
+          ceil(col("n") / lit(span.toDouble)).cast("long") - 1)).as("blk"))
+      .select(col("doc_id"), col("blk"),
+        concat_ws(" ", slice(col("ws"),
+          (col("blk") * span + 1).cast("int"), lit(span))).as("block_text"))
+    val firstWins = Window.partitionBy("block_text").orderBy("doc_id", "blk")
+    blocks
+      .withColumn("rk", row_number().over(firstWins))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("blk"), col("block_text"))))),
+          s => s.getField("block_text")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Misra-Gries frequent-items summary over one partition: at most `m`
     * counters; on overflow every counter is decremented and zeros are
     * evicted. Any item with partition frequency > n_p/(m+1) is guaranteed

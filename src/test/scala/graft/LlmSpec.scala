@@ -575,4 +575,33 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
     assert(three.toSeq == Seq("aaab" -> 3L, "ab" -> 2L))
   }
+
+  test("spanDedup: keeps exactly one occurrence per distinct block, untouched docs round-trip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"), // blocks: [a..h], [i..p]
+      (2L, "a b c d e f g h x y z w q r s t"), // first block duplicates doc 1's
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))      // all unique, 9 words -> 2 blocks
+      .toDF("doc_id", "text")
+    val out = Llm.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f g h i j k l m n o p")))
+    // doc 2 loses its first block (doc 1 won it), keeps the second
+    assert(out(2L) == ((2L, 1L, "x y z w q r s t")))
+    // partial trailing block survives re-assembly verbatim
+    assert(out(3L) == ((2L, 2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    // corpus-level invariant at sf: kept blocks == distinct block texts
+    val real = Llm.spanDedup(Tables.documents(spark, sf))
+    val kept = real.agg(sum("n_kept")).collect()(0).getLong(0)
+    val ws = split(lower(col("text")), "\\s+")
+    val distinctBlocks = Llm.spread(Tables.documents(spark, sf))
+      .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("n"))
+      .select(explode(sequence(lit(0L),
+        ceil(col("n") / lit(8.0)).cast("long") - 1)).as("blk"),
+        col("ws"))
+      .select(concat_ws(" ", slice(col("ws"),
+        (col("blk") * 8 + 1).cast("int"), lit(8))).as("t"))
+      .distinct().count()
+    assert(kept == distinctBlocks)
+  }
 }
