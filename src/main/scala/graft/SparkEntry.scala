@@ -863,6 +863,29 @@ object SparkEntry {
     // time-range join (interval predicate family): per-purchase trailing-
     // hour click count via window-sized time bins as the equi-join key
     "events_range_join" -> ((s, d) => Serving.clicksBeforePurchase(Tables.events(s, d))),
+    // multi-touch attribution: linear + integer-weight time-decay credit
+    // per (purchase, click) over the same bin-quantized range join
+    "attribution_credit" -> ((s, d) =>
+      Serving.attributionCredit(Tables.events(s, d))),
+    // raw-log text source: write events as log lines (memoized), parse
+    // them back via regexp_extract, prove the roundtrip against the
+    // parquet truth
+    "textlog_roundtrip" -> ((s, d) => {
+      val dir = textlogMemo.getOrElseUpdate((s.hashCode, d), {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_textlog")
+        sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
+        Tables.eventLogLines(Tables.events(s, d))
+          .write.mode("overwrite").text(tmp.toString)
+        tmp.toString
+      })
+      Tables.parseEventLog(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          (sum("value_cents") / 100.0).as("total_value"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .orderBy("event_type")
+    }),
     "events_asof_price" -> ((s, d) =>
       Serving.eventsAsofOrderPrice(Tables.events(s, d), Tables.orders(s, d))),
     // same as-of semantics through the custom whole-operator plan
@@ -980,6 +1003,10 @@ object SparkEntry {
   // fragmented 48-file copy of orders for the compaction job
   private val compactMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  // text-format log copy of events for the raw-log parse roundtrip
+  private val textlogMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   // external-path location for the bucketed orders/lineitem twins; the
   // write is the one-time amortized cost, the per-run query is the
@@ -3361,6 +3388,36 @@ object SparkEntry {
             GROUP BY 1)
       SELECT p.event_id, p.user_id, p.p_ts, coalesce(m.n_clicks, 0) AS n_clicks
       FROM p LEFT JOIN m USING (event_id) ORDER BY p.event_id""",
+
+    // exact-integer triangular decay weights (window − age + 1 µs): the
+    // per-purchase weight sum is a long, shares are one division per row
+    "attribution_credit" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                        event_type, value FROM events),
+      p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us, value
+            FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS c_us FROM e WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, p.user_id, p.p_us, p.value, c.c_us,
+                   3600000000 - (p.p_us - c.c_us) + 1 AS wi
+            FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us),
+      t AS (SELECT *, count(*) OVER (PARTITION BY event_id) AS n_clicks,
+                   CAST(sum(wi) OVER (PARTITION BY event_id) AS BIGINT) AS wsum
+            FROM m)
+      SELECT event_id, user_id, c_us, CAST(n_clicks AS BIGINT) AS n_clicks,
+             round(value / CAST(n_clicks AS DOUBLE), 6) AS credit_linear,
+             round(value * wi / CAST(wsum AS DOUBLE), 6) AS credit_decay
+      FROM t ORDER BY event_id, c_us""",
+
+    // the parsed log must reproduce the parquet truth — the roundtrip is
+    // the proof that the text render + regex extraction are lossless
+    "textlog_roundtrip" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+             min(CAST(ts AS TIMESTAMP)) AS first_ts,
+             max(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY 1 ORDER BY 1""",
 
     "events_asof_price" -> """
       WITH u AS (

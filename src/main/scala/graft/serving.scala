@@ -959,6 +959,41 @@ object Serving {
       .orderBy("event_id")
   }
 
+  /** Multi-touch attribution credit: every click in the hour before a
+    * purchase receives a share of the purchase value under TWO models —
+    * linear (value/n) and time-decay (triangular weight, fresher clicks
+    * earn more). The candidate join is [[clicksBeforePurchase]]'s
+    * bin-quantized range join unchanged (any one task holds at most two
+    * bins of one user's clicks). Decay weights are EXACT INTEGER
+    * microseconds-to-purchase (window − age + 1), so per-purchase weight
+    * sums are longs and the float shares are single divisions per row —
+    * no partition-order float accumulation anywhere. The share windows
+    * key on the purchase id: bounded by one user's clicks-per-hour,
+    * never a global partition. */
+  def attributionCredit(events: DataFrame, windowMin: Int = 60): DataFrame = {
+    val winMicros = windowMin * 60L * 1000000L
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("p_us"), col("value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      .withColumn("bin", floor(col("c_us") / winMicros))
+    val probes = purchases.withColumn("bin", explode(array(
+      floor(col("p_us") / winMicros) - 1, floor(col("p_us") / winMicros))))
+    val matched = probes.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") >= col("p_us") - winMicros && col("c_us") < col("p_us"))
+      .withColumn("wi", lit(winMicros) - (col("p_us") - col("c_us")) + 1)
+    val perPurchase = Window.partitionBy("event_id")
+    matched
+      .withColumn("n_clicks", count(lit(1)).over(perPurchase))
+      .withColumn("wsum", sum("wi").over(perPurchase))
+      .select(col("event_id"), col("user_id"), col("c_us"), col("n_clicks"),
+        round(col("value") / col("n_clicks").cast("double"), 6).as("credit_linear"),
+        round(col("value") * col("wi") / col("wsum").cast("double"), 6).as("credit_decay"))
+      .orderBy("event_id", "c_us")
+  }
+
   /** Population Stability Index between two order-amount cohorts (the
     * drift check a training pipeline runs before trusting a refreshed
     * feature snapshot): decile edges come from the BASELINE year's exact

@@ -83,6 +83,37 @@ object Tables {
     required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
   }
 
+  /** Raw-log text lines for the events stream — the unstructured-source
+    * entry an ELT pipeline parses FIRST (S-family sibling of the CSV
+    * roundtrip). Numeric fields render loss-free: value in integer
+    * cents (a double's shortest-repr string would not round-trip),
+    * timestamps at full microsecond ISO precision. */
+  def eventLogLines(events: DataFrame): DataFrame =
+    events.select(concat(
+      lit("uid="), col("user_id"),
+      lit(" ts="), date_format(col("ts").cast("timestamp"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      lit(" ev="), col("event_type"),
+      lit(" vc="), round(col("value") * 100).cast("long")).as("value"))
+
+  /** Parse [[eventLogLines]] text back to typed columns — spark.read.text
+    * + regexp_extract, the grep-shaped scan that starts every log
+    * pipeline. Extraction failures surface as nulls (PERMISSIVE
+    * discipline, same as [[readCsv]]), never as dropped lines. */
+  def parseEventLog(spark: SparkSession, path: String): DataFrame = {
+    val line = col("value")
+    // regexp_extract yields "" on a miss; under ANSI mode a direct cast
+    // would throw, so misses are first normalized to NULL (the same
+    // null-on-error coercion contract as readCsv's PERMISSIVE mode)
+    def miss(c: Column) = when(c === "", lit(null)).otherwise(c)
+    spark.read.text(path).select(
+      miss(regexp_extract(line, "uid=(\\S+)", 1)).cast("long").as("user_id"),
+      to_timestamp(miss(regexp_extract(line, "ts=(\\S+)", 1)),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"),
+      miss(regexp_extract(line, "ev=(\\S+)", 1)).as("event_type"),
+      miss(regexp_extract(line, "vc=(-?\\d+)", 1)).cast("long").as("value_cents"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

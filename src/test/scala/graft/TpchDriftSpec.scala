@@ -192,6 +192,44 @@ class TpchDriftSpec extends SparkSpec {
     assert(key == key.sorted)
   }
 
+  test("attribution_credit: shares conserve the purchase value, fresher clicks earn more") {
+    val out = Serving.attributionCredit(Tables.events(spark, sf)).collect()
+    assert(out.nonEmpty)
+    val byPurchase = out.groupBy(_.getLong(0))
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byPurchase.foreach { case (pid, clicks) =>
+      val v = purchases(pid)
+      // each model's credits sum back to the purchase value (6dp rounding
+      // slack per click)
+      val lin = clicks.map(_.getDouble(4)).sum
+      val dec = clicks.map(_.getDouble(5)).sum
+      assert(math.abs(lin - v) <= 1e-6 * clicks.length + 1e-9, s"$pid lin")
+      assert(math.abs(dec - v) <= 1e-6 * clicks.length + 1e-9, s"$pid dec")
+      // decay credit is non-increasing as the click gets older
+      val byAge = clicks.sortBy(-_.getLong(2)) // newest (largest c_us) first
+      val creds = byAge.map(_.getDouble(5)).toSeq
+      assert(creds == creds.sorted.reverse, s"$pid decay not monotone")
+    }
+  }
+
+  test("textlog parse: well-formed lines are null-free, malformed lines surface as nulls") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textlog_spec")
+    try {
+      Tables.eventLogLines(Tables.events(spark, sf)).limit(50)
+        .union(Seq("not a log line").toDF("value"))
+        .write.mode("overwrite").text(tmp.toString)
+      val parsed = Tables.parseEventLog(spark, tmp.toString)
+      assert(parsed.count() == 51) // PERMISSIVE: nothing dropped
+      assert(parsed.filter(col("user_id").isNull).count() == 1)
+      assert(parsed.filter(col("user_id").isNotNull &&
+        (col("ts").isNull || col("value_cents").isNull)).count() == 0)
+    } finally Streams.deleteRec(tmp.toFile)
+  }
+
   test("returned_item_revenue: dims attach after the reduction — one row per customer, k-bounded") {
     val out = SparkEntry.queries("returned_item_revenue")(spark, sf).collect()
     assert(out.length <= 20)
