@@ -733,6 +733,10 @@ object SparkEntry {
     // LPA rounds restated as DuckDB CTEs
     "product_communities" -> ((s, d) => memoFrame("lpaCommunities", s, d)(
       Gold.productCommunities(communityEdges(s, d)))),
+    // cohesive-subgraph extraction: 3-core of the same pruned graph via
+    // iterative peel (16-round contract, early stop at the fixpoint)
+    "product_kcore" -> ((s, d) =>
+      Graph.kCore(communityEdges(s, d)).withColumnRenamed("v", "p_partkey")),
     // partition quality: Newman modularity of the LPA communities over
     // the SAME support-pruned edge frame (one builder feeds both calls,
     // so the two can never drift onto different graphs); Q folds to
@@ -1227,6 +1231,23 @@ object SparkEntry {
     * a different double); contribution sums are double in both engines
     * and the 9dp output rounding absorbs their order-of-addition noise
     * (~1e-15 relative vs a 1e-9 grid). */
+  /** graft.Graph.kCore's peel unrolled to the 16-round contract for the
+    * product_kcore oracle: each round recomputes degrees over the
+    * surviving edges and keeps both endpoints only if they clear k=3.
+    * The Spark side's early stop fires only at a true fixpoint, where
+    * the remaining unrolled rounds are no-ops — identical frames either
+    * way. */
+  // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+  // round references its predecessor three times — 3^16 scan blowup
+  private val kcoreRounds = (1 to 16).map { i =>
+    s"""k$i AS MATERIALIZED (SELECT v FROM (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+          GROUP BY 1) WHERE deg >= 3),
+      e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+              WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
+  }.mkString(",\n      ")
+
   private val prRounds = (1 to 5).map { i =>
     s"""r$i AS (SELECT d.src AS id,
           (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
@@ -1375,6 +1396,19 @@ object SparkEntry {
       SELECT (id - 1) // 2 AS p_partkey, round(rank, 9) AS rank
       FROM r5 WHERE id % 2 = 1
       ORDER BY rank DESC, p_partkey LIMIT 50""",
+
+    // 16 unrolled peel rounds over the same support-pruned graph; the
+    // final degrees are the in-core degrees
+    "product_kcore" -> s"""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      cooc AS (SELECT a.p AS p1, b.p AS p2
+               FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= ${Gold.CommunityMinSupport}),
+      e0 AS (SELECT p1 AS a, p2 AS b FROM cooc),
+      $kcoreRounds
+      SELECT v AS p_partkey, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS v FROM e16 UNION ALL SELECT b FROM e16)
+      GROUP BY 1 ORDER BY 1""",
 
     // 5 unrolled deterministic LPA rounds over the support-pruned
     // co-purchase graph — integer weights, total-order tie-break

@@ -276,4 +276,46 @@ object Graph {
     }
     labels
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes of
+    * degree < k (and their incident edges) until the fixpoint — the
+    * standard cohesive-subgraph extractor (Seidman 1983; the distributed
+    * peel is one degree aggregation + two semi joins per round, all
+    * keyed on node ids, no driver-side graph). The ROUND CONTRACT is
+    * `maxRounds` peels: the oracle unrolls exactly that many, and the
+    * early stop below only fires at a true fixpoint, where further
+    * rounds are no-ops — so both engines compute the identical frame
+    * whether or not the graph converged inside the budget. Per-round
+    * `localCheckpoint` truncates the accreting lineage exactly as in
+    * [[connectedComponents]]. Output: surviving nodes with their degree
+    * inside the core. */
+  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 16): DataFrame = {
+    var e = edges
+      .select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    // one count per round: the previous round's count doubles as this
+    // round's "before" size, so convergence costs no extra job
+    var before = e.count()
+    var i = 0
+    var converged = false
+    while (i < maxRounds && !converged) {
+      val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("v")
+      e = e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val after = e.count()
+      converged = after == before
+      before = after
+      i += 1
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+      .orderBy("v")
+  }
 }

@@ -189,4 +189,21 @@ class GraphSpec extends SparkSpec {
     assert(bySize.forall { case (actual, claimed) => actual == claimed },
       "community_size column disagrees with actual member counts")
   }
+
+  test("kCore: peels a pendant chain off a clique, keeps the core's internal degrees") {
+    import spark.implicits._
+    // K4 on 1-4 plus a chain 4-5-6: the chain peels in two rounds
+    // (deg(6)=1, then deg(5)=1), the clique survives with degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 5).count() == 0)
+    // a graph already at its fixpoint passes through unchanged
+    val k2 = Graph.kCore(edges.filter(col("a") <= 3 && col("b") <= 4), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
