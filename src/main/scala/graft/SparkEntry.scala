@@ -257,6 +257,22 @@ object SparkEntry {
       s.read.parquet(caPartialDir(s, d)).unionByName(
         Gold.caMonthlyPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
+    // join-VIEW incremental maintenance (delta algebra): the persisted
+    // base join never recomputes; the refresh is three delta-sided
+    // joins key-merged with it — proved against the full-recompute
+    // join oracle
+    "join_view_maintained" -> ((s, d) => {
+      val cut = lit(IncrementalCutoff).cast("timestamp")
+      val newO = Tables.orders(s, d).filter(col("o_orderdate") >= cut)
+      val oldO = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val newL = Tables.lineitem(s, d).filter(col("l_shipdate") >= cut)
+      val oldL = Tables.lineitem(s, d).filter(col("l_shipdate") < cut)
+      Gold.orderRevenueFromPartials(
+        s.read.parquet(joinPartialDir(s, d))
+          .unionByName(Gold.orderRevenuePartial(oldO, newL))
+          .unionByName(Gold.orderRevenuePartial(newO, oldL))
+          .unionByName(Gold.orderRevenuePartial(newO, newL)))
+    }),
     // sketch-merge incremental KPIs: distinct clients refresh by HLL
     // union of a persisted sketch with the delta's — never an exact
     // recount over history (rows-only: the estimate is approximate)
@@ -1109,6 +1125,24 @@ object SparkEntry {
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Gold.caMonthlyPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+
+  /** Persisted base of the order-revenue JOIN view: the pre-cutoff
+    * orders ⋈ pre-cutoff lines partial, written once — refreshes merge
+    * against it by key, never re-join it. Same lifecycle as
+    * [[caPartialDir]]. */
+  private val joinPartialMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def joinPartialDir(s: SparkSession, d: String): String =
+    joinPartialMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_join_partial")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      val cut = lit(IncrementalCutoff).cast("timestamp")
+      Gold.orderRevenuePartial(
+          Tables.orders(s, d).filter(col("o_orderdate") < cut),
+          Tables.lineitem(s, d).filter(col("l_shipdate") < cut))
         .write.mode("overwrite").parquet(p.toString)
       p.toString
     })
@@ -3166,6 +3200,15 @@ object SparkEntry {
     "ca_monthly_incremental" -> s"""
       SELECT strftime(o_orderdate, '%Y-%m') AS mois, ${ms("o_totalprice")} AS ca
       FROM orders WHERE $V GROUP BY 1 ORDER BY mois""",
+
+    // the maintained join view must equal the full recompute — the
+    // oracle IS the recompute the delta algebra avoids
+    "join_view_maintained" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS mois,
+             sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue,
+             count(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY o_orderkey""",
 
     // streaming maintenance converges to the same table as the batch agg
     "ca_monthly_maintained" -> s"""

@@ -1275,6 +1275,34 @@ object Gold {
       .orderBy("pays")
   }
 
+  /** Partial frame for the ORDER-REVENUE JOIN VIEW — the join-view
+    * sibling of [[caMonthlyPartial]]'s aggregate maintenance. The view
+    * V = orders ⋈ lineitem reduced to (order, month) grain; because the
+    * join key and the group key coincide, V over O∪ΔO and L∪ΔL is the
+    * key-merge of FOUR partials (delta algebra):
+    * base(O,L) ∪ (O,ΔL) ∪ (ΔO,L) ∪ (ΔO,ΔL) — history never re-joins
+    * history. Each refresh term carries at least one delta side whose
+    * date bound lands in its scan's PushedFilters; at production scale
+    * the old-side probe is a key lookup into the bucketed base
+    * ([[Bucketing]]), not a table scan. Sums stay in scaled integers so
+    * the merge is bit-exact in any union order. */
+  def orderRevenuePartial(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mois"))
+      .join(lineitem.select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "mois")
+      .agg(sum("rev4").as("rev4"), count(lit(1)).as("n_lines"))
+
+  /** Merge [[orderRevenuePartial]] frames into the served join view. */
+  def orderRevenueFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("o_orderkey", "mois")
+      .agg((sum("rev4") / 10000.0).as("revenue"),
+        sum("n_lines").as("n_lines"))
+      .orderBy("o_orderkey")
+
   /** Forecast-revenue change (TPC-H Q6 shape): one tight filter-scan-sum
     * — the query whose whole cost is how much the scan can skip. All
     * three predicates (date range, discount band, quantity cap) land in
