@@ -216,6 +216,21 @@ class TpchDriftSpec extends SparkSpec {
     assert(Gold.orderRevenuePartial(newO, newL).limit(1).count() == 1)
   }
 
+  test("plan gates: top-k folds to TakeOrderedAndProject, no cartesians anywhere new") {
+    // global top-k queries must not global-sort
+    assert(plan("returned_item_revenue").contains("TakeOrderedAndProject"))
+    assert(plan("large_volume_customers").contains("TakeOrderedAndProject"))
+    // the market-share semi-prune and the supplier-max equality join
+    // stay cartesian-free
+    Seq("market_share", "top_supplier", "late_priority_lines",
+      "promo_revenue_share", "span_dedup", "attribution_credit")
+      .foreach { q => assert(!plan(q).contains("CartesianProduct"), q) }
+    // span_dedup's winner window keys on the block text, never a
+    // single-partition global order
+    assert(!plan("span_dedup").contains("Window [") ||
+      !plan("span_dedup").contains("SinglePartition"), plan("span_dedup"))
+  }
+
   test("attribution_credit: shares conserve the purchase value, fresher clicks earn more") {
     val out = Serving.attributionCredit(Tables.events(spark, sf)).collect()
     assert(out.nonEmpty)
