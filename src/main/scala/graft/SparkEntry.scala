@@ -1983,16 +1983,26 @@ object SparkEntry {
             FROM b),
       dense AS (SELECT m.jour, coalesce(d.ca, 0.0) AS ca
                 FROM m LEFT JOIN d ON m.jour = d.jour),
+      dc AS (SELECT jour, ca, CAST(round(ca * 100) AS BIGINT) AS c FROM dense),
       roll AS (
         SELECT jour, ca,
-               round(avg(ca) OVER w, 6) AS ma7,
-               round(stddev_samp(ca) OVER w, 6) AS sd7
-        FROM dense
-        WINDOW w AS (ORDER BY jour ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+               CAST(count(c) OVER w AS BIGINT) AS n7,
+               CAST(sum(c) OVER w AS HUGEINT) AS s7,
+               CAST(sum(CAST(c AS HUGEINT) * c) OVER w AS HUGEINT) AS q7
+        FROM dc
+        WINDOW w AS (ORDER BY jour ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      calc AS (
+        SELECT jour, ca,
+               round(CAST(s7 AS DOUBLE) / n7 / 100.0, 6) AS ma7,
+               CASE WHEN n7 >= 2 THEN
+                 round(sqrt(CAST(n7 * q7 - s7 * s7 AS DOUBLE)
+                            / (n7 * (n7 - 1))) / 100.0, 6)
+               END AS sd7
+        FROM roll)
       SELECT jour, ca, ma7, sd7,
              round((ca - ma7) / nullif(sd7, 0.0), 6) AS z,
              coalesce(abs(round((ca - ma7) / nullif(sd7, 0.0), 6)) > 3.0, false) AS is_anomaly
-      FROM roll ORDER BY jour""",
+      FROM calc ORDER BY jour""",
 
     "gold_weekly" -> s"""
       SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semaine,

@@ -116,9 +116,25 @@ object Serving {
   def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("jour").rowsBetween(-7, -1)
+    // rolling mean/stddev from EXACT integer-cents moments (the
+    // ab_metrics moment discipline): n·ΣQ − S² is exact decimal
+    // arithmetic, so the only float ops are one division, one sqrt and
+    // the 6dp round — identical in both engines. A float stddev_samp
+    // here (Welford recurrences differ between engines by an ulp) was
+    // the suite's ONLY sf0.1 hash miss: one of 2405 rows landed on a
+    // rounding boundary. Bonus: the exact numerator is provably ≥ 0 —
+    // no negative-variance ulp to clamp.
     dailyDense(fact)
-      .withColumn("ma7", round(avg("ca").over(w), 6))
-      .withColumn("sd7", round(stddev_samp(col("ca")).over(w), 6))
+      .withColumn("c", round(col("ca") * 100).cast("long"))
+      .withColumn("n7", count("c").over(w))
+      .withColumn("s7", sum("c").over(w))
+      .withColumn("q7",
+        sum(col("c").cast("decimal(38,0)") * col("c")).over(w))
+      .withColumn("ma7", round(col("s7").cast("double") / col("n7") / 100.0, 6))
+      .withColumn("sd7", when(col("n7") >= 2, round(
+        sqrt((col("n7").cast("decimal(38,0)") * col("q7")
+            - col("s7").cast("decimal(38,0)") * col("s7")).cast("double")
+          / (col("n7") * (col("n7") - 1))) / 100.0, 6)))
       .withColumn("z", round((col("ca") - col("ma7")) /
         nullif(col("sd7"), lit(0.0)), 6))
       .withColumn("is_anomaly",
