@@ -560,6 +560,9 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted priority sample: top-k by u^(1/w),
     // w = n_chars, u deterministic from the Knuth hash
     "sample_priority" -> ((s, d) => Prep.samplePriority(Tables.documents(s, d))),
+    // contrastive negatives: k hash-drawn other-docs per doc, map-side,
+    // with the cross-source curation flag
+    "negative_samples" -> ((s, d) => Prep.negativeSamples(Tables.documents(s, d))),
     "split_assign" -> ((s, d) => Prep.splitAssign(Tables.documents(s, d))),
     "sample_per_source" -> ((s, d) => Prep.samplePerSource(Tables.documents(s, d))),
     "doc_chunks" -> ((s, d) => Prep.docChunks(Tables.documents(s, d))),
@@ -2429,6 +2432,25 @@ object SparkEntry {
     // A-ES priority u^(1/n_chars): u from the ppm-granularity Knuth
     // hash (seed 13 — independent of sample_mix's 7 and split_assign's
     // 11), +0.5 to stay inside (0,1); 9dp-rounded rank, doc_id ties
+    // high-bits reduction + skip-self map, restated verbatim; the join
+    // annotates each negative's source
+    "negative_samples" -> """
+      WITH nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      base AS (SELECT doc_id, source FROM documents),
+      d AS (SELECT doc_id, source AS src_a, j AS neg_rank,
+              ((doc_id * 31 + j + 29) * 2654435761) % 4294967296 AS h
+            FROM base CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+      r AS (SELECT doc_id, src_a, neg_rank,
+              CAST(floor(h * ((SELECT n FROM nn) - 1) / 4294967296) AS BIGINT) AS r
+            FROM d),
+      x AS (SELECT doc_id, neg_rank,
+              CASE WHEN r >= doc_id THEN r + 1 ELSE r END AS neg_id, src_a
+            FROM r)
+      SELECT x.doc_id, CAST(x.neg_rank AS BIGINT) AS neg_rank, x.neg_id,
+             (x.src_a = b.source) AS same_source
+      FROM x JOIN base b ON x.neg_id = b.doc_id
+      ORDER BY x.doc_id, x.neg_rank""",
+
     "sample_priority" -> """
       WITH s AS (SELECT doc_id, source, n_chars,
         (CAST(floor(((doc_id + 13) * 2654435761) % 4294967296 * 1000000

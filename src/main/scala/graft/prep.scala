@@ -99,6 +99,35 @@ object Prep {
       .orderBy("doc_id")
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * every document draws `k` pseudo-random OTHER documents as
+    * negatives. The draw is pure per-row arithmetic — a Knuth hash of
+    * (doc_id·31 + rank + seed) reduced by the HIGH-bits trick to
+    * r ∈ [0, N−2], then the classic skip-self map (r ≥ id → r+1) makes
+    * it uniform over all ids ≠ id with no rejection loop. Map-side
+    * generation; the single shuffle is the join that annotates each
+    * negative with its source (`same_source` — the flag curation uses
+    * to prefer cross-source negatives). Seed 29: independent of every
+    * other sampling decision per the suite's distinct-seed convention. */
+  def negativeSamples(documents: DataFrame, k: Int = 3,
+      seed: Long = 29L): DataFrame = {
+    val n = documents.select("doc_id").distinct().count()
+    require(n >= 2, "need at least two documents to draw negatives")
+    val base = documents.select(col("doc_id"), col("source"))
+    base.select(col("doc_id"), col("source").as("src_a"))
+      .withColumn("neg_rank", explode(sequence(lit(1), lit(k))))
+      .withColumn("r", floor(
+        pmod((col("doc_id") * 31 + col("neg_rank") + lit(seed)) * lit(KnuthC),
+          lit(M32)) * lit(n - 1) / lit(M32)).cast("long"))
+      .withColumn("neg_id",
+        when(col("r") >= col("doc_id"), col("r") + 1).otherwise(col("r")))
+      .join(base.select(col("doc_id").as("neg_id"),
+        col("source").as("src_b")), Seq("neg_id"))
+      .select(col("doc_id"), col("neg_rank").cast("long").as("neg_rank"),
+        col("neg_id"), (col("src_a") === col("src_b")).as("same_source"))
+      .orderBy("doc_id", "neg_rank")
+  }
+
   /** Weighted priority sampling (Efraimidis–Spirakis A-ES): top-k
     * documents by priority u^(1/w) with u a deterministic per-doc
     * uniform from the Knuth hash and w = n_chars — "sample long

@@ -196,4 +196,23 @@ class PrepSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2), r.getAs[Double]("priority")))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("negativeSamples: never self, exactly k per doc, deterministic, well-spread") {
+    val docs = Tables.documents(spark, sf)
+    val out = Prep.negativeSamples(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = docs.count()
+    assert(out.length == n * 3)
+    assert(out.forall { case (d, _, neg, _) => neg != d }) // skip-self holds
+    assert(out.forall { case (_, _, neg, _) => neg >= 0 && neg < n }) // in range
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    // the draw actually spreads: many distinct negatives, not a stripe
+    assert(out.map(_._3).distinct.length > n / 2)
+    // deterministic across invocations
+    val again = Prep.negativeSamples(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }

@@ -231,6 +231,39 @@ class TpchDriftSpec extends SparkSpec {
       !plan("span_dedup").contains("SinglePartition"), plan("span_dedup"))
   }
 
+  test("runtime bloom filter from a selective dim filter reaches the fact side") {
+    // the scale story's third runtime adaptation (after AQE coalesce and
+    // skew split): a selective filter on one join side should inject a
+    // bloom filter that prunes the OTHER side's scan before the shuffle.
+    // Local test tables sit under the size thresholds, so lower them —
+    // the optimizer decision itself is what's under test.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the shuffle join
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = Tables.lineitem(spark, sf)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        p.take(2000))
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("attribution_credit: shares conserve the purchase value, fresher clicks earn more") {
     val out = Serving.attributionCredit(Tables.events(spark, sf)).collect()
     assert(out.nonEmpty)
