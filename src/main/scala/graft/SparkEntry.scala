@@ -429,6 +429,12 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     // TPC-H Q6 shape: pure filter-scan-sum, all predicates pushed
     "forecast_revenue" -> ((s, d) => Gold.forecastRevenue(Tables.lineitem(s, d))),
+    // universally-quantified aggregation: share of orders whose EVERY
+    // line met the ship SLA, order-grain reduction first
+    "order_sla" -> ((s, d) => Gold.orderSla(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    // supply-side concentration: HHI from exact integer revenue moments
+    "supplier_hhi" -> ((s, d) => Gold.supplierHhi(Tables.lineitem(s, d))),
     // TPC-H Q12 shape: late-line two-bucket conditional counts over a
     // fact-fact join with a cross-side date residual
     "late_priority_lines" -> ((s, d) => Gold.latePriorityLines(
@@ -1814,6 +1820,31 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       GROUP BY 1 ORDER BY 1""",
+
+    // per-order max lag then month-grain conditional share
+    "order_sla" -> """
+      WITH w AS (
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS mois,
+               max(date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE))) AS worst_lag
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2)
+      SELECT mois, count(*) AS n_orders,
+             CAST(sum(CASE WHEN worst_lag <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_met,
+             round(CAST(sum(CASE WHEN worst_lag <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS DOUBLE), 6) AS sla_share
+      FROM w GROUP BY 1 ORDER BY mois""",
+
+    // HHI = sum(rev^2)/(sum rev)^2 from exact integer supplier revenues
+    "supplier_hhi" -> """
+      WITH bySupp AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS mois, l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS HUGEINT) AS rev4
+        FROM lineitem GROUP BY 1, 2)
+      SELECT mois, count(*) AS n_suppliers,
+             round(CAST(sum(rev4 * rev4) AS DOUBLE)
+                   / (CAST(sum(rev4) AS DOUBLE) * CAST(sum(rev4) AS DOUBLE)), 6) AS hhi
+      FROM bySupp GROUP BY 1 ORDER BY mois""",
 
     // TPC-H Q6 restated: one filter-scan-sum, scaled-integer product
     "forecast_revenue" -> """

@@ -1303,6 +1303,53 @@ object Gold {
         sum("n_lines").as("n_lines"))
       .orderBy("o_orderkey")
 
+  /** Fulfilment SLA by order month: the share of orders whose EVERY
+    * line shipped within `slaDays` of the order date — the universally-
+    * quantified (bool_and) aggregation, realized as a per-order max
+    * over the line lag then a month-grain conditional share. Integer
+    * day arithmetic end to end; the share is the single float division,
+    * 6dp. Scale shape: fact-fact join reduced at order grain first, the
+    * month rollup moves only order subtotals. */
+  def orderSla(orders: DataFrame, lineitem: DataFrame,
+      slaDays: Int = 90): DataFrame =
+    orders.select(col("o_orderkey"), col("o_orderdate"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mois"))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "mois")
+      .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))).as("worst_lag"))
+      .groupBy("mois")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("worst_lag") <= slaDays, 1L).otherwise(0L)).as("n_met"))
+      .select(col("mois"), col("n_orders"), col("n_met"),
+        round(col("n_met") / col("n_orders").cast("double"), 6).as("sla_share"))
+      .orderBy("mois")
+
+  /** Supplier concentration per month — the Herfindahl–Hirschman index
+    * Σ share², computed WITHOUT materializing float shares:
+    * HHI = Σ rev_i² / (Σ rev_i)² over exact scaled-integer supplier
+    * revenues (squares in decimal — a long² overflows at the design
+    * scale), one float division per month row. The concentration
+    * complement to [[Serving.revenueGini]]'s inequality curve: Gini
+    * ranks customers, HHI watches supply-side dependency. */
+  def supplierHhi(lineitem: DataFrame): DataFrame = {
+    val bySupp = lineitem
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("mois"),
+        col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev4"))
+      .groupBy("mois", "l_suppkey")
+      .agg(sum("rev4").as("rev4"))
+    bySupp.groupBy("mois")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev4").cast("decimal(38,0)") * col("rev4")).as("sq"),
+        sum("rev4").as("tot"))
+      .select(col("mois"), col("n_suppliers"),
+        round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"))
+      .orderBy("mois")
+  }
+
   /** Forecast-revenue change (TPC-H Q6 shape): one tight filter-scan-sum
     * — the query whose whole cost is how much the scan can skip. All
     * three predicates (date range, discount band, quantity cap) land in
