@@ -295,6 +295,13 @@ object SparkEntry {
       sys.addShutdownHook(Streams.deleteRec(sink.toFile))
       Streams.caMonthlyMaintained(s, ordersStreamDir(s, d), sink.toString)
     }),
+    // streamed maintenance of the top-client BASE state (client-grain
+    // exact partials; top-k on read) — same oracle as top_clients
+    "top_clients_maintained" -> ((s, d) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_topk_maint")
+      sys.addShutdownHook(Streams.deleteRec(sink.toFile))
+      Streams.topClientsMaintained(s, ordersStreamDir(s, d), sink.toString)
+    }),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
     // the hot-key two-stage salted aggregation as a query (same oracle:
     // exact cents make the salted sum bit-equal to the direct groupBy)
@@ -2137,6 +2144,13 @@ object SparkEntry {
       SELECT ca_total, nb_achats, round(ca_total / nb_achats, 2) AS panier_moyen
       FROM (SELECT ${ms("o_totalprice")} AS ca_total, count(o_orderkey) AS nb_achats
             FROM orders WHERE $V)""",
+
+    // the maintained base state converges to the same ranking
+    "top_clients_maintained" -> s"""
+      SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend,
+             count(o_orderkey) AS total_orders
+      FROM orders WHERE $V GROUP BY 1
+      ORDER BY total_spend DESC, c_custkey LIMIT 20""",
 
     "top_clients" -> s"""
       SELECT o_custkey AS c_custkey, ${ms("o_totalprice")} AS total_spend,

@@ -300,25 +300,62 @@ object Streams extends Serializable {
       .parquet(ordersDir)
     val q = stream.writeStream
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mergeMonthlyPartial(spark, sinkDir)(Gold.caMonthlyPartial(batch.toDF())))
+        mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"))(
+          Gold.caMonthlyPartial(batch.toDF())))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     Gold.caMonthlyFromPartials(spark.read.parquet(s"$sinkDir/current"))
   }
 
-  /** Sum-merge one (mois, ca_cents) partial into `sinkDir/current` with
-    * a staged write + checked rename swap (the upsert sink's discipline).
-    * The partial table is one small file by construction — the month
-    * grain is bounded, and a single writer task avoids a shuffle for
-    * ~100 rows. */
-  private def mergeMonthlyPartial(spark: SparkSession, sinkDir: String)
-      (partial: DataFrame): Unit = {
+  /** Streamed maintenance of the top-client ranking's BASE STATE: the
+    * client-grain (spend_cents, total_orders) table merges per batch by
+    * key — exact integer partials, so the maintained state is
+    * bit-identical to a full recompute in any batch order — and the
+    * top-k is computed ON READ over the maintained state
+    * (TakeOrderedAndProject on a client-grain frame). Maintaining the
+    * base rather than the top-k list itself is the correct shape: a
+    * maintained top-k alone cannot handle a client FALLING OUT (its
+    * replacement's total lives outside the list), the classic top-k
+    * view-maintenance trap. Answers the same oracle as `top_clients`. */
+  def topClientsMaintained(spark: SparkSession, ordersDir: String,
+      sinkDir: String, filesPerBatch: Int = 2, k: Int = 20): DataFrame = {
+    val schema = spark.read.parquet(ordersDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(ordersDir)
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeKeyedPartial(spark, sinkDir, Seq("c_custkey"),
+          Seq("spend_cents", "total_orders"))(
+          Gold.validOrders(batch.toDF())
+            .groupBy(col("o_custkey").as("c_custkey"))
+            .agg(sum(Tables.cents(col("o_totalprice"))).as("spend_cents"),
+              count(lit(1)).as("total_orders"))))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$sinkDir/current")
+      .select(col("c_custkey"), (col("spend_cents") / 100.0).as("total_spend"),
+        col("total_orders"))
+      .orderBy(desc("total_spend"), col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Sum-merge one keyed partial into `sinkDir/current` with a staged
+    * write + checked rename swap (the upsert sink's discipline). The
+    * partial table is one small file by construction — maintained
+    * grains are bounded (months, clients), and a single writer task
+    * avoids a shuffle for the small row counts. */
+  private def mergeKeyedPartial(spark: SparkSession, sinkDir: String,
+      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Unit = {
     val target = new java.io.File(sinkDir, "current")
     val merged =
       if (target.isDirectory)
         spark.read.parquet(target.getAbsolutePath).unionByName(partial)
-          .groupBy("mois").agg(sum("ca_cents").as("ca_cents"))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(sums.head).as(sums.head),
+            sums.tail.map(c => sum(c).as(c)): _*)
       else partial
     val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
     merged.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
