@@ -624,8 +624,9 @@ object SparkEntry {
         s.read.parquet(idx))
     }),
     // int8 scalar-quantized corpus, asymmetric full-precision probes;
-    // rows-only — the codebook fold is float math — LlmSpec gates
-    // recall@5 vs knn_bruteforce
+    // hash-checked since r8 — the DuckDB oracle restates the integer
+    // quantization and the codebook fold exactly — and LlmSpec still
+    // gates recall@5 vs knn_bruteforce
     "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", s.hashCode, d),
       Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
     // per-label centroid aggregation, long form (the IVF-training shape)
@@ -840,13 +841,17 @@ object SparkEntry {
     // (BucketingSpec pins the plan); the agg proves the join's content
     // against the plain-join oracle
     "bucketed_join" -> ((s, d) => {
+      // catalog table names are session-global, so they carry a dir-hash
+      // suffix — a second data dir in the same session writes its OWN
+      // tables instead of silently repointing the first dir's
+      val sfx = "_" + Integer.toHexString(d.hashCode)
       bucketMemo.getOrElseUpdate((s.hashCode, d), {
         val base = java.nio.file.Files.createTempDirectory("graft_bucket")
         sys.addShutdownHook(Streams.deleteRec(base.toFile))
-        Bucketing.cooLocatedOrderLines(s, d, path = Some(base.toString))
+        Bucketing.cooLocatedOrderLines(s, d, path = Some(base.toString), suffix = sfx)
         base.toString
       })
-      s.table("graft_orders_b").join(s.table("graft_lineitem_b"), Seq("key"))
+      s.table(s"graft_orders_b$sfx").join(s.table(s"graft_lineitem_b$sfx"), Seq("key"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"),
           Tables.moneySum(col("l_extendedprice")).as("ca"))

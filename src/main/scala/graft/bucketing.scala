@@ -25,13 +25,17 @@ object Bucketing {
 
   /** Write orders and lineitem bucketed on the order key; returns the
     * join of the bucketed tables (plan contains no shuffle exchange —
-    * asserted in BucketingSpec). */
+    * asserted in BucketingSpec). `suffix` disambiguates the catalog
+    * table names — catalog names are SESSION-global, so two data dirs
+    * evaluated in one session must not share them (a second dir's
+    * overwrite would silently repoint the first dir's tables). */
   def cooLocatedOrderLines(spark: SparkSession, dir: String, buckets: Int = 8,
-      path: Option[String] = None): DataFrame = {
+      path: Option[String] = None, suffix: String = ""): DataFrame = {
     writeBucketed(Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "key"),
-      "graft_orders_b", "key", buckets, path = path.map(_ + "/orders_b"))
+      s"graft_orders_b$suffix", "key", buckets, path = path.map(_ + "/orders_b"))
     writeBucketed(Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "key"),
-      "graft_lineitem_b", "key", buckets, path = path.map(_ + "/lineitem_b"))
-    spark.table("graft_orders_b").join(spark.table("graft_lineitem_b"), Seq("key"))
+      s"graft_lineitem_b$suffix", "key", buckets, path = path.map(_ + "/lineitem_b"))
+    spark.table(s"graft_orders_b$suffix")
+      .join(spark.table(s"graft_lineitem_b$suffix"), Seq("key"))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators: deterministic sampling / data
@@ -108,11 +108,26 @@ object Prep {
     * generation; the single shuffle is the join that annotates each
     * negative with its source (`same_source` — the flag curation uses
     * to prefer cross-source negatives). Seed 29: independent of every
-    * other sampling decision per the suite's distinct-seed convention. */
+    * other sampling decision per the suite's distinct-seed convention.
+    *
+    * PRECONDITION (enforced): doc_ids must be exactly the dense range
+    * 0..N−1 — both the uniformity of the skip-self map and the
+    * losslessness of the annotating join depend on every value in
+    * [0, N−1] existing as an id. With gapped ids the inner join would
+    * silently DROP drawn negatives that hit a gap (fewer than k rows
+    * per doc, and an oracle replaying the same arithmetic could not
+    * catch it), so sparse inputs fail loudly here instead; remap such
+    * ids to a dense rank before calling. The check shares the one
+    * driver aggregate the count already pays. */
   def negativeSamples(documents: DataFrame, k: Int = 3,
       seed: Long = 29L): DataFrame = {
-    val n = documents.select("doc_id").distinct().count()
+    val Row(nDistinct: Long, minId: Long, maxId: Long) =
+      documents.agg(countDistinct("doc_id"), min("doc_id"), max("doc_id")).head()
+    val n = nDistinct
     require(n >= 2, "need at least two documents to draw negatives")
+    require(minId == 0L && maxId == n - 1,
+      s"negativeSamples requires dense doc_ids 0..${n - 1}; " +
+        s"got min=$minId max=$maxId over $n distinct ids — remap to a dense rank first")
     val base = documents.select(col("doc_id"), col("source"))
     base.select(col("doc_id"), col("source").as("src_a"))
       .withColumn("neg_rank", explode(sequence(lit(1), lit(k))))

@@ -286,7 +286,7 @@ object Streams extends Serializable {
     * arrive as a micro-batched file stream; each batch reduces to its
     * per-month integer-cents partial ([[Gold.caMonthlyPartial]] — the
     * mergeable form) and foreachBatch sum-merges it into a persisted
-    * partial table with a staged swap. The merge reads and rewrites
+    * partial table with a crash-atomic manifest-pointer commit. The merge reads and rewrites
     * ~|months| rows — the GOLD GRAIN, never the order history — so a
     * year of continuous ingest costs the same per trigger as day one.
     * Because cents merge associatively, the final table is bit-identical
@@ -305,7 +305,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Gold.caMonthlyFromPartials(spark.read.parquet(s"$sinkDir/current"))
+    Gold.caMonthlyFromPartials(readUpserted(spark, sinkDir))
   }
 
   /** Streamed maintenance of the top-client ranking's BASE STATE: the
@@ -335,35 +335,48 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$sinkDir/current")
+    readUpserted(spark, sinkDir)
       .select(col("c_custkey"), (col("spend_cents") / 100.0).as("total_spend"),
         col("total_orders"))
       .orderBy(desc("total_spend"), col("c_custkey"))
       .limit(k)
   }
 
-  /** Sum-merge one keyed partial into `sinkDir/current` with a staged
-    * write + checked rename swap (the upsert sink's discipline). The
-    * partial table is one small file by construction — maintained
-    * grains are bounded (months, clients), and a single writer task
-    * avoids a shuffle for the small row counts. */
+  /** Sum-merge one keyed partial into the sink's committed generation
+    * under the SAME manifest-pointer discipline as [[upsertByKey]]: the
+    * merged table is written as a new immutable generation in `store/`,
+    * then ONE atomic manifest rename makes it current ([[upsertCommit]]
+    * also sweeps the replaced generation). The previous design renamed
+    * `current`→`old` then `staging`→`current` — a crash between the two
+    * renames left NO current generation; here every crash point leaves
+    * exactly one whole committed generation (covered by the
+    * maintained-view crash test in StreamsSpec). The partial table is
+    * one small file by construction — maintained grains are bounded
+    * (months, clients), and a single writer task avoids a shuffle for
+    * the small row counts. */
   private def mergeKeyedPartial(spark: SparkSession, sinkDir: String,
-      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Unit = {
-    val target = new java.io.File(sinkDir, "current")
+      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Unit =
+    upsertCommit(sinkDir, mergeStage(spark, sinkDir, keys, sums)(partial))
+
+  /** Stage one partial merge: write the merged table as the next
+    * generation in the store and return the one-entry manifest the
+    * commit should publish. No visible state change (the testable crash
+    * window, exactly like [[upsertStage]]). */
+  private[graft] def mergeStage(spark: SparkSession, sinkDir: String,
+      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Map[Long, String] = {
+    val man = readManifest(sinkDir)
     val merged =
-      if (target.isDirectory)
-        spark.read.parquet(target.getAbsolutePath).unionByName(partial)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(sums.head).as(sums.head),
-            sums.tail.map(c => sum(c).as(c)): _*)
-      else partial
-    val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
-    merged.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
-    val old = new java.io.File(sinkDir, s"old_${System.nanoTime()}")
-    if (target.isDirectory)
-      require(target.renameTo(old), s"partial swap failed: $target -> $old")
-    require(staging.renameTo(target), s"partial swap failed: $staging -> $target")
-    deleteRec(old)
+      if (man.isEmpty) partial
+      else readUpserted(spark, sinkDir).unionByName(partial)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(sums.head).as(sums.head),
+          sums.tail.map(c => sum(c).as(c)): _*)
+    val store = new java.io.File(sinkDir, "store")
+    store.mkdirs()
+    val gen = s"view_g${System.nanoTime()}"
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(store, gen).getAbsolutePath)
+    Map(0L -> gen)
   }
 
   /** Streaming exact dedup by event_id with watermark-bounded state

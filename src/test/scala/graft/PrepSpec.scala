@@ -215,4 +215,23 @@ class PrepSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("negativeSamples: sparse doc_ids fail loudly instead of silently dropping draws") {
+    import spark.implicits._
+    // gapped ids (0,1,5,9): a drawn neg_id in {2,3,4,6,7,8} would vanish
+    // in the annotating join — the enforced dense-range precondition
+    // turns that silent row loss into an upfront error
+    val sparse = Seq((0L, "web"), (1L, "web"), (5L, "books"), (9L, "code"))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Prep.negativeSamples(sparse)
+    }
+    assert(e.getMessage.contains("dense doc_ids"))
+    // a dense frame with the same cardinality passes and yields exactly
+    // k rows per doc (the property the precondition protects)
+    val dense = Seq((0L, "web"), (1L, "web"), (2L, "books"), (3L, "code"))
+      .toDF("doc_id", "source")
+    val ok = Prep.negativeSamples(dense).collect()
+    assert(ok.length == 4 * 3)
+  }
 }

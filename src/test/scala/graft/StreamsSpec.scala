@@ -484,6 +484,34 @@ class StreamsSpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  test("maintained-view merge is crash-atomic: a staged-but-uncommitted merge leaves the previous generation whole") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_merge_atomic").toString
+    def merge(rows: (String, Long)*): Map[Long, String] =
+      Streams.mergeStage(spark, sink, Seq("mois"), Seq("ca_cents"))(
+        rows.toDF("mois", "ca_cents"))
+    def snapshot = Streams.readUpserted(spark, sink)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two committed merge rounds (the second exercises the sum-merge path)
+    Streams.upsertCommit(sink, merge("1996-01" -> 100L, "1996-02" -> 200L))
+    Streams.upsertCommit(sink, merge("1996-02" -> 5L, "1996-03" -> 7L))
+    val gen2 = Streams.readManifest(sink)
+    assert(snapshot == Map("1996-01" -> 100L, "1996-02" -> 205L, "1996-03" -> 7L))
+    // round 3 stages its merged generation but dies BEFORE the manifest
+    // rename — the exact window where the old current->old/staging->current
+    // rename pair left NO current generation on disk
+    merge("1996-01" -> 1000L)
+    assert(Streams.readManifest(sink) == gen2)
+    assert(snapshot == Map("1996-01" -> 100L, "1996-02" -> 205L, "1996-03" -> 7L))
+    // recovery = retry the merge; the commit publishes one consistent
+    // generation and sweeps both the replaced one and the crashed orphan
+    Streams.upsertCommit(sink, merge("1996-01" -> 1000L))
+    assert(snapshot == Map("1996-01" -> 1100L, "1996-02" -> 205L, "1996-03" -> 7L))
+    val stored = new java.io.File(sink, "store").listFiles().map(_.getName).toSet
+    assert(stored == Streams.readManifest(sink).values.toSet)
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
   test("stream-static broadcast join: enriched hourly agg equals the batch join") {
     val batch = Tables.events(spark, sf)
       .join(broadcast(Tables.customer(spark, sf)
@@ -619,8 +647,10 @@ class StreamsSpec extends SparkSpec {
         .collect().map(_.mkString("|")).toSeq
       assert(maintained == batch)
       // the persisted partial holds the mergeable representation, one
-      // row per month — the rewrite unit is the gold grain
-      val partial = spark.read.parquet(s"$sink/current")
+      // row per month — the rewrite unit is the gold grain (read via the
+      // manifest pointer: the maintained views share the upsert sink's
+      // commit discipline)
+      val partial = Streams.readUpserted(spark, sink.toString)
       assert(partial.columns.toSeq == Seq("mois", "ca_cents"))
       assert(partial.count() == batch.size)
     } finally {
