@@ -1384,6 +1384,38 @@ object SparkEntry {
   private val XxP4 = "9650029242287828579"
   private val XxH0 = "2870177450012600311"
 
+  /** splitmix64 restated for DuckDB, mirroring Sketches.splitmix64 /
+    * tokenHash (the SimHash/MinHash signature arithmetic). Values live
+    * in HUGEINT [0, 2^64); the wrapping multiply splits the CONSTANT at
+    * 2^32 so no partial product exceeds 2^96. [[smChain]] emits the
+    * finalizer as four chained CTE stages (inlining would cube the
+    * expression size — each stage reads its predecessor three times). */
+  private val SmMask = "18446744073709551615::HUGEINT" // 2^64 - 1
+  private val SmGolden = "11400714819323198485::HUGEINT" // 0x9E3779B97F4A7C15
+  private def smMul(a: String, c: BigInt): String = {
+    val ch = c >> 32; val cl = c & 0xFFFFFFFFL
+    s"((($a) * $cl::HUGEINT + (((($a) * $ch::HUGEINT) & 4294967295::HUGEINT) << 32)) & $SmMask)"
+  }
+  /** CTE stages `<name>_a,<name>_b,<name>_c,<name>`: `<name>` selects
+    * `keep` plus splitmix64(`in`) AS `out` from `src`. */
+  private def smChain(name: String, src: String, keep: String,
+      in: String, out: String): String =
+    s"""${name}_a AS (SELECT $keep, (($in + $SmGolden) & $SmMask) AS z FROM $src),
+      ${name}_b AS (SELECT $keep, ${smMul("xor(z, z >> 30)", BigInt("BF58476D1CE4E5B9", 16))} AS z FROM ${name}_a),
+      ${name}_c AS (SELECT $keep, ${smMul("xor(z, z >> 27)", BigInt("94D049BB133111EB", 16))} AS z FROM ${name}_b),
+      $name AS (SELECT $keep, xor(z, z >> 31) AS $out FROM ${name}_c)"""
+  /** Unsigned [0,2^64) HUGEINT -> the bit-identical signed BIGINT. */
+  private def smSigned(a: String): String =
+    s"(CASE WHEN ($a) >= 9223372036854775808::HUGEINT THEN (($a) - 18446744073709551616::HUGEINT)::BIGINT ELSE ($a)::BIGINT END)"
+  private def smUnsigned(a: String): String =
+    s"(CASE WHEN ($a) < 0 THEN ($a)::HUGEINT + 18446744073709551616::HUGEINT ELSE ($a)::HUGEINT END)"
+  /** The poly31-over-codepoints accumulator ([[Sketches.tokenHash]]'s
+    * pre-finalizer state) of string column `s`. */
+  private def smPoly(s: String): String =
+    s"""list_reduce(list_prepend(0::HUGEINT,
+          list_transform(range(1, length($s)+1), i -> unicode(substr($s, i, 1))::HUGEINT)),
+          (a, c) -> (a * 31 + c) & $SmMask)"""
+
   def oracleSql: Map[String, String] = Map(
     // winnowing fingerprints: per-position xxhash64 of the 8-char
     // shingle (XXH64 tail round + fmix, restated in wrapping HUGEINT
@@ -2291,6 +2323,124 @@ object SparkEntry {
       g AS (SELECT vec_id, count(*) AS n_near, max(sim) AS max_cos FROM u GROUP BY 1)
       SELECT e.vec_id, coalesce(g.n_near, 0) AS n_near, g.max_cos
       FROM e LEFT JOIN g USING (vec_id) ORDER BY e.vec_id""",
+
+    // MinHash restated end-to-end: distinct 3-word shingles (whole-text
+    // fallback) -> per-shingle tokenHash -> 16-member splitmix64 hash
+    // family -> signed-min signatures -> position-salted band folds ->
+    // band-equality candidates -> signature-match Jaccard estimates.
+    // Every stage is the same 64-bit integer arithmetic as the native
+    // expression, so sig, bands, candidate set and estimates all
+    // cross-check bit-for-bit
+    "dedup_minhash" -> s"""
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+          WHERE len(ws) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(ws, ' ') AS shingle
+          FROM w WHERE len(ws) < 3) u),
+      poly AS (SELECT doc_id, shingle, ${smPoly("shingle")} AS h0 FROM sh),
+      ${smChain("hh", "poly", "doc_id, shingle", "h0", "h")},
+      six AS (SELECT doc_id, h,
+                ((h + ((i::HUGEINT * $SmGolden) & $SmMask)) & $SmMask) AS hi, i
+              FROM hh CROSS JOIN range(0, ${Llm.MinhashHashes}) r(i)),
+      ${smChain("sv", "six", "doc_id, i", "hi", "v")},
+      sig AS (SELECT doc_id, i, min(${smSigned("v")}) AS s
+              FROM sv GROUP BY doc_id, i),
+      bq AS (SELECT doc_id, i // 4 AS j,
+               ((${smUnsigned("s")} + (((i % 4 + 1)::HUGEINT * $SmGolden) & $SmMask)) & $SmMask) AS bin
+             FROM sig),
+      ${smChain("bu", "bq", "doc_id, j", "bin", "u")},
+      bacc AS (SELECT doc_id, j,
+                 ((sum(u)::HUGEINT + ((j::HUGEINT * $SmGolden) & $SmMask)) & $SmMask) AS acc
+               FROM bu GROUP BY doc_id, j),
+      ${smChain("bb", "bacc", "doc_id, j", "acc", "bv")},
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bb a JOIN bb b
+                 ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      mt AS (SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / ${Llm.MinhashHashes}.0 AS est
+             FROM cand c
+             JOIN sig sa ON sa.doc_id = c.doc_a
+             JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+             GROUP BY 1, 2),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+                   round(max(est), 4) AS max_est_jaccard
+                 FROM (SELECT doc_a AS doc_id, est FROM mt
+                       UNION ALL SELECT doc_b, est FROM mt) u2 GROUP BY 1),
+      nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM sh GROUP BY 1)
+      SELECT n.doc_id, n.n_shingles, coalesce(p.n_candidates, 0) AS n_candidates,
+             p.max_est_jaccard
+      FROM nsh n LEFT JOIN perdoc p USING (doc_id) ORDER BY n.doc_id""",
+
+    // SimHash restated end-to-end in 64-bit integer SQL (the
+    // knn_quantized precedent): per-token poly31-over-codepoints +
+    // splitmix64 — HUGEINT keeps values in [0,2^64); the two mulmods
+    // split the constant into 32-bit halves so no product exceeds 2^96 —
+    // then the 64 bit-votes, the 4x16-bit band blocking and the
+    // hamming<=12 verify, matching Llm.dedupSimhash bit-for-bit
+    "dedup_simhash" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents),
+      poly AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(0::HUGEINT,
+            list_transform(range(1, length(tok)+1),
+              i -> unicode(substr(tok, i, 1))::HUGEINT)),
+          (a, c) -> (a * 31 + c) & 18446744073709551615::HUGEINT) AS h0
+        FROM toks),
+      s1 AS (SELECT doc_id,
+               (h0 + 11400714819323198485::HUGEINT)
+                 & 18446744073709551615::HUGEINT AS z FROM poly),
+      s2 AS (SELECT doc_id,
+               ((xor(z, z >> 30) * 484763065::HUGEINT
+                 + (((xor(z, z >> 30) * 3210233709::HUGEINT)
+                     & 4294967295::HUGEINT) << 32))
+                & 18446744073709551615::HUGEINT) AS z FROM s1),
+      s3 AS (SELECT doc_id,
+               ((xor(z, z >> 27) * 321982955::HUGEINT
+                 + (((xor(z, z >> 27) * 2496678331::HUGEINT)
+                     & 4294967295::HUGEINT) << 32))
+                & 18446744073709551615::HUGEINT) AS z FROM s2),
+      th AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s3),
+      votes AS (
+        SELECT doc_id, k,
+               sum(CASE WHEN (h >> k) & 1::HUGEINT = 1::HUGEINT
+                   THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN range(0, 64) r(k) GROUP BY doc_id, k),
+      fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN v >= 0 THEN 1::HUGEINT << k
+                   ELSE 0::HUGEINT END)::HUGEINT AS fpu
+        FROM votes GROUP BY doc_id),
+      sh AS (
+        SELECT doc_id, fpu,
+               CASE WHEN fpu >= 9223372036854775808::HUGEINT
+                 THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
+                 ELSE fpu::BIGINT END AS simhash
+        FROM fp),
+      banded AS (
+        SELECT doc_id, simhash, j,
+               ((fpu >> (16 * j)) & 65535::HUGEINT)::BIGINT AS band
+        FROM sh CROSS JOIN range(0, 4) rb(j)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+      near AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sh_a, sh_b)) <= 12),
+      cnt AS (
+        SELECT doc_id, count(*) AS n_near FROM (
+          SELECT doc_a AS doc_id FROM near
+          UNION ALL SELECT doc_b FROM near) u GROUP BY doc_id)
+      SELECT s.doc_id, s.simhash, coalesce(c.n_near, 0) AS n_near
+      FROM sh s LEFT JOIN cnt c USING (doc_id) ORDER BY s.doc_id""",
 
     // same shingle idiom as dedup_ngram; bench set = doc_id < 10
     "decontaminate" -> """

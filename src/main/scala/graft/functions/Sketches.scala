@@ -22,8 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Token/shingle semantics and every hash reproduce the composed
   * pipeline bit-for-bit (asserted in LlmSpec): lower-case, Java-regex
   * `\s+` split keeping empty tokens, distinct 3-word shingles with the
-  * whole-text fallback, xxhash64 seed 42 with Spark's multi-argument
-  * fold order.
+  * whole-text fallback. MinHash hashes with xxhash64 seed 42 using
+  * Spark's multi-argument fold order; SimHash hashes with the
+  * cross-engine [[Sketches.tokenHash]] (poly31 over code points +
+  * splitmix64), which is what lets the DuckDB oracle recompute the
+  * fingerprints from raw text.
   */
 object Sketches {
   private val Seed = 42L
@@ -36,14 +39,47 @@ object Sketches {
   private[functions] def tokens(t: UTF8String): Array[String] =
     t.toLowerCase.toString.split("\\s+", -1)
 
+  /** splitmix64 finalizer (Steele/Lea/Flood, the SplittableRandom mix —
+    * public-domain constants). Wrapping Long arithmetic ≡ mod 2^64. */
+  def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Cross-engine token hash: 31-ary polynomial over Unicode CODE POINTS
+    * (wrapping 64-bit) finalized by [[splitmix64]]. The SimHash
+    * fingerprint uses this instead of xxhash64 so the ENTIRE signature
+    * arithmetic is restatable in any engine with 64-bit integers — the
+    * DuckDB oracle recomputes fingerprints from the raw parquet text
+    * (xxhash64's byte-stripe state machine is not reasonably
+    * SQL-expressible), which is also the property a production corpus
+    * wants: signatures recomputed by a different engine must agree
+    * bit-for-bit or incremental dedup silently degrades. Code points
+    * (not UTF-16 units or UTF-8 bytes) keep the definition
+    * encoding-neutral. The polynomial accumulates order-sensitive
+    * structure; the finalizer supplies the per-bit avalanche SimHash's
+    * bit votes rely on. */
+  def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 31L + cp
+      i += Character.charCount(cp)
+    }
+    splitmix64(h)
+  }
+
   /** 64-bit SimHash over the token stream (duplicates included, like the
-    * exploded formulation). */
+    * exploded formulation), per-token [[tokenHash]]. */
   def simhash(t: UTF8String): Long = {
     val toks = tokens(t)
     val sums = new Array[Long](64)
     var i = 0
     while (i < toks.length) {
-      val h = hashUtf8(UTF8String.fromString(toks(i)), Seed)
+      val h = tokenHash(toks(i))
       var k = 0
       while (k < 64) {
         sums(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L)
@@ -57,7 +93,20 @@ object Sketches {
     fp
   }
 
-  /** MinHash signature row: (n_shingles, sig[nHashes], bands[nBands]). */
+  /** The splitmix64 stream increment (golden-ratio constant) — the
+    * per-index salt for the MinHash hash family and band folds. */
+  val Golden = 0x9E3779B97F4A7C15L
+
+  /** MinHash signature row: (n_shingles, sig[nHashes], bands[nBands]).
+    *
+    * All three hash stages run on the cross-engine splitmix64
+    * arithmetic ([[tokenHash]] for shingles; `splitmix64(h + i·Golden)`
+    * as the i-th hash-family member; a position-salted splitmix fold
+    * for the band keys) so the WHOLE signature — not just the
+    * fingerprint — is restatable in DuckDB SQL: the dedup_minhash
+    * oracle recomputes sig and bands from the raw parquet text and the
+    * candidate/estimate arithmetic downstream of them. Signed-Long
+    * `min` on both engines keeps the signature comparison exact. */
   def minhash(t: UTF8String, nHashes: Int, nBands: Int): InternalRow = {
     val toks = tokens(t)
     val shingles = new java.util.HashSet[String]()
@@ -73,12 +122,10 @@ object Sketches {
     val sig = Array.fill(nHashes)(Long.MaxValue)
     val it = shingles.iterator()
     while (it.hasNext) {
-      val h = hashUtf8(UTF8String.fromString(it.next()), Seed)
-      // xxhash64(h, i): Spark's multi-arg fold — hashLong then hashInt
-      val base = XXH64.hashLong(h, Seed)
+      val h = tokenHash(it.next())
       var i = 0
       while (i < nHashes) {
-        val v = XXH64.hashInt(i, base)
+        val v = splitmix64(h + i * Golden)
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -87,10 +134,15 @@ object Sketches {
     val bands = new Array[Long](nBands)
     var j = 0
     while (j < nBands) {
-      var r = Seed
+      // order-sensitive via the position salt, wrap-commutative sum —
+      // flat enough to restate as a grouped SQL aggregate
+      var acc = j * Golden
       var q = 0
-      while (q < rows) { r = XXH64.hashLong(sig(j * rows + q), r); q += 1 }
-      bands(j) = XXH64.hashInt(j, r)
+      while (q < rows) {
+        acc += splitmix64(sig(j * rows + q) + (q + 1) * Golden)
+        q += 1
+      }
+      bands(j) = splitmix64(acc)
       j += 1
     }
     new GenericInternalRow(Array[Any](shingles.size.toLong,

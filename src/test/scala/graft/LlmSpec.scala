@@ -71,6 +71,22 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Long]("simhash") != out(2).getAs[Long]("simhash"))
   }
 
+  test("tokenHash/simhash match independently computed vectors (incl. non-ASCII code points)") {
+    import graft.functions.Sketches
+    // expected values computed by a separate Python implementation of
+    // poly31-over-codepoints + splitmix64 (also the arithmetic the
+    // DuckDB oracle restates in SQL) — pins the code-point semantics the
+    // composed-builtins equivalence test cannot cover beyond ASCII
+    assert(Sketches.tokenHash("hello") == 4005107533400764788L)
+    assert(Sketches.tokenHash("") == -2152535657050944081L) // splitmix64(0)
+    assert(Sketches.tokenHash("héllo") == -3768457701235019299L)
+    // astral plane: one code point (U+1D11E), two UTF-16 units
+    assert(Sketches.tokenHash("a𝄞b") == -3966767430478900885L)
+    assert(Sketches.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("The cat sat")) ==
+      -2634730545086667604L)
+  }
+
   test("dedupNgram: exact jaccard of identical docs is 1.0") {
     val d = docs(
       (1L, "a b c d e f"),
@@ -390,9 +406,26 @@ class LlmSpec extends SparkSpec {
 
   test("native sketch expressions are bit-identical to the explode+groupBy compositions") {
     val d = Tables.documents(spark, sf)
-    // composed SimHash: explode tokens, 64 bit-sum aggregates
+    // composed SimHash: explode tokens, re-derive tokenHash from Spark
+    // BUILTINS (aggregate over per-char codepoints, then the splitmix64
+    // finalizer on wrapping Long arithmetic — ANSI mode is toggled off
+    // for this test because wrapping mod-2^64 multiplication IS the
+    // intended semantics here, not an overflow bug), 64 bit-sum
+    // aggregates. ascii() reads the first BYTE, = the code point on this
+    // all-ASCII corpus; the non-ASCII code-point semantics are pinned by
+    // the literal-vector test above.
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    def mix(z0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val z1 = z0 + lit(0x9E3779B97F4A7C15L)
+      val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 30)) * lit(0xBF58476D1CE4E5B9L)
+      val z3 = z2.bitwiseXOR(shiftrightunsigned(z2, 27)) * lit(0x94D049BB133111EBL)
+      z3.bitwiseXOR(shiftrightunsigned(z3, 31))
+    }
     val tok = d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), mix(aggregate(split(col("w"), ""), lit(0L),
+        (h, c) => h * lit(31L) + ascii(c).cast("long"))).as("h"))
     val bitAggs = (0 until 64).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"b_$k"))
@@ -405,7 +438,11 @@ class LlmSpec extends SparkSpec {
     assert(nativeSim.nonEmpty)
     assert(nativeSim.map(_.mkString("|")).toSeq == composedSim.map(_.mkString("|")).toSeq)
 
-    // composed MinHash: shingle explode, 16 min-aggregates, band hashes
+    // composed MinHash: shingle explode, per-shingle tokenHash from
+    // builtins, 16 min-aggregates over splitmix64(h + i·Golden), and the
+    // position-salted band fold — the same arithmetic the DuckDB oracle
+    // restates
+    val G = graft.functions.Sketches.Golden
     val ws = split(lower(col("text")), "\\s+")
     val sh0 = when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(0), size(ws) - 3),
@@ -416,23 +453,26 @@ class LlmSpec extends SparkSpec {
         when(size(col("sh")) > 0, col("sh"))
           .otherwise(array(concat_ws(" ", ws))).as("sh"))
     val hashed = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), mix(aggregate(split(col("s"), ""), lit(0L),
+        (h, c) => h * lit(31L) + ascii(c).cast("long"))).as("h"))
     val sigAggs = (0 until Llm.MinhashHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
+      min(mix(col("h") + lit(i * G))).as(s"sig_$i"))
     val sigArr = array((0 until Llm.MinhashHashes).map(i => col(s"sig_$i")): _*)
     val composedMh = hashed.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), sigAggs: _*)
       .select(col("doc_id"), col("n_shingles"), sigArr.as("sig"),
         transform(sequence(lit(0), lit(Llm.MinhashBands - 1)),
-          j => xxhash64(
-            element_at(col("sig"), j * 4 + 1), element_at(col("sig"), j * 4 + 2),
-            element_at(col("sig"), j * 4 + 3), element_at(col("sig"), j * 4 + 4), j))
+          j => mix(j.cast("long") * lit(G) +
+            (0 until 4).map(q =>
+              mix(element_at(col("sig"), j * 4 + q + 1) + lit((q + 1) * G)))
+              .reduce(_ + _)))
           .as("bands"))
       .orderBy("doc_id").collect()
     val nativeMh = Llm.minhashSignatures(d).orderBy("doc_id").collect()
     def canon(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
       r.getSeq[Long](2).mkString(","), r.getSeq[Long](3).mkString(","))
     assert(nativeMh.map(canon).toSeq == composedMh.map(canon).toSeq)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
   }
 
   test("native LSH buckets are bit-identical to the posexplode+groupBy composition") {
