@@ -129,7 +129,12 @@ object Bench {
     val qJson = timed.map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
     val errField = if (errJson == "{}") "" else s""","errors":$errJson"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qJson$errField,"sf":"$sfDir"}""")
+    // field order matters for the harness's LAST-2KB stdout tail: the
+    // per-query map (~5 KB at 190 queries) goes FIRST so what survives
+    // truncation is the map's tail plus the complete headline fields —
+    // metric/value/sf stay readable in the captured artifact.
+    // BENCH_FULL.json remains the authoritative full-precision record.
+    println(s"""{"queries":$qJson$errField,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

@@ -292,6 +292,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("market_share: the share ratio is ONE grouped pass, never a self-join of aggregates") {
+    val p = plan("market_share")
+    // num4/den4 come out of the same HashAggregate (partial + final = 2
+    // occurrences); a numerator-aggregate ⋈ denominator-aggregate
+    // refactor doubles that and adds a join of two aggregated frames
+    assert(count(p, "HashAggregate") == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // region/nation dim chain broadcasts on both the customer-prune and
+    // supplier-nation sides
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("small_quantity_revenue: the decorrelated average runs over the brand-pruned frame") {
+    val p = plan("small_quantity_revenue")
+    // BOTH passes (per-part average and the probe) must semi-prune
+    // through the broadcast brand parts BEFORE aggregating/joining — one
+    // LeftSemi means the correlated average regressed to full lineitem
+    assert(count(p, "LeftSemi") == 2, p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("order_priority: the correlated EXISTS stays a hash semi join, never a nested loop") {
+    val p = plan("order_priority")
+    // equi-key + per-order inequality: the key must drive a hash/merge
+    // LeftSemi with the inequality as residual — a nested-loop or
+    // cartesian here is the O(orders x lines) trap
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("client_percentiles: distributed ranks, never a single-partition window") {
     val p = plan("client_percentiles")
     // percent_rank/cume_dist SQL forms compile to an empty-partition

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Cross-SF oracle sweep — the permanent scale-correctness gate: run
+graft.Verify AND the DuckDB oracle compare at every scale factor, one
+JVM per SF (memoized per-dir state stays isolated). One command
+reproduces the full queries x 3-SF all-PASS record; this is the sweep
+that caught the suite's only scale-dependent defect (gold_daily_anomaly
+rolling-stddev ulp drift at sf0.1, round 8). Expected runtime ~25-40 min
+total on this machine: the three Verify dumps dominate (~4/5/12 min at
+sf0.001/0.01/0.1); the DuckDB compares add seconds-to-a-few-minutes per
+SF (the simhash/minhash signature restatements are the heaviest).
+Usage: python3 tools/crosscheck.py [sf ...]   (default: all three)
+"""
+import subprocess, sys
+
+sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
+fails = 0
+for sf in sfs:
+    out = f"/tmp/graft_crosscheck_{sf}"
+    print(f"[crosscheck] Verify {sf} ...", flush=True)
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify /root/testdata/{sf} {out}"],
+        capture_output=True, text=True)
+    bad = [l for l in r.stderr.splitlines() + r.stdout.splitlines()
+           if "[verify]" in l and "failed:" in l]
+    if r.returncode != 0 or bad:
+        print("\n".join(bad) or r.stdout[-2000:])
+        fails += 1
+        continue
+    print(f"[crosscheck] compare {sf} ...", flush=True)
+    c = subprocess.run(
+        [sys.executable, "tools/selfcheck.py", f"/root/testdata/{sf}", out],
+        capture_output=True, text=True)
+    lines = c.stdout.strip().splitlines()
+    n_ok = sum(1 for l in lines if l.startswith("ok"))
+    print("\n".join(l for l in lines
+                    if l.startswith("FAIL") or l == "PASS" or "FAILURES" in l))
+    print(f"[crosscheck] {sf}: {n_ok} queries ok")
+    if c.returncode != 0:
+        fails += 1
+print("[crosscheck] ALL PASS" if fails == 0 else
+      f"[crosscheck] {fails} SF(s) FAILED")
+sys.exit(1 if fails else 0)
