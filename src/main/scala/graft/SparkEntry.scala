@@ -843,8 +843,11 @@ object SparkEntry {
     "bucketed_join" -> ((s, d) => {
       // catalog table names are session-global, so they carry a dir-hash
       // suffix — a second data dir in the same session writes its OWN
-      // tables instead of silently repointing the first dir's
-      val sfx = "_" + Integer.toHexString(d.hashCode)
+      // tables instead of silently repointing the first dir's. SHA-256
+      // prefix, not String.hashCode: correctness (not just caching) rests
+      // on collision-freedom here
+      val sfx = "_" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       bucketMemo.getOrElseUpdate((s.hashCode, d), {
         val base = java.nio.file.Files.createTempDirectory("graft_bucket")
         sys.addShutdownHook(Streams.deleteRec(base.toFile))
@@ -2349,8 +2352,8 @@ object SparkEntry {
       ${smChain("sv", "six", "doc_id, i", "hi", "v")},
       sig AS (SELECT doc_id, i, min(${smSigned("v")}) AS s
               FROM sv GROUP BY doc_id, i),
-      bq AS (SELECT doc_id, i // 4 AS j,
-               ((${smUnsigned("s")} + (((i % 4 + 1)::HUGEINT * $SmGolden) & $SmMask)) & $SmMask) AS bin
+      bq AS (SELECT doc_id, i // ${Llm.MinhashHashes / Llm.MinhashBands} AS j,
+               ((${smUnsigned("s")} + (((i % ${Llm.MinhashHashes / Llm.MinhashBands} + 1)::HUGEINT * $SmGolden) & $SmMask)) & $SmMask) AS bin
              FROM sig),
       ${smChain("bu", "bq", "doc_id, j", "bin", "u")},
       bacc AS (SELECT doc_id, j,
@@ -2378,35 +2381,16 @@ object SparkEntry {
 
     // SimHash restated end-to-end in 64-bit integer SQL (the
     // knn_quantized precedent): per-token poly31-over-codepoints +
-    // splitmix64 — HUGEINT keeps values in [0,2^64); the two mulmods
-    // split the constant into 32-bit halves so no product exceeds 2^96 —
-    // then the 64 bit-votes, the 4x16-bit band blocking and the
-    // hamming<=12 verify, matching Llm.dedupSimhash bit-for-bit
-    "dedup_simhash" -> """
+    // splitmix64 via the shared smPoly/smChain helpers (one restatement
+    // of the cross-engine hash, reused by dedup_minhash), then the 64
+    // bit-votes, the 4x16-bit band blocking and the hamming<=12 verify,
+    // matching Llm.dedupSimhash bit-for-bit
+    "dedup_simhash" -> s"""
       WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
         FROM documents),
-      poly AS (
-        SELECT doc_id, list_reduce(
-          list_prepend(0::HUGEINT,
-            list_transform(range(1, length(tok)+1),
-              i -> unicode(substr(tok, i, 1))::HUGEINT)),
-          (a, c) -> (a * 31 + c) & 18446744073709551615::HUGEINT) AS h0
-        FROM toks),
-      s1 AS (SELECT doc_id,
-               (h0 + 11400714819323198485::HUGEINT)
-                 & 18446744073709551615::HUGEINT AS z FROM poly),
-      s2 AS (SELECT doc_id,
-               ((xor(z, z >> 30) * 484763065::HUGEINT
-                 + (((xor(z, z >> 30) * 3210233709::HUGEINT)
-                     & 4294967295::HUGEINT) << 32))
-                & 18446744073709551615::HUGEINT) AS z FROM s1),
-      s3 AS (SELECT doc_id,
-               ((xor(z, z >> 27) * 321982955::HUGEINT
-                 + (((xor(z, z >> 27) * 2496678331::HUGEINT)
-                     & 4294967295::HUGEINT) << 32))
-                & 18446744073709551615::HUGEINT) AS z FROM s2),
-      th AS (SELECT doc_id, xor(z, z >> 31) AS h FROM s3),
+      poly AS (SELECT doc_id, ${smPoly("tok")} AS h0 FROM toks),
+      ${smChain("th", "poly", "doc_id", "h0", "h")},
       votes AS (
         SELECT doc_id, k,
                sum(CASE WHEN (h >> k) & 1::HUGEINT = 1::HUGEINT
@@ -2417,12 +2401,7 @@ object SparkEntry {
                sum(CASE WHEN v >= 0 THEN 1::HUGEINT << k
                    ELSE 0::HUGEINT END)::HUGEINT AS fpu
         FROM votes GROUP BY doc_id),
-      sh AS (
-        SELECT doc_id, fpu,
-               CASE WHEN fpu >= 9223372036854775808::HUGEINT
-                 THEN (fpu - 18446744073709551616::HUGEINT)::BIGINT
-                 ELSE fpu::BIGINT END AS simhash
-        FROM fp),
+      sh AS (SELECT doc_id, fpu, ${smSigned("fpu")} AS simhash FROM fp),
       banded AS (
         SELECT doc_id, simhash, j,
                ((fpu >> (16 * j)) & 65535::HUGEINT)::BIGINT AS band

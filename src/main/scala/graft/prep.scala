@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation operators: deterministic sampling / data
@@ -121,10 +121,14 @@ object Prep {
     * driver aggregate the count already pays. */
   def negativeSamples(documents: DataFrame, k: Int = 3,
       seed: Long = 29L): DataFrame = {
-    val Row(nDistinct: Long, minId: Long, maxId: Long) =
+    val stats =
       documents.agg(countDistinct("doc_id"), min("doc_id"), max("doc_id")).head()
-    val n = nDistinct
+    val n = stats.getLong(0)
+    // n >= 2 first: on an empty frame min/max are NULL and must not be
+    // touched; Number.longValue tolerates an integer-typed id column
     require(n >= 2, "need at least two documents to draw negatives")
+    val minId = stats.getAs[Number](1).longValue
+    val maxId = stats.getAs[Number](2).longValue
     require(minId == 0L && maxId == n - 1,
       s"negativeSamples requires dense doc_ids 0..${n - 1}; " +
         s"got min=$minId max=$maxId over $n distinct ids — remap to a dense rank first")

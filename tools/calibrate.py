@@ -30,14 +30,33 @@ prev_full = subprocess.run(["git", "rev-parse", prev], capture_output=True,
 def bench(workdir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
                SPARK_GRAFT_QUERIES=",".join(QUERIES))
-    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
-                       cwd=workdir, capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:])
-        sys.exit(f"[calibrate] bench failed in {workdir}")
-    with open(os.path.join(workdir, "BENCH_FULL.json")) as f:
-        full = json.load(f)
-    return {k: round(v, 3) for k, v in full["queries"].items()}
+    # Bench writes BENCH_FULL.json into its cwd — in the repo root that
+    # would clobber the committed full-sweep artifact with this 5-query
+    # subset, so save and restore it around the run
+    full_path = os.path.join(workdir, "BENCH_FULL.json")
+    saved = None
+    if os.path.exists(full_path):
+        with open(full_path, "rb") as f:
+            saved = f.read()
+    try:
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                           cwd=workdir, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-3000:])
+            sys.exit(f"[calibrate] bench failed in {workdir}")
+        with open(full_path) as f:
+            full = json.load(f)
+    finally:
+        if saved is not None:
+            with open(full_path, "wb") as f:
+                f.write(saved)
+    # restrict to the probe set and fail loudly on a missing query — an
+    # old commit that ignores SPARK_GRAFT_QUERIES would otherwise make
+    # the prev/head totals compare mismatched query sets
+    missing = [q for q in QUERIES if q not in full["queries"]]
+    if missing:
+        sys.exit(f"[calibrate] {workdir} bench lacks probe queries: {missing}")
+    return {q: round(full["queries"][q], 3) for q in QUERIES}
 
 
 wt = f"/tmp/graft_calib_{prev_full[:12]}"
