@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.Sketches
+
+/** ScalaCheck cross-check of the cross-engine sketch arithmetic: the
+  * native Long-wraparound implementations must equal an independent
+  * BigInt mod-2^64 reference — the SAME arithmetic the DuckDB oracles
+  * restate in HUGEINT, so these properties guard both sides of that
+  * cross-engine contract — on random Unicode inputs, including the
+  * non-ASCII and astral-plane code points the fixture corpus never
+  * exercises (the corpus-level equivalence specs in LlmSpec are
+  * ASCII-bound through ascii()). Pure driver-side: no Spark session,
+  * hundreds of cases per run. */
+object SketchProps extends Properties("Sketches") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private val M = BigInt(1) << 64
+  private val Golden = BigInt("9E3779B97F4A7C15", 16)
+
+  private def refSplitmix(x: BigInt): BigInt = {
+    def mul(a: BigInt, b: BigInt) = (a * b).mod(M)
+    var z = (x + Golden).mod(M)
+    z = mul(z ^ (z >> 30), BigInt("BF58476D1CE4E5B9", 16))
+    z = mul(z ^ (z >> 27), BigInt("94D049BB133111EB", 16))
+    z ^ (z >> 31)
+  }
+  private def signed(v: BigInt): Long =
+    (if (v >= (BigInt(1) << 63)) v - M else v).toLong
+  private def unsigned(v: Long): BigInt =
+    if (v < 0) BigInt(v) + M else BigInt(v)
+
+  private def refPoly(s: String): BigInt = {
+    var h = BigInt(0)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp).mod(M)
+      i += Character.charCount(cp)
+    }
+    h
+  }
+  private def refTokenHash(s: String): Long = signed(refSplitmix(refPoly(s)))
+
+  private def refSimhash(text: String): Long = {
+    val sums = new Array[Long](64)
+    for (t <- text.toLowerCase.split("\\s+", -1)) {
+      val h = refTokenHash(t)
+      for (k <- 0 until 64)
+        sums(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L)
+    }
+    (0 until 64).foldLeft(0L)((fp, k) =>
+      if (sums(k) >= 0) fp | (1L << k) else fp)
+  }
+
+  private def refMinhash(text: String): (Long, Seq[Long], Seq[Long]) = {
+    val toks = text.toLowerCase.split("\\s+", -1)
+    val shingles =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    val sig = Array.fill(16)(Long.MaxValue)
+    for (s <- shingles; hu = refSplitmix(refPoly(s)); i <- 0 until 16) {
+      val v = signed(refSplitmix((hu + i * Golden).mod(M)))
+      if (v < sig(i)) sig(i) = v
+    }
+    val bands = (0 until 4).map { j =>
+      val acc = (0 until 4).foldLeft((BigInt(j) * Golden).mod(M)) { (a, q) =>
+        (a + refSplitmix((unsigned(sig(j * 4 + q)) + (q + 1) * Golden).mod(M)))
+          .mod(M)
+      }
+      signed(refSplitmix(acc))
+    }
+    (shingles.size.toLong, sig.toSeq, bands)
+  }
+
+  // tokens over a deliberately Unicode-heavy alphabet (accents, Cyrillic,
+  // CJK, an astral-plane glyph); varied whitespace exercises the
+  // keep-empty-tokens split semantics, leading/trailing included
+  private val genToken: Gen[String] = Gen.frequency(
+    5 -> Gen.stringOfN(4, Gen.alphaNumChar),
+    2 -> Gen.oneOf("héllo", "straße", "Жук", "中文分词", "a𝄞b", ""),
+    1 -> Gen.stringOfN(2, Gen.oneOf('é', 'Ж', '中', 'x')))
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 8)
+    toks <- Gen.listOfN(n, genToken)
+    sep <- Gen.oneOf(" ", "\t", "  ", "\n")
+    lead <- Gen.oneOf("", " ")
+    trail <- Gen.oneOf("", "\t")
+  } yield lead + toks.mkString(sep) + trail
+
+  property("tokenHash equals the BigInt mod-2^64 reference") =
+    Prop.forAll(genText) { s =>
+      Sketches.tokenHash(s) == refTokenHash(s)
+    }
+
+  property("simhash equals the BigInt reference on random Unicode text") =
+    Prop.forAll(genText) { s =>
+      Sketches.simhash(UTF8String.fromString(s)) == refSimhash(s)
+    }
+
+  property("minhash (n_shingles, sig, bands) equals the BigInt reference") =
+    Prop.forAll(genText) { s =>
+      val row = Sketches.minhash(UTF8String.fromString(s), 16, 4)
+      val got = (row.getLong(0),
+        row.getArray(1).toLongArray().toSeq,
+        row.getArray(2).toLongArray().toSeq)
+      got == refMinhash(s)
+    }
+}
