@@ -484,6 +484,30 @@ class StreamsSpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  test("maintained-view merge endurance: 50 rounds converge exactly, store stays one generation, no orphan growth") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_merge_endure").toString
+    // 50 merge rounds over 10 keys, values chosen so any dropped or
+    // double-counted batch shows in the exact integer totals
+    val expected = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (r <- 1 to 50) {
+      val rows = (0 until 10).map(k => (f"m$k%02d", (r * 31 + k).toLong))
+      rows.foreach { case (k, v) => expected(k) += v }
+      Streams.upsertCommit(sink,
+        Streams.mergeStage(spark, sink, Seq("mois"), Seq("ca_cents"))(
+          rows.toDF("mois", "ca_cents")))
+      // every commit leaves EXACTLY the one live generation on disk —
+      // replaced generations and crashed-stage orphans never accumulate
+      val stored = new java.io.File(sink, "store").listFiles().map(_.getName).toSet
+      assert(stored == Streams.readManifest(sink).values.toSet, s"round $r: $stored")
+      assert(stored.size == 1, s"round $r: ${stored.size} generations")
+    }
+    val got = Streams.readUpserted(spark, sink)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap)
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
   test("maintained-view merge is crash-atomic: a staged-but-uncommitted merge leaves the previous generation whole") {
     import spark.implicits._
     val sink = java.nio.file.Files.createTempDirectory("graft_merge_atomic").toString
