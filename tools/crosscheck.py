@@ -10,10 +10,11 @@ sf0.001/0.01/0.1); the DuckDB compares add seconds-to-a-few-minutes per
 SF (the simhash/minhash signature restatements are the heaviest).
 Usage: python3 tools/crosscheck.py [sf ...]   (default: all three)
 """
-import subprocess, sys
+import datetime, json, subprocess, sys
 
 sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
 fails = 0
+record = {}
 for sf in sfs:
     out = f"/tmp/graft_crosscheck_{sf}"
     print(f"[crosscheck] Verify {sf} ...", flush=True)
@@ -32,11 +33,23 @@ for sf in sfs:
         capture_output=True, text=True)
     lines = c.stdout.strip().splitlines()
     n_ok = sum(1 for l in lines if l.startswith("ok"))
+    n_fail = sum(1 for l in lines if l.startswith("FAIL"))
     print("\n".join(l for l in lines
                     if l.startswith("FAIL") or l == "PASS" or "FAILURES" in l))
     print(f"[crosscheck] {sf}: {n_ok} queries ok")
+    record[sf] = {"ok": n_ok, "fail": n_fail,
+                  "pass": c.returncode == 0}
     if c.returncode != 0:
         fails += 1
+# committed record of the run, so the cross-SF all-PASS claim is
+# verifiable from the tree without re-deriving it
+head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                      text=True).stdout.strip()
+with open("CROSSCHECK.json", "w") as f:
+    json.dump({"metric": "cross_sf_oracle_sweep", "head_commit": head,
+               "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
+               "runs": record,
+               "all_pass": fails == 0}, f, indent=1)
 print("[crosscheck] ALL PASS" if fails == 0 else
       f"[crosscheck] {fails} SF(s) FAILED")
 sys.exit(1 if fails else 0)
