@@ -102,10 +102,17 @@ object Llm {
     candidatesFromSignatures(minhashSignatures(documents))
 
   private[graft] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
-    val ex = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
-    a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
+    // join on (band INDEX, band value), exactly the oracle's predicate —
+    // the band values are already j-salted, but joining on the value
+    // alone would make the parity rest on cross-position 64-bit
+    // collisions never occurring rather than on an identical predicate
+    val ex = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("j", "band")))
+    val a = ex.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("j"), col("band"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("j"), col("band"))
+    a.join(b, Seq("j", "band")).filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),

@@ -73,6 +73,23 @@ object Streams extends Serializable {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Multi-batch file stream over pre-chunked event files — the fuzz
+    * harness's arrival-order control: each `chunk_NN.parquet` in `dir`
+    * becomes its own micro-batch (oldest modification time first, so the
+    * writer dictates arrival order), which is what lets StreamsProps
+    * drive shuffled, late, and duplicate-burst arrivals through the real
+    * micro-batch/watermark machinery instead of one all-at-once batch. */
+  private[graft] def chunkedEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(first.getAbsolutePath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(dir)
+    raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   /** Tumbling 1-hour event-time aggregation with a watermark. Watermark is
     * a no-op under complete output but defines the late-data contract the
     * production append-mode job would have. */
@@ -175,19 +192,90 @@ object Streams extends Serializable {
     * There is no window where readers can see buckets from two
     * generations (the flaw of the previous per-bucket directory swaps).
     * Orphaned store directories from a crashed stage are garbage, not
-    * corruption, and the next successful commit sweeps them. */
+    * corruption, and the next successful commit sweeps them.
+    *
+    * CONCURRENCY CONTRACT — one committer at a time per sink dir. Any
+    * number of READERS are safe concurrently (they only ever follow the
+    * manifest pointer), and concurrent STAGING is tolerated (staged
+    * generations are invisible), but the commit is serialized: each
+    * staged merge records the manifest commit-id it was derived from,
+    * and [[upsertCommit]] publishes under a lock file with a
+    * compare-and-set on that id. A second writer racing the same sink
+    * therefore fails LOUDLY (`IllegalStateException`) instead of
+    * silently discarding the first writer's merge — the loser's staged
+    * generations may have been swept as orphans, and its recovery is to
+    * restage from the new current generation and commit again. Lock
+    * files left by a crashed writer age out after [[lockLeaseMs]];
+    * a fresh lock is honored (fail loudly), never stolen. */
   def upsertByKey(spark: SparkSession, sinkDir: String, key: String,
       buckets: Int = 16)(batch: DataFrame): Unit =
     upsertCommit(sinkDir, upsertStage(spark, sinkDir, key, buckets)(batch))
+
+  /** A staged-but-uncommitted sink generation: the manifest entries to
+    * publish plus the commit-id of the manifest they were derived from
+    * (the compare-and-set token that makes lost-update races loud) and,
+    * for stream-fed merges, the foreachBatch batch-id folded in (the
+    * redelivery-dedup token recorded at commit). */
+  final case class Staged(base: String, entries: Map[Long, String],
+      batchId: Option[Long] = None)
+
+  /** Committed manifest state: its commit-id ("" before the first
+    * commit / for a pre-contract headerless manifest), the highest
+    * stream batch-id merged in (-1 if none recorded), and entries. */
+  private[graft] final case class ManifestState(commitId: String,
+      lastBatch: Long, entries: Map[Long, String])
+
+  /** Per-JVM writer identity, embedded in generation and commit names so
+    * two writers can never collide on a directory or commit id (nanoTime
+    * alone is not unique across JVMs). */
+  private[graft] val writerToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private val commitSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Age after which another writer's LOCK file is presumed to belong to
+    * a crashed JVM and may be broken. Commits are sub-second metadata
+    * operations (manifest write + rename + orphan sweep), so minutes of
+    * lease is already orders of magnitude conservative. Tests lower it
+    * to exercise crashed-writer recovery. */
+  @volatile private[graft] var lockLeaseMs: Long = 10L * 60 * 1000
+
+  /** Serialize the publish step across JVMs via an atomically-created
+    * LOCK file. A fresh foreign lock fails loudly (live concurrent
+    * writer — the one scenario the contract forbids); a lock older than
+    * [[lockLeaseMs]] is a crashed writer's leftover and is broken. */
+  private def withCommitLock[T](sinkDir: String)(f: => T): T = {
+    new java.io.File(sinkDir).mkdirs()
+    val lock = new java.io.File(sinkDir, "LOCK")
+    if (!lock.createNewFile()) {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      if (age < lockLeaseMs)
+        throw new IllegalStateException(
+          s"concurrent writer holds $lock (age ${age}ms < lease ${lockLeaseMs}ms): " +
+            "the sink allows one committer at a time; retry after it finishes " +
+            "or raise graft.Streams.lockLeaseMs if it crashed")
+      lock.delete() // crashed writer's leftover: lease expired
+      if (!lock.createNewFile())
+        throw new IllegalStateException(
+          s"lost the lock race on $lock while breaking a stale lease")
+    }
+    try {
+      java.nio.file.Files.write(lock.toPath,
+        s"$writerToken ${ProcessHandle.current().pid()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f
+    } finally lock.delete()
+  }
 
   /** Stage one batch's merge: write the touched buckets' next generation
     * into the immutable store and return the manifest the commit should
     * publish. Performs NO visible state change — a crash after staging
     * is invisible to readers (split from [[upsertCommit]] exactly so the
-    * crash window is testable). */
+    * crash window is testable). `tick` is a test-only fault-injection
+    * hook called at each named point of the stage path. */
   private[graft] def upsertStage(spark: SparkSession, sinkDir: String,
-      key: String, buckets: Int = 16)(batch: DataFrame): Map[Long, String] = {
-    val man = readManifest(sinkDir)
+      key: String, buckets: Int = 16, tick: String => Unit = _ => ())(
+      batch: DataFrame): Staged = {
+    val ManifestState(base, _, man) = readManifestState(sinkDir)
     val store = new java.io.File(sinkDir, "store")
     val b = batch.withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
     // driver-side list of touched buckets: bounded by `buckets`, not keys
@@ -203,57 +291,104 @@ object Streams extends Serializable {
           .withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
           .unionByName(b)
       }
-    val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}")
+    val staging = new java.io.File(sinkDir, s"staging_${System.nanoTime()}_$writerToken")
     // one task -> one file per bucket: the bucket is the rewrite unit,
     // so fan-out beyond it only multiplies small files
     merged.repartition(buckets, col("_bucket"))
       .write.partitionBy("_bucket").mode("overwrite")
       .parquet(staging.getAbsolutePath)
+    tick("staging-written")
     store.mkdirs()
     val gen = System.nanoTime()
     val fresh = touched.flatMap { i =>
       val src = new java.io.File(staging, s"_bucket=$i")
       if (src.isDirectory) { // a touched bucket can be empty after the merge
-        val name = s"b${i}_g$gen"
+        val name = s"b${i}_g${gen}_$writerToken"
         require(src.renameTo(new java.io.File(store, name)),
           s"upsert stage failed: $src -> $store/$name")
         Some(i -> name)
       } else None
     }.toMap
+    tick("store-renamed")
     deleteRec(staging)
     // untouched buckets carry over; emptied touched buckets drop out
-    (man -- touched) ++ fresh
+    Staged(base, (man -- touched) ++ fresh)
   }
 
-  /** Publish a staged generation: write the manifest beside the store,
-    * then ONE atomic rename onto `MANIFEST` — the only visible state
-    * change the sink ever makes — and sweep store directories the new
-    * manifest no longer references (replaced generations + any garbage a
-    * crashed stage left). */
-  private[graft] def upsertCommit(sinkDir: String, next: Map[Long, String]): Unit = {
-    val tmp = new java.io.File(sinkDir, s"MANIFEST_tmp_${System.nanoTime()}")
-    val body = next.toSeq.sorted.map { case (i, n) => s"$i $n" }
-      .mkString("", "\n", "\n")
+  /** Publish a staged generation: under the commit lock, verify the
+    * manifest is still the one the stage was derived from (compare-and-
+    * set — a concurrent commit in between means this merge would silently
+    * erase that one, so it fails loudly instead), write the manifest
+    * beside the store, then ONE atomic rename onto `MANIFEST` — the only
+    * visible state change the sink ever makes — and sweep store
+    * directories the new manifest no longer references (replaced
+    * generations + any garbage a crashed stage left). `tick` is the
+    * test-only fault-injection hook behind the crash matrix. */
+  private[graft] def upsertCommit(sinkDir: String, staged: Staged,
+      tick: String => Unit = _ => ()): Unit = withCommitLock(sinkDir) {
+    tick("lock-acquired")
+    val cur = readManifestState(sinkDir)
+    if (cur.commitId != staged.base)
+      throw new IllegalStateException(
+        s"concurrent writer detected on $sinkDir: staged against manifest " +
+          s"'${staged.base}' but '${cur.commitId}' is now committed — this " +
+          "merge no longer includes that commit's rows; restage from the " +
+          "current generation and retry")
+    val commitId = s"c${commitSeq.incrementAndGet()}_$writerToken"
+    // a commit without a batch-id (manual merge) carries the previous
+    // high-water mark forward — it must not reopen the redelivery window
+    val lastBatch = staged.batchId.getOrElse(cur.lastBatch)
+    val tmp = new java.io.File(sinkDir, s"MANIFEST_tmp_${System.nanoTime()}_$writerToken")
+    val body = staged.entries.toSeq.sorted.map { case (i, n) => s"$i $n" }
+      .mkString(s"#commit $commitId\n#batch $lastBatch\n", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tick("manifest-tmp-written")
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(sinkDir, "MANIFEST").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    tick("manifest-renamed")
     val store = new java.io.File(sinkDir, "store")
-    val live = next.values.toSet
+    val live = staged.entries.values.toSet
     Option(store.listFiles()).getOrElse(Array.empty)
-      .filterNot(d => live(d.getName)).foreach(deleteRec)
+      .filterNot(d => live(d.getName))
+      .foreach { d => tick("sweep-orphan"); deleteRec(d) }
   }
 
   /** Parse `MANIFEST` (bucket -> store directory); empty before the
     * first commit. */
-  private[graft] def readManifest(sinkDir: String): Map[Long, String] = {
+  private[graft] def readManifest(sinkDir: String): Map[Long, String] =
+    readManifestState(sinkDir).entries
+
+  /** Parse `MANIFEST` with its commit-id header. A missing manifest next
+    * to a legacy `current/` directory (the pre-manifest sink layout) is
+    * a migration hazard, not an empty sink — treating it as "no prior
+    * state" would silently reset the accumulated view while a surviving
+    * stream checkpoint prevents reprocessing — so it fails loudly. */
+  private[graft] def readManifestState(sinkDir: String): ManifestState = {
     val f = new java.io.File(sinkDir, "MANIFEST")
-    if (!f.isFile) Map.empty
-    else scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).map { l =>
-      val Array(i, n) = l.split(" ", 2)
-      i.toLong -> n
-    }.toMap
+    if (!f.isFile) {
+      if (new java.io.File(sinkDir, "current").isDirectory)
+        throw new IllegalStateException(
+          s"$sinkDir has a legacy 'current/' layout but no MANIFEST: refusing " +
+            "to treat it as an empty sink (that would silently drop the " +
+            "accumulated state); migrate it by committing 'current' as a " +
+            "generation, or point the writer at a fresh directory")
+      ManifestState("", -1L, Map.empty)
+    } else {
+      val lines = scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSeq
+      val commitId = lines.collectFirst {
+        case l if l.startsWith("#commit ") => l.stripPrefix("#commit ")
+      }.getOrElse("")
+      val lastBatch = lines.collectFirst {
+        case l if l.startsWith("#batch ") => l.stripPrefix("#batch ").toLong
+      }.getOrElse(-1L)
+      val entries = lines.filterNot(_.startsWith("#")).map { l =>
+        val Array(i, n) = l.split(" ", 2)
+        i.toLong -> n
+      }.toMap
+      ManifestState(commitId, lastBatch, entries)
+    }
   }
 
   /** Read the sink's current committed generation — the manifest IS the
@@ -299,8 +434,8 @@ object Streams extends Serializable {
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(ordersDir)
     val q = stream.writeStream
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"))(
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"), batchId)(
           Gold.caMonthlyPartial(batch.toDF())))
       .trigger(Trigger.AvailableNow())
       .start()
@@ -325,9 +460,9 @@ object Streams extends Serializable {
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(ordersDir)
     val q = stream.writeStream
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeKeyedPartial(spark, sinkDir, Seq("c_custkey"),
-          Seq("spend_cents", "total_orders"))(
+          Seq("spend_cents", "total_orders"), batchId)(
           Gold.validOrders(batch.toDF())
             .groupBy(col("o_custkey").as("c_custkey"))
             .agg(sum(Tables.cents(col("o_totalprice"))).as("spend_cents"),
@@ -354,17 +489,32 @@ object Streams extends Serializable {
     * one small file by construction — maintained grains are bounded
     * (months, clients), and a single writer task avoids a shuffle for
     * the small row counts. */
-  private def mergeKeyedPartial(spark: SparkSession, sinkDir: String,
-      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Unit =
-    upsertCommit(sinkDir, mergeStage(spark, sinkDir, keys, sums)(partial))
+  private[graft] def mergeKeyedPartial(spark: SparkSession, sinkDir: String,
+      keys: Seq[String], sums: Seq[String], batchId: Long = -1L)(
+      partial: DataFrame): Unit = {
+    // foreachBatch is at-least-once: after a crash between the manifest
+    // commit and the stream checkpoint write, the SAME batch is
+    // redelivered on restart. A sum-merge is not idempotent, so the
+    // committed manifest records the batch high-water mark and a
+    // replayed batch is a no-op instead of a double-count. (Batch-ids
+    // from one checkpointed query are monotone; the replace-by-key
+    // upsert sink needs no such guard — re-replacing the same rows is
+    // naturally idempotent.)
+    if (batchId >= 0 && readManifestState(sinkDir).lastBatch >= batchId) return
+    upsertCommit(sinkDir,
+      mergeStage(spark, sinkDir, keys, sums)(partial)
+        .copy(batchId = if (batchId >= 0) Some(batchId) else None))
+  }
 
   /** Stage one partial merge: write the merged table as the next
-    * generation in the store and return the one-entry manifest the
-    * commit should publish. No visible state change (the testable crash
-    * window, exactly like [[upsertStage]]). */
+    * generation in the store and return the staged one-entry manifest
+    * (with its compare-and-set base) the commit should publish. No
+    * visible state change (the testable crash window, exactly like
+    * [[upsertStage]]). */
   private[graft] def mergeStage(spark: SparkSession, sinkDir: String,
-      keys: Seq[String], sums: Seq[String])(partial: DataFrame): Map[Long, String] = {
-    val man = readManifest(sinkDir)
+      keys: Seq[String], sums: Seq[String], tick: String => Unit = _ => ())(
+      partial: DataFrame): Staged = {
+    val ManifestState(base, _, man) = readManifestState(sinkDir)
     val merged =
       if (man.isEmpty) partial
       else readUpserted(spark, sinkDir).unionByName(partial)
@@ -373,10 +523,12 @@ object Streams extends Serializable {
           sums.tail.map(c => sum(c).as(c)): _*)
     val store = new java.io.File(sinkDir, "store")
     store.mkdirs()
-    val gen = s"view_g${System.nanoTime()}"
+    tick("staging-written")
+    val gen = s"view_g${System.nanoTime()}_$writerToken"
     merged.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(store, gen).getAbsolutePath)
-    Map(0L -> gen)
+    tick("store-renamed")
+    Staged(base, Map(0L -> gen))
   }
 
   /** Streaming exact dedup by event_id with watermark-bounded state
@@ -391,10 +543,16 @@ object Streams extends Serializable {
   /** Run the streaming dedup over a doubled event stream (every file read
     * twice) and return the surviving rows — proves duplicate suppression
     * across the stream. */
-  def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
-    val name = sinkName(spark, "graft_dedup_stream")
+  def eventsDedupStreamed(spark: SparkSession, dir: String): DataFrame = {
     val src = eventsStream(spark, dir)
-    val q = eventsDedupStream(src.union(src))
+    dedupDrain(spark, src.union(src))
+  }
+
+  /** The dedup drain behind [[eventsDedupStreamed]], split on the source
+    * for the fuzz harness (duplicate bursts across micro-batches). */
+  private[graft] def dedupDrain(spark: SparkSession, source: DataFrame): DataFrame = withStatePartitions(spark) {
+    val name = sinkName(spark, "graft_dedup_stream")
+    val q = eventsDedupStream(source)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -416,16 +574,23 @@ object Streams extends Serializable {
     * purchase rollup happens on the materialized pairs afterwards.
     * Purchases with no preceding click don't appear (inner semantics,
     * same as the oracle's plain join). */
-  def attributionStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def attributionStreamed(spark: SparkSession, dir: String): DataFrame =
+    attributionInnerDrain(spark, () => eventsStream(spark, dir))
+
+  /** The inner-attribution drain behind [[attributionStreamed]], split on
+    * a source FACTORY (each side of a stream-stream join needs its own
+    * source instance tracking its own offsets) for the fuzz harness. */
+  private[graft] def attributionInnerDrain(spark: SparkSession,
+      mkSource: () => DataFrame): DataFrame = withStatePartitions(spark) {
     val name = sinkName(spark, "graft_attr_stream")
     // two independent source instances: each side of a stream-stream
     // join tracks its own offsets/watermark
-    val clicks = eventsStream(spark, dir)
+    val clicks = mkSource()
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = mkSource()
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -599,11 +764,18 @@ object Streams extends Serializable {
     * statestore read source — making the result equal to the batch
     * sessionizer's. The flush collects only still-open sessions (bounded
     * by active users in the final gap window), not the output. */
-  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def eventSessionsStreamed(spark: SparkSession, dir: String): DataFrame =
+    sessionsDrain(spark, eventsStream(spark, dir))
+
+  /** The sessionization drain behind [[eventSessionsStreamed]], split on
+    * the SOURCE so the fuzz harness can feed chunked/shuffled/late
+    * arrivals ([[chunkedEventsStream]]) through the identical
+    * state-machine + timeout + end-of-stream-flush machinery. */
+  private[graft] def sessionsDrain(spark: SparkSession, source: DataFrame): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val name = sinkName(spark, "graft_sessions_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sessions_ckpt")
-    val q = sessionizeStream(eventsStream(spark, dir))
+    val q = sessionizeStream(source)
       .writeStream
       .outputMode("append")
       .format("memory")

@@ -511,7 +511,7 @@ class StreamsSpec extends SparkSpec {
   test("maintained-view merge is crash-atomic: a staged-but-uncommitted merge leaves the previous generation whole") {
     import spark.implicits._
     val sink = java.nio.file.Files.createTempDirectory("graft_merge_atomic").toString
-    def merge(rows: (String, Long)*): Map[Long, String] =
+    def merge(rows: (String, Long)*): Streams.Staged =
       Streams.mergeStage(spark, sink, Seq("mois"), Seq("ca_cents"))(
         rows.toDF("mois", "ca_cents"))
     def snapshot = Streams.readUpserted(spark, sink)
