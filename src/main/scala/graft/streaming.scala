@@ -117,7 +117,21 @@ object Streams extends Serializable {
     * state forever. The zero watermark delay matches the deterministic
     * test stream; a production job would set it to its late-data
     * tolerance. Events are sorted within each micro-batch before folding
-    * into state. */
+    * into state.
+    *
+    * LATE ROWS ARE DROPPED IN THE FOLD: unlike aggregations and
+    * dropDuplicates, Spark delivers sub-watermark rows to
+    * flatMapGroupsWithState UNFILTERED — enforcing the late-data
+    * contract is the operator's job. Before this guard, a late event
+    * folded straight into state: `e.ts - st.last` went negative, the
+    * "gap" test passed, and the session extended BACKWARDS to a
+    * negative duration — silent corruption that only multi-batch
+    * arrival can trigger (found by the StreamsProps fuzz harness;
+    * pinned by the late-arrival regression test in StreamsSpec). The
+    * boundary is inclusive: a row exactly AT the watermark is on time.
+    * State rows always satisfy `st.last <= watermark`, so after the
+    * guard `e.ts >= st.last` holds and durations are non-negative by
+    * construction. */
   def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -136,7 +150,9 @@ object Streams extends Serializable {
         state.remove()
         Iterator(close(userId, st))
       } else {
-        val evs = it.toSeq.sortBy(_.tsMicros)
+        val evs = it.toSeq
+          .filter(_.tsMicros >= state.getCurrentWatermarkMs() * 1000L)
+          .sortBy(_.tsMicros)
         var st = state.getOption.orNull
         val out = Seq.newBuilder[ClosedSession]
         for (e <- evs) {

@@ -83,6 +83,53 @@ class StreamsSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key0))(spark.conf.set(key0, _))
   }
 
+  test("late arrivals are dropped at the watermark, never folded backwards into session state") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // Spark delivers sub-watermark rows to flatMapGroupsWithState
+    // UNFILTERED; before the fold's guard, the late t=500 row below
+    // extended the open [7000,7000] session BACKWARDS to end=500 —
+    // a negative-duration session (found by StreamsProps; this pins the
+    // minimal two-batch reproduction). Boundary rows (ts == watermark)
+    // are on time.
+    def ts(off: Long) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(off))
+    def chunk(rows: (Long, Long, Long)*) =
+      rows.map { case (id, u, off) => (id, u, "view", ts(off), 1.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_events")
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_stage")
+    try {
+      // batch 1: user 1 at t=1000 and t=7000 (watermark after it: 7000)
+      // batch 2: LATE t=500 (dropped), boundary t=7000 for user 2 (kept),
+      //          6999 late for user 2 (dropped), on-time t=7100 user 1
+      val chunks = Seq(
+        chunk((1L, 1L, 1000L), (2L, 1L, 7000L)),
+        chunk((3L, 1L, 500L), (4L, 2L, 7000L), (5L, 2L, 6999L), (6L, 1L, 7100L)))
+      chunks.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir.toFile, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 10000L)
+      }
+      val got = Streams.sessionsDrain(spark, Streams.chunkedEventsStream(spark, dir.toString))
+        .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+          col("duration_sec"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      val base = ts(0).getTime / 1000
+      assert(got == Seq(
+        (1L, base + 1000, 0L, 1L),   // first session, closed by the gap
+        (1L, base + 7000, 100L, 2L), // extended by on-time 7100, NOT by late 500
+        (2L, base + 7000, 0L, 1L)),  // boundary row kept; 6999 dropped
+        s"got $got")
+      assert(got.forall(_._3 >= 0), "negative-duration session emitted")
+    } finally {
+      Streams.deleteRec(dir.toFile); Streams.deleteRec(stage.toFile)
+    }
+  }
+
   test("stream-stream attribution join equals the batch range join") {
     val ev = Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
