@@ -18,9 +18,19 @@ QUERIES = ["copurchase_triangles", "events_attribution", "bm25_search",
            "product_rank", "copurchase_distance"]
 SF_DIR = "/root/testdata/sf0.1"
 
-prev = sys.argv[1] if len(sys.argv) > 1 else None
+args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
+prev = args[0] if args else None
 if not prev:
-    sys.exit("usage: python3 tools/calibrate.py <previous-round-commit>")
+    sys.exit("usage: python3 tools/calibrate.py <previous-round-commit> [--allow-dirty]")
+# the HEAD bench runs in the repo root working tree, so a dirty tree
+# would label the measurement with a commit it doesn't correspond to —
+# refuse unless explicitly overridden (then the artifact records it)
+dirty = bool(subprocess.run(["git", "status", "--porcelain"],
+                            capture_output=True, text=True).stdout.strip())
+if dirty and "--allow-dirty" not in sys.argv:
+    sys.exit("[calibrate] working tree is dirty: the HEAD timing would not "
+             "correspond to the recorded head_commit; commit first or pass "
+             "--allow-dirty to record head_dirty=true")
 head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                       text=True).stdout.strip()
 prev_full = subprocess.run(["git", "rev-parse", prev], capture_output=True,
@@ -76,6 +86,28 @@ finally:
     subprocess.run(["git", "worktree", "remove", "--force", wt],
                    capture_output=True)
 
+# machine-drift-corrected full-suite ratio: the probe queries are code-
+# untouched between the two commits, so head_probe/prev_probe is pure
+# machine drift; dividing the full-suite BENCH_FULL ratio by it yields a
+# machine-independent cross-round comparison by construction. Uses the
+# committed BENCH_FULL.json of each commit (the prev worktree carries
+# the previous round's artifact; the repo root carries this round's).
+probe_ratio = sum(head_times.values()) / sum(prev_times.values())
+drift_corrected = None
+full_totals = {}
+try:
+    shown = subprocess.run(["git", "show", f"{prev_full}:BENCH_FULL.json"],
+                           capture_output=True, text=True)
+    if shown.returncode != 0:
+        raise OSError(f"no BENCH_FULL.json at {prev_full[:12]}")
+    full_totals["prev"] = json.loads(shown.stdout)["value"]
+    with open("BENCH_FULL.json") as f:
+        full_totals["head"] = json.load(f)["value"]
+    drift_corrected = round(
+        (full_totals["head"] / full_totals["prev"]) / probe_ratio, 4)
+except (OSError, KeyError, ValueError, ZeroDivisionError) as e:
+    print(f"[calibrate] no drift-corrected ratio ({e}); raw probe ratio only")
+
 out = {
     "metric": "machine_calibration",
     "unit": "sec",
@@ -83,14 +115,20 @@ out = {
     "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
     "prev_commit": prev_full,
     "head_commit": head,
+    "head_dirty": dirty,
     "timing": "graft.Bench noop-materialize min-of-3, same machine, back-to-back",
     "queries": {q: {"prev": prev_times.get(q), "head": head_times.get(q)}
                 for q in QUERIES},
     "total": {"prev": round(sum(prev_times.values()), 3),
               "head": round(sum(head_times.values()), 3)},
-    "note": "head/prev ratio isolates code deltas on these five untouched "
-            "heavy queries; compare a cross-round BENCH delta to this "
-            "ratio before calling it a regression",
+    "machine_drift_ratio": round(probe_ratio, 4),
+    "bench_full_total": full_totals or None,
+    "drift_corrected_vs_prev": drift_corrected,
+    "note": "machine_drift_ratio = head/prev on five untouched heavy "
+            "queries (pure VM drift); drift_corrected_vs_prev = "
+            "(BENCH_FULL head/prev) / machine_drift_ratio — the "
+            "machine-independent cross-round suite ratio; <1 means the "
+            "code got faster",
 }
 with open("CALIBRATION.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -10,7 +10,7 @@ sf0.001/0.01/0.1); the DuckDB compares add seconds-to-a-few-minutes per
 SF (the simhash/minhash signature restatements are the heaviest).
 Usage: python3 tools/crosscheck.py [sf ...]   (default: all three)
 """
-import datetime, json, subprocess, sys
+import datetime, json, os, subprocess, sys
 
 sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
 fails = 0
@@ -34,10 +34,23 @@ for sf in sfs:
     lines = c.stdout.strip().splitlines()
     n_ok = sum(1 for l in lines if l.startswith("ok"))
     n_fail = sum(1 for l in lines if l.startswith("FAIL"))
+    # the ok/FAIL counts are scraped from selfcheck's stdout while
+    # pass/fail comes from its return code — reconcile them against the
+    # dumped query set so an output-format change can never record ok=0
+    # next to pass=true and silently hollow out the committed record
+    n_dumped = sum(1 for d in os.listdir(out)
+                   if os.path.isdir(os.path.join(out, d)))
+    if n_ok + n_fail != n_dumped:
+        print(f"[crosscheck] {sf}: scraped ok+fail = {n_ok}+{n_fail} != "
+              f"{n_dumped} dumped queries — selfcheck output format drifted")
+        fails += 1
+        record[sf] = {"ok": n_ok, "fail": n_fail, "dumped": n_dumped,
+                      "pass": False, "count_mismatch": True}
+        continue
     print("\n".join(l for l in lines
                     if l.startswith("FAIL") or l == "PASS" or "FAILURES" in l))
     print(f"[crosscheck] {sf}: {n_ok} queries ok")
-    record[sf] = {"ok": n_ok, "fail": n_fail,
+    record[sf] = {"ok": n_ok, "fail": n_fail, "dumped": n_dumped,
                   "pass": c.returncode == 0}
     if c.returncode != 0:
         fails += 1
