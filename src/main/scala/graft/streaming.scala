@@ -258,7 +258,11 @@ object Streams extends Serializable {
   /** Serialize the publish step across JVMs via an atomically-created
     * LOCK file. A fresh foreign lock fails loudly (live concurrent
     * writer — the one scenario the contract forbids); a lock older than
-    * [[lockLeaseMs]] is a crashed writer's leftover and is broken. */
+    * [[lockLeaseMs]] is a crashed writer's leftover and is broken by
+    * atomic RENAME, so when two writers race the same stale lock exactly
+    * one wins the break (delete-then-create would let both through and
+    * reopen the silent-lost-update window the lock exists to close) —
+    * the other fails loudly and retries. */
   private def withCommitLock[T](sinkDir: String)(f: => T): T = {
     new java.io.File(sinkDir).mkdirs()
     val lock = new java.io.File(sinkDir, "LOCK")
@@ -269,10 +273,15 @@ object Streams extends Serializable {
           s"concurrent writer holds $lock (age ${age}ms < lease ${lockLeaseMs}ms): " +
             "the sink allows one committer at a time; retry after it finishes " +
             "or raise graft.Streams.lockLeaseMs if it crashed")
-      lock.delete() // crashed writer's leftover: lease expired
+      val broken = new java.io.File(sinkDir,
+        s"LOCK_broken_${System.nanoTime()}_$writerToken")
+      if (!lock.renameTo(broken))
+        throw new IllegalStateException(
+          s"another writer won the race to break the stale lock $lock; retry")
+      broken.delete()
       if (!lock.createNewFile())
         throw new IllegalStateException(
-          s"lost the lock race on $lock while breaking a stale lease")
+          s"lost the lock race on $lock after breaking a stale lease; retry")
     }
     try {
       java.nio.file.Files.write(lock.toPath,

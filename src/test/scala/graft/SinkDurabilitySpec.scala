@@ -200,6 +200,39 @@ class SinkDurabilitySpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  test("contention stress: six concurrent writers with retry-on-conflict all land, none lost") {
+    // the documented recovery loop under real contention: every writer
+    // retries the WHOLE stage+commit on a loud conflict, so no
+    // committed merge is ever lost and the sink converges to the union
+    val sink = tmp("graft_contend")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 6).map { w =>
+      new Thread(() => {
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 100) {
+          attempts += 1
+          try {
+            Streams.upsertByKey(spark, sink, "user_id")(kv(w.toLong -> w.toDouble))
+            done = true
+          } catch {
+            // a loser can also fail mid-STAGE when the winner's sweep
+            // removes the base generation it was reading — any of these
+            // is the same documented recovery: restage and retry
+            case scala.util.control.NonFatal(_) => Thread.sleep(20)
+          }
+        }
+        if (!done) errors.add(new RuntimeException(s"writer $w starved"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+    assert(upsertSnap(sink) == (1 to 6).map(w => w.toLong -> w.toDouble).toMap)
+    assertStoreClean(sink)
+    assert(!new java.io.File(sink, "LOCK").exists())
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
   test("a legacy current/ layout without a MANIFEST fails loudly instead of silently resetting the view") {
     val sink = tmp("graft_legacy")
     new java.io.File(sink, "current").mkdirs()
