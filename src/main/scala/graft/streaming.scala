@@ -833,9 +833,16 @@ object Streams extends Serializable {
     * events parquet and return the materialized result — the streaming
     * twin of the batch `events_hourly` query, checked against the same
     * DuckDB oracle. */
-  def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def eventsHourlyStreamed(spark: SparkSession, dir: String): DataFrame =
+    hourlyDrain(spark, eventsStream(spark, dir))
+
+  /** The complete-mode hourly drain, split on the source for the fuzz
+    * harness: complete output keeps ALL window state (the watermark is a
+    * no-op), so the result must equal the batch aggregate over EVERY
+    * row under any chunking — late arrivals included. */
+  private[graft] def hourlyDrain(spark: SparkSession, source: DataFrame): DataFrame = withStatePartitions(spark) {
     val name = sinkName(spark, "graft_events_stream")
-    val q = hourlyAgg(eventsStream(spark, dir))
+    val q = hourlyAgg(source)
       .writeStream
       .outputMode("complete")
       .format("memory")

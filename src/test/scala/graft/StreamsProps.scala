@@ -172,6 +172,25 @@ object StreamsProps extends Properties("Streams") {
       } finally Streams.deleteRec(new java.io.File(dir))
     }
 
+  property("complete-mode hourly aggregate is arrival-order invariant — late rows included") =
+    Prop.forAll(genChunked) { case (all, chunks) =>
+      // complete output keeps all window state (watermark no-op), so ANY
+      // chunking — including chunks that arrive entirely below the
+      // watermark — must reproduce the batch aggregate over EVERY row
+      val dir = writeChunks(chunks)
+      try {
+        def canon(df: DataFrame) = df
+          .withColumn("heure", date_format(col("heure"), "yyyy-MM-dd HH:mm:ss"))
+          .collect().map(_.mkString("|")).toSeq.sorted
+        val streamed = canon(
+          Streams.hourlyDrain(spark, Streams.chunkedEventsStream(spark, dir)))
+        val oracle = canon(toDf(all)
+          .groupBy(date_trunc("hour", col("ts")).as("heure"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value")))
+        (streamed == oracle) :| s"streamed=$streamed oracle=$oracle"
+      } finally Streams.deleteRec(new java.io.File(dir))
+    }
+
   property("chunked stream-stream attribution equals the batch range join") =
     Prop.forAll(genContiguous) { case (all, chunks) =>
       val dir = writeChunks(chunks)
