@@ -378,6 +378,21 @@ object Streams extends Serializable {
     Option(store.listFiles()).getOrElse(Array.empty)
       .filterNot(d => live(d.getName))
       .foreach { d => tick("sweep-orphan"); deleteRec(d) }
+    // crashed stages/commits also leave sink-ROOT garbage (staging_*
+    // dirs, MANIFEST_tmp_* files, LOCK_broken_* markers) that the store
+    // sweep above never touches. Swept only past the lock lease: a LIVE
+    // concurrent stage writes into a fresh staging_* dir, and yanking it
+    // mid-write on every commit would starve that writer into its retry
+    // loop; anything older than the lease belongs to a crashed JVM.
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(sinkDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        (n.startsWith("staging_") || n.startsWith("MANIFEST_tmp_") ||
+          n.startsWith("LOCK_broken_")) &&
+          now - f.lastModified() >= lockLeaseMs
+      }
+      .foreach { f => tick("sweep-orphan"); deleteRec(f) }
   }
 
   /** Parse `MANIFEST` (bucket -> store directory); empty before the

@@ -180,6 +180,41 @@ class SinkDurabilitySpec extends SparkSpec {
     }
   }
 
+  test("sink-root garbage from crashed stages/commits survives while fresh, is swept once past the lease") {
+    val sink = tmp("graft_rootsweep")
+    def rootGarbage = new java.io.File(sink).listFiles().map(_.getName)
+      .filter(n => n.startsWith("staging_") || n.startsWith("MANIFEST_tmp_"))
+    Streams.upsertByKey(spark, sink, "user_id")(kv(1L -> 1.0))
+    // a crashed stage leaves its staging_* dir; a crashed commit its
+    // MANIFEST_tmp_* file — neither lives under store/, so the store
+    // sweep alone would let them accumulate forever
+    intercept[Crash] {
+      Streams.upsertStage(spark, sink, "user_id",
+        tick = crashAt("staging-written"))(kv(2L -> 2.0))
+    }
+    intercept[Crash] {
+      Streams.upsertCommit(sink,
+        Streams.upsertStage(spark, sink, "user_id")(kv(2L -> 2.0)),
+        tick = crashAt("manifest-tmp-written"))
+    }
+    assert(rootGarbage.exists(_.startsWith("staging_")) &&
+      rootGarbage.exists(_.startsWith("MANIFEST_tmp_")))
+    // FRESH garbage survives a commit — it could be a live concurrent
+    // writer's in-flight stage, and yanking it would starve that writer
+    Streams.upsertByKey(spark, sink, "user_id")(kv(3L -> 3.0))
+    assert(rootGarbage.length == 2, s"fresh root garbage swept early: ${rootGarbage.toSeq}")
+    // aged past the lease it belongs to a crashed JVM: next commit sweeps
+    val past = System.currentTimeMillis() - Streams.lockLeaseMs - 60000
+    new java.io.File(sink).listFiles()
+      .filter(f => rootGarbage.contains(f.getName))
+      .foreach(f => assert(f.setLastModified(past)))
+    Streams.upsertByKey(spark, sink, "user_id")(kv(4L -> 4.0))
+    assert(rootGarbage.isEmpty, s"aged root garbage not swept")
+    assert(upsertSnap(sink) == Map(1L -> 1.0, 3L -> 3.0, 4L -> 4.0))
+    assertStoreClean(sink)
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
   test("foreachBatch replay is a no-op; a manual commit carries the batch high-water mark forward") {
     val sink = tmp("graft_replay")
     def merge(id: Long, v: Long): Unit =
