@@ -468,15 +468,26 @@ object Streams extends Serializable {
     * to the batch recompute (hash-checked against ca_monthly's oracle),
     * in any batch split or arrival order. */
   def caMonthlyMaintained(spark: SparkSession, ordersDir: String,
-      sinkDir: String, filesPerBatch: Int = 2): DataFrame = {
+      sinkDir: String, filesPerBatch: Int = 2,
+      checkpointDir: Option[String] = None,
+      crashAfterCommitOfBatch: Long = -1L): DataFrame = {
     val schema = spark.read.parquet(ordersDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(ordersDir)
-    val q = stream.writeStream
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+    val writer = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"), batchId)(
-          Gold.caMonthlyPartial(batch.toDF())))
+          Gold.caMonthlyPartial(batch.toDF()))
+        // test-only fault: die AFTER the manifest commit but BEFORE Spark
+        // records the batch in the checkpoint — the exact window where a
+        // restart REDELIVERS the already-merged batch through the real
+        // recovery path (StreamsSpec proves the batch-id high-water mark
+        // makes the replay a no-op instead of a double-count)
+        if (batchId == crashAfterCommitOfBatch)
+          throw new RuntimeException(s"injected crash after commit of batch $batchId")
+      }
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -902,9 +913,18 @@ object Streams extends Serializable {
     * the same machinery. Complete-mode AvailableNow drain, checked
     * against the SAME batch oracle as the native batch form (update
     * mode is the one session_window doesn't support). */
-  def sessionsNativeStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def sessionsNativeStreamed(spark: SparkSession, dir: String): DataFrame =
+    sessionsNativeDrain(spark, eventsStream(spark, dir))
+
+  /** The native session_window drain, split on the source for the fuzz
+    * harness: complete output ignores the watermark entirely, so
+    * gap-bounded session windows must coalesce to the batch result
+    * under ANY multi-batch arrival — late chunks included (the
+    * engine-managed merge of session state the hand-rolled FMGWS
+    * variant reimplements). */
+  private[graft] def sessionsNativeDrain(spark: SparkSession, source: DataFrame): DataFrame = withStatePartitions(spark) {
     val name = sinkName(spark, "graft_sessions_native_stream")
-    val q = eventsStream(spark, dir)
+    val q = source
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),

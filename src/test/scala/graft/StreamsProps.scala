@@ -191,6 +191,26 @@ object StreamsProps extends Properties("Streams") {
       } finally Streams.deleteRec(new java.io.File(dir))
     }
 
+  property("native session_window under chunked (no-late) arrival coalesces to the batch sessions") =
+    Prop.forAll(genContiguous) { case (all, chunks) =>
+      // the engine must MERGE session-window state across micro-batches:
+      // a later chunk extends or bridges already-materialized sessions
+      // and the final windows equal the batch computation. No-late
+      // chunking only: the fuzz's first run proved complete mode is NOT
+      // watermark-free for session_window — rows whose candidate window
+      // END falls below the watermark are dropped at ingress, with the
+      // filter's watermark lagging one batch behind the FMGWS-visible
+      // one (characterized in StreamsSpec) — engine-internal timing a
+      // portable oracle should not model
+      val dir = writeChunks(chunks)
+      try {
+        val streamed = canonSessions(
+          Streams.sessionsNativeDrain(spark, Streams.chunkedEventsStream(spark, dir)))
+        val oracle = canonSessions(Serving.eventSessionsNative(toDf(all)))
+        (streamed == oracle) :| s"streamed=$streamed oracle=$oracle"
+      } finally Streams.deleteRec(new java.io.File(dir))
+    }
+
   property("chunked stream-stream attribution equals the batch range join") =
     Prop.forAll(genContiguous) { case (all, chunks) =>
       val dir = writeChunks(chunks)

@@ -130,6 +130,51 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("characterization: complete-mode session_window drops late rows by candidate-window END, not raw ts") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // Engine behavior pinned by the fuzz harness (Spark 4.1): complete
+    // output is NOT watermark-free for session_window — an input row
+    // whose candidate window [ts, ts+gap) has already CLOSED below the
+    // watermark is dropped at ingress, while a row whose raw ts is
+    // below the watermark but whose window end is not still merges.
+    // (Contrast: the hand-rolled FMGWS sessionizer sees raw rows and
+    // enforces a boundary-inclusive raw-ts contract.) If a Spark
+    // upgrade changes this, the native and batch session queries'
+    // late-data stories need re-auditing — that is what this pins.
+    def ts(off: Long) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(off))
+    def chunk(rows: (Long, Long, Long)*) =
+      rows.map { case (id, u, off) => (id, u, "view", ts(off), 1.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw_late")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sw_stage")
+    try {
+      // watermark delay 2h, gap 30min. After batches 1-2 the watermark
+      // reaches 20000-7200=12800. Batch 3: u2 at t=1000 (window end
+      // 2800 < wm -> dropped); u3 at t=13000 (raw ts below wm but
+      // window end 14800 > wm -> kept).
+      val chunks = Seq(
+        chunk((1L, 1L, 20000L)),
+        chunk((9L, 9L, 20500L)),
+        chunk((2L, 2L, 1000L), (3L, 3L, 13000L)))
+      chunks.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir.toFile, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 10000L)
+      }
+      val users = Streams.sessionsNativeDrain(spark,
+          Streams.chunkedEventsStream(spark, dir.toString))
+        .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(users == Seq(1L, 3L, 9L),
+        s"session_window late-row semantics changed: $users")
+    } finally {
+      Streams.deleteRec(dir.toFile); Streams.deleteRec(stage.toFile)
+    }
+  }
+
   test("stream-stream attribution join equals the batch range join") {
     val ev = Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
@@ -699,6 +744,41 @@ class StreamsSpec extends SparkSpec {
         case _ => r.kind == "video"
       })
     assert(kinds.forall(identity))
+  }
+
+  test("checkpoint restart redelivers the committed-but-unacknowledged batch; the merge stays exactly-once") {
+    import org.apache.spark.sql.functions._
+    // the real recovery path, not a simulated replay: the stream crashes
+    // AFTER batch 2's manifest commit but BEFORE Spark records batch 2
+    // in the checkpoint — on restart Spark redelivers batch 2 with the
+    // same batch-id through foreachBatch, and the manifest's high-water
+    // mark must make it a no-op (without it every month in batch 2
+    // double-counts and the hash-checked totals drift)
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val sink = java.nio.file.Files.createTempDirectory("graft_ckpt_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_meta")
+    try {
+      val orders = Tables.orders(spark, sf)
+      orders.repartition(5).write.mode("overwrite").parquet(src.toString)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Streams.caMonthlyMaintained(spark, src.toString, sink.toString,
+          filesPerBatch = 1, checkpointDir = Some(ckpt.toString),
+          crashAfterCommitOfBatch = 2L)
+      }
+      assert(ex.getMessage.contains("injected crash"))
+      // batch 2 IS committed in the sink despite the crash
+      assert(Streams.readManifestState(sink.toString).lastBatch == 2L)
+      val restarted = Streams.caMonthlyMaintained(spark, src.toString,
+          sink.toString, filesPerBatch = 1, checkpointDir = Some(ckpt.toString))
+        .collect().map(_.mkString("|")).toSeq
+      val batch = Gold.caMonthly(Gold.buildFact(orders,
+          Tables.customer(spark, sf), Tables.nation(spark, sf)))
+        .collect().map(_.mkString("|")).toSeq
+      assert(restarted == batch, "redelivered batch double-counted or lost")
+    } finally {
+      Streams.deleteRec(src.toFile); Streams.deleteRec(sink.toFile)
+      Streams.deleteRec(ckpt.toFile)
+    }
   }
 
   test("streaming gold maintenance: per-batch merges converge to the batch aggregate") {
