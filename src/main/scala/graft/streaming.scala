@@ -715,14 +715,24 @@ object Streams extends Serializable {
     * would stay stranded in state and the result could never equal the
     * batch left join it is hash-checked against. State stays bounded to
     * one hour per user exactly as in the inner form. */
-  def attributionOuterStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def attributionOuterStreamed(spark: SparkSession, dir: String): DataFrame =
+    attributionOuterDrain(spark,
+      () => eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir)))
+
+  /** The left-outer drain behind [[attributionOuterStreamed]], split on a
+    * source FACTORY for the fuzz harness — the fuzz writes its own
+    * sentinel row as the final chunk instead of the heartbeat union, so
+    * the null-row flush runs through the same machinery under random
+    * data and multi-batch arrival. */
+  private[graft] def attributionOuterDrain(spark: SparkSession,
+      mkSource: () => DataFrame): DataFrame = withStatePartitions(spark) {
     val name = sinkName(spark, "graft_attr_outer")
-    val clicks = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+    val clicks = mkSource()
       .filter(col("event_type").isin("click", "sentinel"))
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+    val purchases = mkSource()
       .filter(col("event_type").isin("purchase", "sentinel"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -763,14 +773,22 @@ object Streams extends Serializable {
     * purchase's window), so it only ever appears as an orphan of user -1.
     * State stays bounded to one hour per user exactly as in the inner and
     * left-outer forms. */
-  def attributionFullStreamed(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+  def attributionFullStreamed(spark: SparkSession, dir: String): DataFrame =
+    attributionFullDrain(spark,
+      () => eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir)))
+
+  /** The full-outer drain behind [[attributionFullStreamed]], split on a
+    * source factory for the fuzz harness (same sentinel-as-final-chunk
+    * pattern as [[attributionOuterDrain]]). */
+  private[graft] def attributionFullDrain(spark: SparkSession,
+      mkSource: () => DataFrame): DataFrame = withStatePartitions(spark) {
     val name = sinkName(spark, "graft_attr_full")
-    val clicks = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+    val clicks = mkSource()
       .filter(col("event_type").isin("click", "sentinel"))
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir))
+    val purchases = mkSource()
       .filter(col("event_type").isin("purchase", "sentinel"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
