@@ -646,6 +646,51 @@ class StreamsSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("characterization: a duplicate arriving after its original aged out of dedup state re-emits") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // dropDuplicatesWithinWatermark guarantees suppression only for
+    // duplicates within the watermark delay of each other — that is the
+    // "WithinWatermark" in the name, and the reason its state stays
+    // bounded. This pins the OTHER side of the contract: once the
+    // watermark ages the original out of state, a far-late duplicate is
+    // indistinguishable from a new event and emits again. Consumers
+    // needing absolute exactly-once across unbounded time need the
+    // batch exact-dedup (or the persisted incremental index) downstream.
+    def ts(off: Long) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(off))
+    def chunk(rows: (Long, Long)*) =
+      rows.map { case (id, off) => (id, id, "view", ts(off), 1.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_age")
+    val stage = java.nio.file.Files.createTempDirectory("graft_dedup_stage")
+    try {
+      // watermark delay 1h. id=7 at t=0; filler advances the watermark
+      // to 3h; id=7 again at t=4h — original long aged out -> re-emits.
+      // id=8's duplicate stays within the delay -> suppressed.
+      val chunks = Seq(
+        chunk((7L, 0L), (8L, 14000L)),
+        chunk((9L, 14400L)),
+        chunk((7L, 14500L), (8L, 14300L)))
+      chunks.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir.toFile, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 10000L)
+      }
+      val got = Streams.dedupDrain(spark, Streams.chunkedEventsStream(spark, dir.toString))
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      val counts = got.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts(8L) == 1, s"in-window duplicate escaped: $got")
+      assert(counts(9L) == 1)
+      assert(counts(7L) == 2,
+        s"aged-out duplicate did not re-emit (contract changed?): $got")
+    } finally {
+      Streams.deleteRec(dir.toFile); Streams.deleteRec(stage.toFile)
+    }
+  }
+
   test("streaming dedup suppresses duplicates from a doubled stream") {
     val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
     val streamed = Streams.eventsDedupStreamed(spark, sf)
