@@ -18,8 +18,11 @@ import org.scalacheck.Prop.propBoolean
   * single-batch fixtures can never reach those states. */
 object StreamsProps extends Properties("Streams") {
 
+  // each sample runs real streaming queries (seconds apiece), so the
+  // default stays small; GRAFT_FUZZ_N deepens a soak run without a code
+  // change (e.g. GRAFT_FUZZ_N=25 sbt "testOnly graft.StreamsProps")
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(5)
+    p.withMinSuccessfulTests(sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(5))
 
   private lazy val spark = SparkSpec.session
 
