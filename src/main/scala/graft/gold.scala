@@ -630,13 +630,13 @@ object Gold {
       .groupBy("o_custkey")
       .agg(max(when(year(col("o_orderdate")) === y1, 1L).otherwise(0L)).as("in1"),
         max(when(year(col("o_orderdate")) === y2, 1L).otherwise(0L)).as("in2"))
-      .agg(sum(col("in1") * col("in2")).as("n_both"),
-        sum(col("in1") * (lit(1L) - col("in2"))).as("n_only_first"),
-        sum(col("in2") * (lit(1L) - col("in1"))).as("n_only_second"))
+      // coalesce: a global sum over an EMPTY frame is NULL — the
+      // empty-input row must be zeros (with NULL jaccard), not nulls
+      .agg(coalesce(sum(col("in1") * col("in2")), lit(0L)).as("n_both"),
+        coalesce(sum(col("in1") * (lit(1L) - col("in2"))), lit(0L)).as("n_only_first"),
+        coalesce(sum(col("in2") * (lit(1L) - col("in1"))), lit(0L)).as("n_only_second"))
       .select(col("n_both"), col("n_only_first"), col("n_only_second"),
-        round(col("n_both") /
-          (col("n_both") + col("n_only_first") + col("n_only_second")), 6)
-          .as("jaccard"))
+        overlapJaccard)
 
   /** [[customerOverlap]] through Dataset.intersect / Dataset.except —
     * Catalyst rewrites them to left-semi / left-anti joins over the
@@ -650,9 +650,20 @@ object Gold {
       .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_first")))
       .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_second")))
       .select(col("n_both"), col("n_only_first"), col("n_only_second"),
-        round(col("n_both") /
-          (col("n_both") + col("n_only_first") + col("n_only_second")), 6)
-          .as("jaccard"))
+        overlapJaccard)
+  }
+
+  /** Jaccard of the two year-sets, NULL when both are empty — 0/0 is
+    * undefined, and under ANSI mode (Spark 4's default) the unguarded
+    * division THROWS on an empty-input frame instead of returning a
+    * row. Found by EventsProps' customerOverlap property when a sample
+    * drew no valid orders in either year — an aggregate over an empty
+    * frame must degrade to a row of zeros, never crash. (The matrix and
+    * n-gram Jaccard variants divide by unions that are structurally
+    * ≥ 1 whenever their row exists.) */
+  private def overlapJaccard: Column = {
+    val denom = col("n_both") + col("n_only_first") + col("n_only_second")
+    round(when(denom =!= 0, col("n_both") / denom), 6).as("jaccard")
   }
 
   /** The whole year×year overlap MATRIX in one pass — the pairwise

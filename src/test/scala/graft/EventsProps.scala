@@ -92,7 +92,29 @@ object EventsProps extends Properties("Events") {
       val expected = Seq((a & b).size.toLong, (a -- b).size.toLong, (b -- a).size.toLong)
       val fused = Gold.customerOverlap(orders, 1994, 1995).head()
       val sets = Gold.customerOverlapSets(orders, 1994, 1995).head()
-      fused.toSeq.take(3) == expected && sets.toSeq.take(3) == expected
+      // both year-sets empty: the row must still come back, with NULL
+      // jaccard (0/0) — the unguarded division THREW here under ANSI
+      val jaccardOk =
+        if (a.isEmpty && b.isEmpty) fused.isNullAt(3) && sets.isNullAt(3)
+        else !fused.isNullAt(3) && !sets.isNullAt(3)
+      fused.toSeq.take(3) == expected && sets.toSeq.take(3) == expected && jaccardOk
+    }
+
+  property("customerOverlap on an all-invalid frame returns one zero row with NULL jaccard, never throws") =
+    Prop.secure {
+      import spark.implicits._
+      // every row invalid (price 0) => both year-sets empty => 0/0;
+      // the deterministic pin of the ANSI divide-by-zero crash the
+      // generator above hits with ~0.8% probability per sample
+      val allInvalid = Seq(
+        (1L, 1L, "F", 0.0, Timestamp.valueOf("1994-06-01 00:00:00"), "1-URGENT"),
+        (2L, 2L, "F", 0.0, Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+      val r = Gold.customerOverlap(allInvalid, 1994, 1995).head()
+      val s = Gold.customerOverlapSets(allInvalid, 1994, 1995).head()
+      r.toSeq.take(3) == Seq(0L, 0L, 0L) && r.isNullAt(3) &&
+        s.toSeq.take(3) == Seq(0L, 0L, 0L) && s.isNullAt(3)
     }
 
   property("userStateIntervals equals the driver-side run collapse") =
