@@ -323,7 +323,7 @@ object SparkEntry {
     // cents deltas at (annee, status) grain
     "snapshot_diff" -> ((s, d) =>
       Layout.snapshotDiff(fact(s, d),
-        s.read.parquet(restatedFactDir(s, d)))),
+        Tables.parquetOr(s, restatedFactDir(s, d), fact(s, d).schema))),
     // year x year customer-overlap matrix: one key-grain self-join
     "customer_overlap_matrix" -> ((s, d) =>
       Gold.customerOverlapMatrix(Tables.orders(s, d))),
@@ -690,7 +690,7 @@ object SparkEntry {
     // partition-pruned year slice off the annee-partitioned fact sink
     // (the layout Pipeline.run writes): only annee=1995/ is listed/read
     "fact_year_slice" -> ((s, d) => Gold.yearSlice(
-      s.read.parquet(factSink(s, d)), 1995)),
+      Tables.parquetOr(s, factSink(s, d), fact(s, d).schema), 1995)),
 
     // -- grouping sets / sessionization / export / ml extensions --
     "ca_rollup" -> ((s, d) => Serving.caRollup(fact(s, d))),
@@ -2635,7 +2635,9 @@ object SparkEntry {
         (CAST(floor(((doc_id + 13) * 2654435761) % 4294967296 * 1000000
                     / 4294967296) AS BIGINT) + 0.5) / 1000000.0 AS u
         FROM documents)
-      SELECT doc_id, source, n_chars, round(pow(u, 1.0 / n_chars), 9) AS priority
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n_chars > 0 THEN round(pow(u, 1.0 / n_chars), 9)
+                  ELSE 0.0 END AS priority
       FROM s ORDER BY priority DESC, doc_id LIMIT 100""",
 
     "sample_mix" -> """
@@ -3104,16 +3106,17 @@ object SparkEntry {
           sum(CASE WHEN a = 0 THEN c*c ELSE 0 END) AS ss_b
         FROM s),
       r AS (SELECT n_a, n_b,
-          CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
-          CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+          CAST(s_a AS DOUBLE) / nullif(n_a, 0) / 100.0 AS mean_a,
+          CAST(s_b AS DOUBLE) / nullif(n_b, 0) / 100.0 AS mean_b,
           (n_a * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE))
-            / (n_a * (n_a - 1)) / 10000.0 AS var_a,
+            / nullif(n_a * (n_a - 1), 0) / 10000.0 AS var_a,
           (n_b * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE))
-            / (n_b * (n_b - 1)) / 10000.0 AS var_b
+            / nullif(n_b * (n_b - 1), 0) / 10000.0 AS var_b
         FROM m)
       SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
              round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
-             round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS welch_t
+             round((mean_a - mean_b)
+                   / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS welch_t
       FROM r""",
 
     // is_anomaly reads the ROUNDED z, like the engine's withColumn chain
@@ -3187,16 +3190,16 @@ object SparkEntry {
                sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM x0)
       SELECT CAST(n AS BIGINT) AS n,
         round(((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-               (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+               nullif(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0))
               / 100.0, 6) AS slope_per_day,
         round((CAST(sy AS DOUBLE)/n -
                (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-               (n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               nullif(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0) *
                (CAST(sx AS DOUBLE)/n)) / 100.0, 6) AS intercept,
         round(((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) *
                (n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) /
-              ((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-               (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+              nullif((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)), 0),
               6) AS r2
       FROM mom""",
 

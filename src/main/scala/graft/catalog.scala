@@ -96,7 +96,11 @@ object Catalog {
       ascii(col("o_orderstatus"))),
       Tables.cents(col("o_totalprice")) % M),
       datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))))
-    orders.agg(count(lit(1)).as("n_rows"), sum(h).as("checksum"))
+    // empty table → sum is NULL; pin the empty digest to 0 so callers
+    // (compaction audits) compare longs, never NPE — 0 is unreachable
+    // for non-empty input only up to collision, but n_rows disambiguates
+    orders.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(h), lit(0L)).as("checksum"))
   }
 
   /** The reference API's `fetch_collection` shape

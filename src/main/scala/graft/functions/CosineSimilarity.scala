@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Mismatched lengths → null, exactly like the HOF form (zip_with pads
   * the shorter array with nulls, poisoning the aggregate); null input →
   * null.
+  *
+  * Zero-norm inputs → null (cosine is undefined): the HOF form's Divide
+  * THROWS under ANSI mode on norm 0, and the raw IEEE quotient is
+  * NaN — which Spark orders GREATEST, so a zero embedding would surface
+  * as the top hit of every descending top-k. NULL drops it from ranking
+  * (nulls last) and from `>= threshold` filters, the only behavior that
+  * is safe when a 100 TB corpus contains all-zero vectors (failed
+  * embedding jobs produce exactly those).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -59,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -84,7 +93,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $na += $x * $x;
          |    $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

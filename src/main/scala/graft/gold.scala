@@ -35,14 +35,25 @@ object Gold {
   val MaxAmount = 1000000.0
 
   /** Reference date = max purchase timestamp collected to the driver
-    * (reference :226 `achats.agg(F.max("date_achat")).first()`). Returned
-    * untyped: parquet `timestamp[ms]` without a UTC flag surfaces as
-    * TIMESTAMP_NTZ in Spark 4 (java.time.LocalDateTime), as
-    * java.sql.Timestamp otherwise — `lit()` accepts both. */
-  def referenceDate(orders: DataFrame): Any = {
+    * (reference :226 `achats.agg(F.max("date_achat")).first()`), returned
+    * as a literal Column. The raw scalar is untyped: parquet
+    * `timestamp[ms]` without a UTC flag surfaces as TIMESTAMP_NTZ in
+    * Spark 4 (java.time.LocalDateTime), as java.sql.Timestamp
+    * otherwise — `lit()` accepts both, and `lit()` on the returned
+    * Column is identity, so downstream `lit(ref)` call sites work
+    * unchanged.
+    *
+    * Empty/all-null orders → a NULL literal CAST TO THE SOURCE COLUMN
+    * TYPE (an untyped `lit(null)` is NullType, which fails
+    * `o_orderdate >= NULL - INTERVAL …` analysis with
+    * DATATYPE_MISMATCH). The typed NULL makes every trailing-window
+    * predicate evaluate to NULL → all rows filtered → downstream frames
+    * empty: an empty slice degrades to an empty report instead of
+    * crashing the job. */
+  def referenceDate(orders: DataFrame): Column = {
     val ts = orders.agg(max("o_orderdate")).first().get(0)
-    require(ts != null, "no valid o_orderdate in orders")
-    ts
+    if (ts == null) lit(null).cast(orders.schema("o_orderdate").dataType)
+    else lit(ts)
   }
 
   /** Gold-entry amount guard (reference :225). */
@@ -599,7 +610,13 @@ object Gold {
   def copurchaseDistanceFrom(cp: DataFrame, maxDepth: Int = 10): DataFrame = {
     val edges = cp.select(col("c").as("a"), col("p").as("b"))
       .unionByName(cp.select(col("p").as("a"), col("c").as("b")))
-    val seed = cp.agg(min("p")).head().getLong(0)
+    val seedRow = cp.agg(min("p")).head()
+    // no co-purchase pairs → no seed → no reachable nodes: empty report
+    // (BFS from a nonexistent node is the empty frontier, not an error)
+    if (seedRow.isNullAt(0))
+      return cp.sparkSession.range(0).select(lit("").as("kind"),
+        lit(0L).as("node_key"), lit(0).as("dist"))
+    val seed = seedRow.getLong(0)
     Graph.bfsDistances(edges, seed, maxDepth)
       .select(
         when(pmod(col("node"), lit(2)) === 0, lit("customer"))
@@ -790,9 +807,12 @@ object Gold {
         sum(d38(col("y") * col("z"))).as("syz"))
     def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
       def dbl(c: String) = col(c).cast("double")
+      // a constant feature zeroes its moment delta — correlation is
+      // undefined there (NULL), and ANSI mode would otherwise throw on
+      // the exact-0.0 division
       round((col("n") * dbl(sxy) - dbl(sx) * dbl(sy)) /
-        sqrt((col("n") * dbl(sxx) - dbl(sx) * dbl(sx)) *
-             (col("n") * dbl(syy) - dbl(sy) * dbl(sy))), 6)
+        nullif(sqrt((col("n") * dbl(sxx) - dbl(sx) * dbl(sx)) *
+             (col("n") * dbl(syy) - dbl(sy) * dbl(sy))), lit(0.0)), 6)
     }
     m.select(col("n"), explode(array(
         struct(lit("freq_12m").as("x_name"), lit("monetary_12m").as("y_name"),
@@ -817,11 +837,17 @@ object Gold {
     val a = Prep.hashPct(col("o_custkey"), seed) < 50
     val cts = Tables.cents(col("o_totalprice"))
     def dbl(c: String) = col(c).cast("double")
-    def mean(s: String, n: String) = dbl(s) / col(n) / 100.0
+    // nullif guards (same class as customerOverlap's empty-union fix):
+    // an empty arm (n=0) or a single-order arm (n=1) leaves mean /
+    // variance undefined — NULL, never a DIVIDE_BY_ZERO throw (under
+    // Spark 4 ANSI mode even DOUBLE division by exact 0 throws). A
+    // filtered segment that hashes every order into one arm is routine
+    // at scale; the statistic must degrade, not crash the job.
+    def mean(s: String, n: String) = dbl(s) / nullif(col(n), lit(0L)) / 100.0
     // sample variance in dollars²: (n·Sxx − Sx²) / (n·(n−1)) / 100²
     def vari(s: String, ss: String, n: String) =
       (col(n) * dbl(ss) - dbl(s) * dbl(s)) /
-        (col(n) * (col(n) - 1)) / 10000.0
+        nullif(col(n) * (col(n) - 1), lit(0L)) / 10000.0
     validOrders(orders)
       .agg(
         sum(when(a, 1L).otherwise(0L)).as("n_a"),
@@ -835,9 +861,12 @@ object Gold {
         round(mean("s_b", "n_b"), 6).as("mean_b"),
         round(vari("s_a", "ss_a", "n_a"), 6).as("var_a"),
         round(vari("s_b", "ss_b", "n_b"), 6).as("var_b"),
+        // zero pooled variance (both arms constant-valued) → welch_t
+        // undefined → NULL, same nullif discipline as the means above
         round((mean("s_a", "n_a") - mean("s_b", "n_b")) /
-          sqrt(vari("s_a", "ss_a", "n_a") / col("n_a") +
-               vari("s_b", "ss_b", "n_b") / col("n_b")), 6).as("welch_t"))
+          nullif(sqrt(vari("s_a", "ss_a", "n_a") / col("n_a") +
+               vari("s_b", "ss_b", "n_b") / col("n_b")), lit(0.0)), 6)
+          .as("welch_t"))
   }
 
   /** Shipping-priority top-k — the public TPC-H Q3 shape (selective
@@ -930,7 +959,15 @@ object Gold {
       .groupBy("pays", "hi").agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy("pays").agg(sum("o").as("r"))
     val colT = cells.groupBy("hi").agg(sum("o").as("c"))
-    val tot = cells.agg(sum("o")).head().getLong(0)
+    // sum over an empty frame is NULL — an empty fact must yield a
+    // zeros-and-NULL report row (the statistic is undefined without
+    // observations), never a driver NPE off getLong(null)
+    val tot = Option(cells.agg(sum("o")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (tot == 0L)
+      return spark.range(1).select(
+        lit(0L).as("n_countries"), lit(0L).as("dof"),
+        lit(null).cast("double").as("chi2"))
     val (nr, nc) = (rowT.count(), colT.count())
     val chi = rowT.crossJoin(colT) // |countries|×2 margin cross, not data-sized
       .join(cells, Seq("pays", "hi"), "left")
@@ -1023,9 +1060,17 @@ object Gold {
         sum((col("d") * col("d")).cast("decimal(38,0)")).as("b"),
         sum("d").as("d2")) // Σ_c d_c = 2m exactly (each edge adds w twice)
       .head()
+    val nC = labels.select("label").distinct().count()
+    // edgeless graph → NULL sums and m=0 — modularity is undefined (its
+    // normalizer is 2m): report the community count with NULL Q, never
+    // NPE/0-division. An empty month slice of the co-occurrence graph
+    // is a routine state for a scheduled graph report.
+    if (r.isNullAt(0) || r.getLong(2) == 0L)
+      return spark.range(1).select(
+        lit(nC).as("n_communities"),
+        lit(null).cast("double").as("modularity"))
     val (a, b, m) = (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2) / 2)
     val q = a.toDouble / m - b / (4.0 * m * m)
-    val nC = labels.select("label").distinct().count()
     spark.range(1).select(
       lit(nC).as("n_communities"),
       round(lit(q), 6).as("modularity"))
@@ -1272,7 +1317,10 @@ object Gold {
       nation: DataFrame, since: String = "2000-01-01"): DataFrame = {
     val r = customer.filter(col("c_acctbal") > 0)
       .agg(sum(cents(col("c_acctbal"))), count(lit(1))).first()
-    val avgBal = r.getLong(0) / 100.0 / r.getLong(1)
+    // no positive-balance customers → NULL sum → threshold +∞: nobody
+    // "beats the average of nothing", the report is empty (never an NPE)
+    val avgBal = if (r.isNullAt(0)) Double.PositiveInfinity
+      else r.getLong(0) / 100.0 / r.getLong(1)
     customer.filter(col("c_acctbal") > avgBal)
       .select("c_custkey", "c_acctbal", "c_nationkey")
       .join(orders.filter(col("o_orderdate") >= lit(since).cast("timestamp"))
@@ -1438,8 +1486,10 @@ object Gold {
           .cast("long").as("rev4"))
       .groupBy("l_suppkey")
       .agg(sum("rev4").as("rev4"))
-    val maxRev = bySupp.agg(max("rev4")).first().getLong(0)
-    bySupp.filter(col("rev4") === maxRev)
+    // empty window → NULL max → no winner: `rev4 === NULL` filters all
+    // rows and the report is empty (never a getLong(null) throw)
+    val maxRev = bySupp.agg(max("rev4")).first().get(0)
+    bySupp.filter(col("rev4") === lit(maxRev).cast("long"))
       .join(supplier.select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),

@@ -152,7 +152,12 @@ object Graph {
          .union(e.select(col("dst").as("id"))).distinct())
       .localCheckpoint()
     val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    // empty graph → empty ranking (1/n is undefined, but there is
+    // nothing to rank — degrade, don't crash: an empty edge slice is a
+    // routine state for a scheduled graph job)
+    if (n == 0L)
+      return nodes.sparkSession.range(0)
+        .select(col("id").cast("long").as("id"), lit(0.0).as("rank"))
     // |V| rows of (long, double) is ~64 MB at 4M nodes: below that, both
     // the degree attach AND the per-round rank join go map-side
     // (broadcast), so the edge frame is never exchanged at all — the

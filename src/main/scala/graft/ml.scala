@@ -37,6 +37,9 @@ object Ml {
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
       .withColumn("fv", array_to_vector(col("emb")))
+    // fail-loud precondition (EmptyInputSpec whitelist): the coarse
+    // quantizer cannot train on an empty corpus
+    require(!e.isEmpty, "knnIvf: no embedding rows to index")
     val model = new MlKMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("emb"), col("cell"))
@@ -96,6 +99,9 @@ object Ml {
     import org.apache.spark.ml.functions.array_to_vector
     val df = embeddings.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    // fail-loud precondition (EmptyInputSpec whitelist): PCA of an
+    // empty corpus has no covariance to decompose
+    require(!df.isEmpty, "embeddingPca: no embedding rows to decompose")
     val model = new MlPCA().setInputCol("features").setOutputCol("pc")
       .setK(k).fit(df)
     val ev = model.explainedVariance.toArray
@@ -222,6 +228,10 @@ object Ml {
       (max(col("o_orderdate")) - expr(s"INTERVAL $horizonDays DAYS")).as("score_cutoff"),
       (max(col("o_orderdate")) - expr(s"INTERVAL ${2 * horizonDays} DAYS")).as("train_cutoff"))
       .first()
+    // fail-loud precondition (EmptyInputSpec whitelist): no orders means
+    // no cutoffs, no labels, nothing to fit — a clear error beats the
+    // NULL-literal analysis failure the windows would otherwise hit
+    require(!cut.isNullAt(0), "propensityBacktest: no valid orders to train on")
     val train = labeledWindow(orders, lineitem, cut.get(2), cut.get(1))
     val holdout = labeledWindow(orders, lineitem, cut.get(1), cut.get(0))
 
@@ -265,6 +275,10 @@ object Ml {
     * scaled `features` vector the silhouette needs), shared by
     * [[kmeansSegments]] and [[kmeansSilhouette]]. */
   private def kmeansAssign(features: DataFrame, k: Int, seed: Long): DataFrame = {
+    // fail-loud precondition (EmptyInputSpec whitelist): clustering an
+    // empty feature frame is undefined — surface a clear error instead
+    // of KMeans' internal "empty collection" failure
+    require(!features.isEmpty, "kmeans: no feature rows to cluster")
     val assembler = new VectorAssembler()
       .setInputCols(Array("freq_12m", "monetary_12m", "recency_days"))
       .setOutputCol("raw_features")
@@ -342,6 +356,9 @@ object Ml {
     import org.apache.spark.ml.functions.array_to_vector
     val e = corpus.select(
       array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    // fail-loud precondition (EmptyInputSpec whitelist, via
+    // knn_ivf_incremental): no corpus, no quantizer
+    require(!e.isEmpty, "ivfCentroids: no embedding rows to index")
     val model = new MlKMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
     val rows = model.clusterCenters.toSeq.zipWithIndex
@@ -370,7 +387,10 @@ object Ml {
       sum(Tables.cents(col("o_totalprice"))).as("s_cents"),
       count(lit(1)).as("n"))
     val globalRow = perCat.agg(sum("s_cents"), sum("n")).head()
-    val mu = globalRow.getLong(0) / 100.0 / globalRow.getLong(1)
+    // empty fact → NULL global sums; μ=0 feeds a frame with no category
+    // rows, so the encoding output is empty (never a getLong NPE)
+    val mu = if (globalRow.isNullAt(0)) 0.0
+      else globalRow.getLong(0) / 100.0 / globalRow.getLong(1)
     perCat.select(col("pays"), col("n"),
         round((col("s_cents") / 100.0 + lit(m * mu)) / (col("n") + lit(m)), 6)
           .as("enc"))

@@ -149,8 +149,20 @@ object Pipeline {
     * table to delete one customer; this rewrites
     * |partitions containing the key|. Returns the end state per
     * partition. */
+  /** Minimal read schema for an EMPTY annee-partitioned fact sink (a
+    * zero-row partitionBy write leaves no part files to infer from; see
+    * [[Tables.parquetOr]]). Only the columns this module touches on the
+    * empty path — non-empty sinks never consult it. */
+  private val emptySinkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_custkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_totalprice",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("annee",
+      org.apache.spark.sql.types.LongType)))
+
   def deleteKey(spark: SparkSession, dir: String, custkey: Long): DataFrame = {
-    val sink = spark.read.parquet(dir)
+    val sink = Tables.parquetOr(spark, dir, emptySinkSchema)
     val years = sink.filter(col("o_custkey") === custkey)
       .select("annee").distinct().collect().map(_.getAs[Number](0).intValue())
     if (years.nonEmpty)
@@ -165,7 +177,7 @@ object Pipeline {
 
   /** Per-partition post-state of an annee-partitioned fact sink. */
   def partitionState(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    Tables.parquetOr(spark, dir, emptySinkSchema)
       .groupBy("annee")
       .agg(count(lit(1)).as("n"), Tables.moneySum(col("o_totalprice")).as("ca"))
       .orderBy("annee")

@@ -166,8 +166,12 @@ object Prep {
   def samplePriority(documents: DataFrame, k: Int = 100,
       seed: Long = 13L): DataFrame = {
     val u = (hashPpm(col("doc_id"), seed) + lit(0.5)) / lit(1000000.0)
+    // zero-length doc ⇒ weight 0 ⇒ A-Res priority 0 (never sampled) —
+    // the u^(1/0) exponent would THROW under ANSI mode, and empty
+    // documents are routine in a raw 100 TB crawl
     documents.select(col("doc_id"), col("source"), col("n_chars"),
-        round(pow(u, lit(1.0) / col("n_chars")), 9).as("priority"))
+        when(col("n_chars") > 0, round(pow(u, lit(1.0) / col("n_chars")), 9))
+          .otherwise(lit(0.0)).as("priority"))
       .orderBy(desc("priority"), col("doc_id"))
       .limit(k)
   }

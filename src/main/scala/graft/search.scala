@@ -81,7 +81,9 @@ object Search {
     val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = docLen.agg(count(lit(1)).as("n"), avg("len").as("avglen")).head()
     val n = stats.getLong(0)
-    val avglen = stats.getDouble(1)
+    // empty corpus → NULL avg length; the scoring frame below is empty
+    // either way, any positive stand-in yields the same empty top-k
+    val avglen = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
     val tf = toks.filter(col("word").isin(query: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -169,7 +171,10 @@ object Search {
       bigrams.groupBy("w1", "w2").agg(sum("cnt").as("c12")))
     val left = corpus.groupBy("w1").agg(sum("c12").as("c1"))
     val right = corpus.groupBy("w2").agg(sum("c12").as("c2"))
-    val bTotal = corpus.agg(sum("c12")).head().getLong(0)
+    // empty corpus → NULL total; the pair frame below is empty anyway,
+    // any non-zero stand-in yields the same empty scoring (no NPE)
+    val bTotal = Option(corpus.agg(sum("c12")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     corpus.filter(col("c12") >= minCount)
       .join(left, "w1").join(right, "w2")
       .withColumn("pmi", round(log(

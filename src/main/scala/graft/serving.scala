@@ -67,8 +67,12 @@ object Serving {
     * sigma; 3.5 the standard robust-z cut (Iglewicz-Hoaglin). */
   def dailyAnomalyRobust(fact: DataFrame, threshold: Double = 3.5): DataFrame = {
     val d = dailyDense(fact)
-    val med = d.select(expr("percentile(ca, 0.5)")).first().getDouble(0)
-    val mad = d.select(expr(s"percentile(abs(ca - $med), 0.5)")).first().getDouble(0)
+    // empty fact → NULL median; (0,0) keeps the nullif-guarded z NULL
+    // over the (empty) dense series instead of throwing off getDouble
+    val med = Option(d.select(expr("percentile(ca, 0.5)")).first().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val mad = Option(d.select(expr(s"percentile(abs(ca - $med), 0.5)")).first().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
     d.withColumn("robust_z",
         round((col("ca") - lit(med)) / nullif(lit(1.4826 * mad), lit(0.0)), 6))
       .withColumn("is_anomaly",
@@ -99,18 +103,21 @@ object Serving {
         sum(d38(col("x") * col("x"))).as("sxx"),
         sum(d38(col("y") * col("y"))).as("syy"),
         sum(d38(col("x") * col("y"))).as("sxy"))
-      .select(col("n"),
-        round(((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
-          (col("n") * dbl("sxx") - dbl("sx") * dbl("sx"))) / 100.0, 6)
-          .as("slope_per_day"),
-        round((dbl("sy") / col("n") -
-          (col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
-            (col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
-            (dbl("sx") / col("n"))) / 100.0, 6).as("intercept"),
-        round(((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) *
-               (col("n") * dbl("sxy") - dbl("sx") * dbl("sy"))) /
-          ((col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
-           (col("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("r2"))
+      .select({
+        // nullif guards: a single-day series (n=1 ⇒ Σx² = (Σx)² = 0) or
+        // a constant-revenue series (n·Σy² = (Σy)²) zeroes a moment
+        // delta and the fit is undefined — NULL, never a throw (Spark 4
+        // ANSI raises DIVIDE_BY_ZERO on double/0 too). One day of data
+        // is a routine cold-start state, not an error.
+        val dxy = col("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+        val dxx = nullif(col("n") * dbl("sxx") - dbl("sx") * dbl("sx"), lit(0.0))
+        val dyy = col("n") * dbl("syy") - dbl("sy") * dbl("sy")
+        Seq(col("n"),
+          round((dxy / dxx) / 100.0, 6).as("slope_per_day"),
+          round((dbl("sy") / col("n") -
+            dxy / dxx * (dbl("sx") / col("n"))) / 100.0, 6).as("intercept"),
+          round((dxy * dxy) / nullif(dxx * dyy, lit(0.0)), 6).as("r2"))
+      }: _*)
   }
 
   def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
@@ -157,7 +164,11 @@ object Serving {
     * reference's scoring thresholds). */
   def distribution(fact: DataFrame, bins: Int = 12): DataFrame = {
     val r = fact.agg(min("o_totalprice"), max("o_totalprice")).first()
-    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    // empty fact → NULL min/max; (0,0) degenerates to the single-bucket
+    // branch and the groupBy over zero rows yields an empty histogram
+    // (never a getDouble(null) throw — empty slices are routine at scale)
+    val (mn, mx) = if (r.isNullAt(0)) (0.0, 0.0)
+      else (r.getDouble(0), r.getDouble(1))
     val bucket =
       if (mx > mn)
         least(floor((col("o_totalprice") - lit(mn)) / lit((mx - mn) / bins)),
@@ -178,7 +189,9 @@ object Serving {
     * cross-engine float-formatting trap). */
   def distributionLabeled(fact: DataFrame, bins: Int = 12): DataFrame = {
     val r = fact.agg(min("o_totalprice"), max("o_totalprice")).first()
-    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    // empty fact → NULL min/max → empty histogram (see [[distribution]])
+    val (mn, mx) = if (r.isNullAt(0)) (0.0, 0.0)
+      else (r.getDouble(0), r.getDouble(1))
     val step = if (mx > mn) (mx - mn) / bins else 1.0
     val bucket =
       if (mx > mn)
@@ -217,13 +230,21 @@ object Serving {
     * unchanged, results become rows-only). */
   def distributionQuantile(fact: DataFrame, buckets: Int = 10): DataFrame = {
     val probs = (0 to buckets).map(_.toDouble / buckets)
-    val edges = fact.select(expr(
+    // empty fact → NULL percentile array → no edges, one catch-all
+    // bucket over zero rows = empty histogram (never a null getSeq NPE)
+    val edges = Option(fact.select(expr(
       s"percentile(o_totalprice, array(${probs.mkString(", ")}))").as("e"))
-      .first().getSeq[Double](0)
+      .first().get(0)).map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
     val interior = edges.slice(1, buckets)
     val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("o_totalprice") >= lit(e), 1L).otherwise(0L)
     }
+    // the no-edges (empty-fact) case must bypass element_at entirely:
+    // the lookup is constant-foldable there, and ANSI element_at on the
+    // empty literal array throws AT PLAN TIME, zero input rows or not
+    if (edges.isEmpty)
+      return fact.sparkSession.range(0).select(lit(0L).as("bucket"),
+        lit(0.0).as("lo"), lit(0.0).as("hi"), lit(0L).as("count"))
     val edgeArr = typedlit(edges)
     fact.groupBy(bucket.as("bucket"))
       .agg(count("o_orderkey").as("count"))
@@ -543,6 +564,14 @@ object Serving {
       sum(col("cents").cast("decimal(38,0)")).as("sx"),
       sum(when(col("rk") > topCut, col("cents")).otherwise(0L)
         .cast("decimal(38,0)")).as("topx")).head()
+    // empty fact → NULL decimal sums; the concentration statistics are
+    // undefined without clients — report n=0 with NULL metrics rather
+    // than NPE off getDecimal(null)
+    if (n == 0L || m.isNullAt(0))
+      return spark.range(1).select(
+        lit(0L).as("n_clients"),
+        lit(null).cast("double").as("gini"),
+        lit(null).cast("double").as("top10_share"))
     val (rx, sx, topx) = (m.getDecimal(0).doubleValue(),
       m.getDecimal(1).doubleValue(), m.getDecimal(2).doubleValue())
     val gini = 2.0 * rx / (n * sx) - (n + 1.0) / n
@@ -1030,9 +1059,13 @@ object Serving {
     val b = orders.filter(year(col("o_orderdate")) === yearB)
       .select(col("o_totalprice").as("amount"))
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val interior = a.select(expr(
+    // percentile over an empty baseline is NULL: no edges ⇒ everything
+    // lands in one catch-all bucket with NULL psi_terms (n_a=0 keeps
+    // the per-bucket guard closed) — a drift monitor with no reference
+    // period must report, not NPE off getSeq(null)
+    val interior = Option(a.select(expr(
       s"percentile(amount, array(${probs.mkString(", ")}))").as("e"))
-      .first().getSeq[Double](0)
+      .first().get(0)).map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
     val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("amount") >= lit(e), 1L).otherwise(0L)
     }
@@ -1087,6 +1120,15 @@ object Serving {
     val offA = parts.map(_._2).scanLeft(0L)(_ + _)
     val offB = parts.map(_._3).scanLeft(0L)(_ + _)
     val (na, nb) = (offA.last, offB.last)
+    // an empty cohort leaves the KS distance undefined (the gap scale
+    // n_a·n_b is 0 and the ANSI division throws) — report the cohort
+    // sizes with NULL statistics, never crash: a drift monitor pointed
+    // at a year with no orders is a routine empty slice
+    if (na == 0L || nb == 0L)
+      return spark.range(1).select(
+        lit(null).cast("double").as("ks_stat"),
+        lit(null).cast("double").as("at_amount"),
+        lit(na).as("n_a"), lit(nb).as("n_b"))
     sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var (a, b) = (offA(pid), offB(pid))

@@ -57,7 +57,11 @@ object Skew {
   def keySkewProfile(df: DataFrame, keyCol: String,
       topN: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n")).head().getLong(0)
+    // empty table → NULL total; the top-N frame below is empty anyway,
+    // so any non-zero divisor yields the same zero-row profile (the
+    // ANSI x/0 throw and the getLong NPE are what we're avoiding)
+    val tot = Option(counts.agg(sum("n")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("n"), col("key"))
       .rowsBetween(Long.MinValue, 0)

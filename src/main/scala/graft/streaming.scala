@@ -453,7 +453,14 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    readUpserted(spark, sinkDir).orderBy("user_id")
+    // a zero-file source commits no batch and the sink never gains a
+    // generation: an empty publish is an empty table (the aggregate's
+    // own schema), not a violated precondition — readUpserted's loud
+    // require is for CONSUMERS of a sink that should exist
+    if (readManifest(sinkDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+    else readUpserted(spark, sinkDir).orderBy("user_id")
   }
 
   /** Streaming incremental gold maintenance — continuous ingest keeping
@@ -854,14 +861,24 @@ object Streams extends Serializable {
       .start()
     q.awaitTermination()
     val emitted = spark.table(name)
-    val leftover = spark.read.format("statestore").load(ckpt.toString)
-      .select(col("key.value").as("u"), col("value.groupState.start"),
-        col("value.groupState.last"), col("value.groupState.n"),
-        col("value.groupState.sum"))
-      .as[(Long, Long, Long, Long, Double)]
-      .collect()
+    // a zero-file source commits NO batch under AvailableNow, and the
+    // statestore read source then refuses the checkpoint
+    // (STDS_COMMITTED_BATCH_UNAVAILABLE) — no batch means no state, so
+    // the flush is empty, not an error
+    val leftoverRows =
+      try spark.read.format("statestore").load(ckpt.toString)
+        .select(col("key.value").as("u"), col("value.groupState.start"),
+          col("value.groupState.last"), col("value.groupState.n"),
+          col("value.groupState.sum"))
+        .as[(Long, Long, Long, Long, Double)]
+        .collect().toSeq
+      catch {
+        case e: org.apache.spark.SparkThrowable
+            if e.getCondition == "STDS_COMMITTED_BATCH_UNAVAILABLE" => Seq.empty
+      }
+    val leftover = leftoverRows
       .map { case (u, s, l, n, sm) => close(u, SessionState(s, l, n, sm)) }
-      .toSeq.toDF()
+      .toDF()
     deleteRec(ckpt.toFile)
     emitted.unionByName(leftover)
       // instant → NTZ under the UTC session: same wall clock, and the

@@ -114,6 +114,22 @@ object Tables {
       miss(regexp_extract(line, "vc=(-?\\d+)", 1)).cast("long").as("value_cents"))
   }
 
+  /** Parquet read that tolerates a FILE-LESS directory: a partitionBy
+    * write of zero rows creates no part files (only _SUCCESS), and the
+    * read-back then fails schema inference with UNABLE_TO_INFER_SCHEMA.
+    * Falls back to the caller-supplied schema — the writer's own — so an
+    * empty sink reads as an empty frame. Non-empty dirs take the normal
+    * inference path untouched (the fallback schema is by-name and never
+    * consulted), keeping bit-identical behavior where data exists. */
+  def parquetOr(spark: SparkSession, dir: String,
+      fallback: => org.apache.spark.sql.types.StructType): DataFrame =
+    try spark.read.parquet(dir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.read.schema(fallback).parquet(dir)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
