@@ -199,7 +199,7 @@ object Gold {
       expr(pct("recency_days", "0.25, 0.75")),
       max("product_diversity_12m")).first()
     def arr(i: Int): Seq[Double] =
-      Option(r.getSeq[Double](i)).getOrElse(Seq(Double.NaN, Double.NaN))
+      Tables.doubleSeqAt(r, i, Seq(Double.NaN, Double.NaN))
     def orElse(v: Double, d: Double): Double = if (v.isNaN || v == 0.0) d else v
     val Seq(f75, f95) = arr(0)
     val Seq(m75raw, m95raw) = arr(1)

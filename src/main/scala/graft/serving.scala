@@ -232,9 +232,9 @@ object Serving {
     val probs = (0 to buckets).map(_.toDouble / buckets)
     // empty fact → NULL percentile array → no edges, one catch-all
     // bucket over zero rows = empty histogram (never a null getSeq NPE)
-    val edges = Option(fact.select(expr(
+    val edges = Tables.doubleSeqAt(fact.select(expr(
       s"percentile(o_totalprice, array(${probs.mkString(", ")}))").as("e"))
-      .first().get(0)).map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
+      .first(), 0)
     val interior = edges.slice(1, buckets)
     val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("o_totalprice") >= lit(e), 1L).otherwise(0L)
@@ -1063,9 +1063,9 @@ object Serving {
     // lands in one catch-all bucket with NULL psi_terms (n_a=0 keeps
     // the per-bucket guard closed) — a drift monitor with no reference
     // period must report, not NPE off getSeq(null)
-    val interior = Option(a.select(expr(
+    val interior = Tables.doubleSeqAt(a.select(expr(
       s"percentile(amount, array(${probs.mkString(", ")}))").as("e"))
-      .first().get(0)).map(_.asInstanceOf[Seq[Double]]).getOrElse(Seq.empty)
+      .first(), 0)
     val bucket = interior.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("amount") >= lit(e), 1L).otherwise(0L)
     }

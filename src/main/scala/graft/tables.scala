@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table loaders + schema validation for the driver test star schema.
@@ -27,6 +27,19 @@ object Tables {
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "embedding", "label")
   )
+
+  /** Null-safe decode of an ARRAY&lt;DOUBLE&gt; cell from a driver-folded row
+    * (the `percentile(col, array(...))` → literals two-phase shape).
+    * Spark materializes array cells as `mutable.ArraySeq`, so
+    * `.asInstanceOf[Seq[Double]]` (bare `Seq` = `immutable.Seq` in
+    * Scala 2.13) throws ClassCastException on every NON-empty input —
+    * `Row.getSeq` is the only correct decode. A NULL cell (aggregate
+    * over zero rows) degrades to `orElse`. The single shared decode for
+    * every percentile-array fold (score thresholds, equi-depth
+    * histogram edges, PSI decile edges); a grep-gate spec asserts no
+    * call site ever reintroduces the cast. */
+  def doubleSeqAt(r: Row, i: Int, orElse: => Seq[Double] = Seq.empty): Seq[Double] =
+    Option(r.getSeq[Double](i)).getOrElse(orElse)
 
   /** Fail-fast column validation (≙ reference `_validate_columns`). */
   def requireColumns(df: DataFrame, cols: Seq[String], table: String): DataFrame = {

@@ -257,9 +257,16 @@ class GoldSpec extends SparkSpec {
     }
   }
 
-  test("referenceDate: fails fast on empty input (reference gold guard)") {
+  test("referenceDate: degrades to typed NULL on empty input (empty slice → empty report)") {
     val empty = ordersDf(Seq())
-    intercept[IllegalArgumentException] { Gold.referenceDate(empty) }
+    val ref = Gold.referenceDate(empty)
+    // the literal itself is NULL but carries the source column's type …
+    assert(spark.range(1).select(ref.as("ref")).first().isNullAt(0))
+    // … so a trailing-window predicate still ANALYZES (an untyped
+    // lit(null) would fail DATATYPE_MISMATCH here) and evaluates NULL →
+    // every row filtered → the gold family degrades to empty frames
+    assert(empty.filter(col("o_orderdate") >= ref - expr("INTERVAL 365 DAYS"))
+      .count() == 0L)
   }
 
   test("monthlyGrowth: lag semantics with null/zero guard") {
