@@ -80,8 +80,18 @@ object Streams extends Serializable {
     * drive shuffled, late, and duplicate-burst arrivals through the real
     * micro-batch/watermark machinery instead of one all-at-once batch. */
   private[graft] def chunkedEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val first = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    // File.listFiles is null (not empty) on a missing/unreadable dir,
+    // and minBy on no chunks would throw an opaque UnsupportedOperation —
+    // both are caller mistakes that deserve a named message. The
+    // one-file-per-batch ARRIVAL ORDER is mtime-based (Spark's file
+    // source sorts by modification time), so chunk writers must give
+    // each file a distinct, increasing mtime — same-mtime chunks may
+    // collapse into one batch in either order.
+    val chunks = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+    require(chunks.nonEmpty, s"chunked event stream: no .parquet chunk files in $dir")
+    val first = chunks.minBy(_.getName)
     val raw = spark.readStream
       .schema(spark.read.parquet(first.getAbsolutePath).schema)
       .option("maxFilesPerTrigger", 1)
@@ -222,7 +232,11 @@ object Streams extends Serializable {
     * generations may have been swept as orphans, and its recovery is to
     * restage from the new current generation and commit again. Lock
     * files left by a crashed writer age out after [[lockLeaseMs]];
-    * a fresh lock is honored (fail loudly), never stolen. */
+    * a fresh lock is honored (fail loudly), never stolen. A holder that
+    * STALLS past the lease (GC pause, NFS hang) can have its lock
+    * legitimately broken by a successor — the resumed holder is fenced:
+    * it re-verifies lock ownership immediately before the manifest
+    * rename and aborts loudly rather than publish over the successor. */
   def upsertByKey(spark: SparkSession, sinkDir: String, key: String,
       buckets: Int = 16)(batch: DataFrame): Unit =
     upsertCommit(sinkDir, upsertStage(spark, sinkDir, key, buckets)(batch))
@@ -233,13 +247,15 @@ object Streams extends Serializable {
     * for stream-fed merges, the foreachBatch batch-id folded in (the
     * redelivery-dedup token recorded at commit). */
   final case class Staged(base: String, entries: Map[Long, String],
-      batchId: Option[Long] = None)
+      batchId: Option[Long] = None, runId: String = "")
 
   /** Committed manifest state: its commit-id ("" before the first
-    * commit / for a pre-contract headerless manifest), the highest
-    * stream batch-id merged in (-1 if none recorded), and entries. */
+    * commit / for a pre-contract headerless manifest), the redelivery
+    * lineage that produced the recorded batch high-water mark ("" for a
+    * pre-lineage manifest or batch-id-less commits), the highest stream
+    * batch-id merged in (-1 if none recorded), and entries. */
   private[graft] final case class ManifestState(commitId: String,
-      lastBatch: Long, entries: Map[Long, String])
+      lastRun: String, lastBatch: Long, entries: Map[Long, String])
 
   /** Per-JVM writer identity, embedded in generation and commit names so
     * two writers can never collide on a directory or commit id (nanoTime
@@ -254,6 +270,27 @@ object Streams extends Serializable {
     * lease is already orders of magnitude conservative. Tests lower it
     * to exercise crashed-writer recovery. */
   @volatile private[graft] var lockLeaseMs: Long = 10L * 60 * 1000
+
+  /** Age after which a sink-root `staging_*` directory is presumed
+    * abandoned and swept. Deliberately MUCH larger than [[lockLeaseMs]]:
+    * the lease is sized for sub-second commit metadata, but a stage is a
+    * full parquet write of every touched bucket — sweeping it on the
+    * commit lease would yank a legitimately slow stage mid-write and
+    * retry-starve large batches (each retry is just as slow and gets
+    * swept again). Tests lower it to exercise the sweep. */
+  @volatile private[graft] var stagingTtlMs: Long = 60L * 60 * 1000
+
+  /** The per-acquisition fencing nonce of the LOCK this thread currently
+    * holds — what [[upsertCommit]] re-checks immediately before the
+    * manifest rename. Per-acquisition (not [[writerToken]]) so even two
+    * same-JVM writers can never mistake each other's lock for their own. */
+  private val heldNonce = new ThreadLocal[String]
+
+  private def ownsLock(lock: java.io.File, nonce: String): Boolean =
+    try lock.isFile && new String(
+      java.nio.file.Files.readAllBytes(lock.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).startsWith(nonce + " ")
+    catch { case _: java.io.IOException => false }
 
   /** Serialize the publish step across JVMs via an atomically-created
     * LOCK file. A fresh foreign lock fails loudly (live concurrent
@@ -283,12 +320,41 @@ object Streams extends Serializable {
         throw new IllegalStateException(
           s"lost the lock race on $lock after breaking a stale lease; retry")
     }
+    val nonce = s"${writerToken}_${commitSeq.incrementAndGet()}"
+    val outer = heldNonce.get() // save/restore: reentrant same-thread commits
+    heldNonce.set(nonce)
     try {
       java.nio.file.Files.write(lock.toPath,
-        s"$writerToken ${ProcessHandle.current().pid()}\n"
+        s"$nonce ${ProcessHandle.current().pid()}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       f
-    } finally lock.delete()
+    } finally {
+      if (outer == null) heldNonce.remove() else heldNonce.set(outer)
+      // release only what is still OURS: a holder that stalled past its
+      // lease and was broken must not delete the successor's live lock
+      if (ownsLock(lock, nonce)) lock.delete()
+    }
+  }
+
+  /** Fencing check run immediately before the MANIFEST rename: a writer
+    * that stalled past [[lockLeaseMs]] between acquiring the lock and
+    * publishing (GC pause, NFS hang) may have had its lock broken by a
+    * successor — its staged store dirs are already swept, so renaming
+    * its manifest would publish dangling entries AND silently erase the
+    * successor's commit. Re-reading the LOCK and verifying this
+    * acquisition's nonce still owns it closes that hole loudly. (A
+    * check-then-rename race window remains — fencing a rename fully
+    * needs a filesystem with conditional writes — but it shrinks the
+    * exposure from the whole stall to microseconds.) */
+  private def requireLockStillHeld(sinkDir: String): Unit = {
+    val nonce = heldNonce.get()
+    require(nonce != null, s"commit on $sinkDir outside withCommitLock")
+    if (!ownsLock(new java.io.File(sinkDir, "LOCK"), nonce))
+      throw new IllegalStateException(
+        s"commit fenced on $sinkDir: this writer stalled past the " +
+          s"${lockLeaseMs}ms lease and a successor broke its lock — its " +
+          "staged generation may already be swept; aborting instead of " +
+          "publishing over the successor's commit (restage and retry)")
   }
 
   /** Stage one batch's merge: write the touched buckets' next generation
@@ -300,7 +366,7 @@ object Streams extends Serializable {
   private[graft] def upsertStage(spark: SparkSession, sinkDir: String,
       key: String, buckets: Int = 16, tick: String => Unit = _ => ())(
       batch: DataFrame): Staged = {
-    val ManifestState(base, _, man) = readManifestState(sinkDir)
+    val ManifestState(base, _, _, man) = readManifestState(sinkDir)
     val store = new java.io.File(sinkDir, "store")
     val b = batch.withColumn("_bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)))
     // driver-side list of touched buckets: bounded by `buckets`, not keys
@@ -361,14 +427,19 @@ object Streams extends Serializable {
           "current generation and retry")
     val commitId = s"c${commitSeq.incrementAndGet()}_$writerToken"
     // a commit without a batch-id (manual merge) carries the previous
-    // high-water mark forward — it must not reopen the redelivery window
-    val lastBatch = staged.batchId.getOrElse(cur.lastBatch)
+    // lineage + high-water mark forward — it must not reopen the
+    // redelivery window
+    val (lastRun, lastBatch) = staged.batchId match {
+      case Some(b) => (staged.runId, b)
+      case None => (cur.lastRun, cur.lastBatch)
+    }
     val tmp = new java.io.File(sinkDir, s"MANIFEST_tmp_${System.nanoTime()}_$writerToken")
     val body = staged.entries.toSeq.sorted.map { case (i, n) => s"$i $n" }
-      .mkString(s"#commit $commitId\n#batch $lastBatch\n", "\n", "\n")
+      .mkString(s"#commit $commitId\n#run $lastRun\n#batch $lastBatch\n", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     tick("manifest-tmp-written")
+    requireLockStillHeld(sinkDir)
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(sinkDir, "MANIFEST").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -380,17 +451,23 @@ object Streams extends Serializable {
       .foreach { d => tick("sweep-orphan"); deleteRec(d) }
     // crashed stages/commits also leave sink-ROOT garbage (staging_*
     // dirs, MANIFEST_tmp_* files, LOCK_broken_* markers) that the store
-    // sweep above never touches. Swept only past the lock lease: a LIVE
+    // sweep above never touches. Swept only past an age cutoff: a LIVE
     // concurrent stage writes into a fresh staging_* dir, and yanking it
     // mid-write on every commit would starve that writer into its retry
-    // loop; anything older than the lease belongs to a crashed JVM.
+    // loop. staging_* ages on [[stagingTtlMs]] (a stage is a full
+    // parquet write — a legitimate one can outlive the sub-second
+    // commit lease many times over); the metadata-sized MANIFEST_tmp_*
+    // and LOCK_broken_* leftovers age on [[lockLeaseMs]].
     val now = System.currentTimeMillis()
     Option(new java.io.File(sinkDir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
         val n = f.getName
-        (n.startsWith("staging_") || n.startsWith("MANIFEST_tmp_") ||
-          n.startsWith("LOCK_broken_")) &&
-          now - f.lastModified() >= lockLeaseMs
+        val ttl =
+          if (n.startsWith("staging_")) stagingTtlMs
+          else if (n.startsWith("MANIFEST_tmp_") || n.startsWith("LOCK_broken_"))
+            lockLeaseMs
+          else Long.MaxValue
+        now - f.lastModified() >= ttl
       }
       .foreach { f => tick("sweep-orphan"); deleteRec(f) }
   }
@@ -414,11 +491,14 @@ object Streams extends Serializable {
             "to treat it as an empty sink (that would silently drop the " +
             "accumulated state); migrate it by committing 'current' as a " +
             "generation, or point the writer at a fresh directory")
-      ManifestState("", -1L, Map.empty)
+      ManifestState("", "", -1L, Map.empty)
     } else {
       val lines = scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).toSeq
       val commitId = lines.collectFirst {
         case l if l.startsWith("#commit ") => l.stripPrefix("#commit ")
+      }.getOrElse("")
+      val lastRun = lines.collectFirst {
+        case l if l.startsWith("#run") => l.stripPrefix("#run").trim
       }.getOrElse("")
       val lastBatch = lines.collectFirst {
         case l if l.startsWith("#batch ") => l.stripPrefix("#batch ").toLong
@@ -427,7 +507,7 @@ object Streams extends Serializable {
         val Array(i, n) = l.split(" ", 2)
         i.toLong -> n
       }.toMap
-      ManifestState(commitId, lastBatch, entries)
+      ManifestState(commitId, lastRun, lastBatch, entries)
     }
   }
 
@@ -482,10 +562,11 @@ object Streams extends Serializable {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(ordersDir)
+    val runId = runIdFor(checkpointDir)
     val writer = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"), batchId)(
-          Gold.caMonthlyPartial(batch.toDF()))
+        mergeKeyedPartial(spark, sinkDir, Seq("mois"), Seq("ca_cents"), batchId,
+          runId)(Gold.caMonthlyPartial(batch.toDF()))
         // test-only fault: die AFTER the manifest commit but BEFORE Spark
         // records the batch in the checkpoint — the exact window where a
         // restart REDELIVERS the already-merged batch through the real
@@ -512,19 +593,22 @@ object Streams extends Serializable {
     * replacement's total lives outside the list), the classic top-k
     * view-maintenance trap. Answers the same oracle as `top_clients`. */
   def topClientsMaintained(spark: SparkSession, ordersDir: String,
-      sinkDir: String, filesPerBatch: Int = 2, k: Int = 20): DataFrame = {
+      sinkDir: String, filesPerBatch: Int = 2, k: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val schema = spark.read.parquet(ordersDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(ordersDir)
-    val q = stream.writeStream
+    val runId = runIdFor(checkpointDir)
+    val writer = stream.writeStream
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         mergeKeyedPartial(spark, sinkDir, Seq("c_custkey"),
-          Seq("spend_cents", "total_orders"), batchId)(
+          Seq("spend_cents", "total_orders"), batchId, runId)(
           Gold.validOrders(batch.toDF())
             .groupBy(col("o_custkey").as("c_custkey"))
             .agg(sum(Tables.cents(col("o_totalprice"))).as("spend_cents"),
               count(lit(1)).as("total_orders"))))
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -548,21 +632,44 @@ object Streams extends Serializable {
     * (months, clients), and a single writer task avoids a shuffle for
     * the small row counts. */
   private[graft] def mergeKeyedPartial(spark: SparkSession, sinkDir: String,
-      keys: Seq[String], sums: Seq[String], batchId: Long = -1L)(
-      partial: DataFrame): Unit = {
+      keys: Seq[String], sums: Seq[String], batchId: Long = -1L,
+      runId: String = "")(partial: DataFrame): Unit = {
     // foreachBatch is at-least-once: after a crash between the manifest
     // commit and the stream checkpoint write, the SAME batch is
     // redelivered on restart. A sum-merge is not idempotent, so the
     // committed manifest records the batch high-water mark and a
-    // replayed batch is a no-op instead of a double-count. (Batch-ids
-    // from one checkpointed query are monotone; the replace-by-key
-    // upsert sink needs no such guard — re-replacing the same rows is
-    // naturally idempotent.)
-    if (batchId >= 0 && readManifestState(sinkDir).lastBatch >= batchId) return
+    // replayed batch is a no-op instead of a double-count. Batch-ids are
+    // monotone only WITHIN one checkpoint lineage — a fresh run (new or
+    // temp checkpoint) restarts them at 0, so the skip also requires the
+    // committed lineage id to match `runId`: without that, re-running
+    // maintenance over an existing sink would silently skip every batch
+    // (all ids <= the persisted mark) and hand back a stale view as if
+    // current. A lineage mismatch always merges — the pre-guard
+    // double-count on genuine misuse is at least detectable. (The
+    // replace-by-key upsert sink needs no such guard — re-replacing the
+    // same rows is naturally idempotent.)
+    if (batchId >= 0) {
+      val st = readManifestState(sinkDir)
+      if (st.lastRun == runId && st.lastBatch >= batchId) return
+    }
     upsertCommit(sinkDir,
       mergeStage(spark, sinkDir, keys, sums)(partial)
-        .copy(batchId = if (batchId >= 0) Some(batchId) else None))
+        .copy(batchId = if (batchId >= 0) Some(batchId) else None,
+          runId = if (batchId >= 0) runId else ""))
   }
+
+  /** Redelivery lineage id for a maintained-view run: derived from the
+    * CANONICAL checkpoint path when one exists (the checkpoint IS the
+    * redelivery scope — a restart from it replays the same batch ids,
+    * so the id must survive the restart), fresh per invocation when the
+    * query runs on a temp checkpoint (its batch ids share no lineage
+    * with anything persisted, so no persisted mark may suppress them). */
+  private[graft] def runIdFor(checkpointDir: Option[String]): String =
+    checkpointDir match {
+      case Some(c) => "ckpt" + java.lang.Integer.toHexString(
+        new java.io.File(c).getAbsolutePath.hashCode)
+      case None => s"tmp${writerToken}_${commitSeq.incrementAndGet()}"
+    }
 
   /** Stage one partial merge: write the merged table as the next
     * generation in the store and return the staged one-entry manifest
@@ -572,7 +679,7 @@ object Streams extends Serializable {
   private[graft] def mergeStage(spark: SparkSession, sinkDir: String,
       keys: Seq[String], sums: Seq[String], tick: String => Unit = _ => ())(
       partial: DataFrame): Staged = {
-    val ManifestState(base, _, man) = readManifestState(sinkDir)
+    val ManifestState(base, _, _, man) = readManifestState(sinkDir)
     val merged =
       if (man.isEmpty) partial
       else readUpserted(spark, sinkDir).unionByName(partial)

@@ -203,14 +203,27 @@ class SinkDurabilitySpec extends SparkSpec {
     // writer's in-flight stage, and yanking it would starve that writer
     Streams.upsertByKey(spark, sink, "user_id")(kv(3L -> 3.0))
     assert(rootGarbage.length == 2, s"fresh root garbage swept early: ${rootGarbage.toSeq}")
-    // aged past the lease it belongs to a crashed JVM: next commit sweeps
-    val past = System.currentTimeMillis() - Streams.lockLeaseMs - 60000
+    // past the COMMIT lease: the metadata-sized MANIFEST_tmp_ goes, but
+    // a staging_ dir is a full parquet write that can legitimately
+    // outlive the sub-second lease — it gets the larger staging TTL
+    val pastLease = System.currentTimeMillis() - Streams.lockLeaseMs - 60000
     new java.io.File(sink).listFiles()
       .filter(f => rootGarbage.contains(f.getName))
-      .foreach(f => assert(f.setLastModified(past)))
+      .foreach(f => assert(f.setLastModified(pastLease)))
     Streams.upsertByKey(spark, sink, "user_id")(kv(4L -> 4.0))
+    assert(rootGarbage.forall(_.startsWith("staging_")),
+      s"lease-aged MANIFEST_tmp_ not swept: ${rootGarbage.toSeq}")
+    assert(rootGarbage.length == 1,
+      s"staging_ swept on the commit lease, not its own TTL: ${rootGarbage.toSeq}")
+    // past the staging TTL it belongs to a crashed JVM: next commit sweeps
+    val pastTtl = System.currentTimeMillis() -
+      math.max(Streams.lockLeaseMs, Streams.stagingTtlMs) - 60000
+    new java.io.File(sink).listFiles()
+      .filter(f => rootGarbage.contains(f.getName))
+      .foreach(f => assert(f.setLastModified(pastTtl)))
+    Streams.upsertByKey(spark, sink, "user_id")(kv(5L -> 5.0))
     assert(rootGarbage.isEmpty, s"aged root garbage not swept")
-    assert(upsertSnap(sink) == Map(1L -> 1.0, 3L -> 3.0, 4L -> 4.0))
+    assert(upsertSnap(sink) == Map(1L -> 1.0, 3L -> 3.0, 4L -> 4.0, 5L -> 5.0))
     assertStoreClean(sink)
     Streams.deleteRec(new java.io.File(sink))
   }
@@ -232,6 +245,65 @@ class SinkDurabilitySpec extends SparkSpec {
     assert(mergeSnap(sink) == Map("m" -> 113L))
     merge(2L, 1L) // replay after the manual commit: still skipped
     assert(mergeSnap(sink) == Map("m" -> 113L))
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
+  test("redelivery skip is lineage-scoped: a fresh run's batch 0 merges over an old sink instead of returning a stale view") {
+    val sink = tmp("graft_lineage")
+    def merge(run: String, id: Long, v: Long): Unit =
+      Streams.mergeKeyedPartial(spark, sink, Seq("mois"), Seq("ca_cents"), id, run)(
+        months("m" -> v))
+    merge("runA", 0L, 5L); merge("runA", 1L, 7L)
+    assert(mergeSnap(sink) == Map("m" -> 12L))
+    merge("runA", 1L, 7L) // same-lineage replay: skipped
+    assert(mergeSnap(sink) == Map("m" -> 12L))
+    // a NEW lineage (fresh/temp checkpoint) restarts batch ids at 0 —
+    // before the lineage check, every one of its batches was <= the
+    // persisted high-water mark, silently skipped, and the stale view
+    // came back as if current
+    merge("runB", 0L, 100L)
+    assert(mergeSnap(sink) == Map("m" -> 112L))
+    merge("runB", 0L, 100L) // the new lineage's own replay: skipped
+    assert(mergeSnap(sink) == Map("m" -> 112L))
+    // the lineage header survives a batch-id-less manual commit
+    Streams.upsertCommit(sink,
+      Streams.mergeStage(spark, sink, Seq("mois"), Seq("ca_cents"))(months("m" -> 1L)))
+    merge("runB", 0L, 100L) // still the recorded lineage: still skipped
+    assert(mergeSnap(sink) == Map("m" -> 113L))
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
+  test("runIdFor: stable across restarts for a persisted checkpoint, fresh per temp-checkpoint run") {
+    assert(Streams.runIdFor(Some("/tmp/graft_ck/x")) == Streams.runIdFor(Some("/tmp/graft_ck/x")))
+    assert(Streams.runIdFor(Some("/tmp/graft_ck/x")) != Streams.runIdFor(Some("/tmp/graft_ck/y")))
+    assert(Streams.runIdFor(None) != Streams.runIdFor(None))
+  }
+
+  test("a holder that stalls past its lease is FENCED at publish: the successor's commit wins, the stalled one aborts loudly") {
+    val sink = tmp("graft_fence")
+    Streams.upsertByKey(spark, sink, "user_id")(kv(1L -> 1.0))
+    val stalled = Streams.upsertStage(spark, sink, "user_id")(kv(2L -> 2.0))
+    val successor = Streams.upsertStage(spark, sink, "user_id")(kv(3L -> 3.0))
+    val ex = intercept[IllegalStateException] {
+      Streams.upsertCommit(sink, stalled, tick = q =>
+        if (q == "manifest-tmp-written") {
+          // simulate the stall INSIDE the commit window: age our lock
+          // past the lease, then let a successor break it and publish
+          val lock = new java.io.File(sink, "LOCK")
+          assert(lock.setLastModified(
+            System.currentTimeMillis() - Streams.lockLeaseMs - 60000))
+          Streams.upsertCommit(sink, successor)
+        })
+    }
+    assert(ex.getMessage.contains("fenced"), s"wrong failure: ${ex.getMessage}")
+    // the successor's commit is intact — the stalled writer neither
+    // published its (now dangling) manifest nor deleted the live state
+    assert(upsertSnap(sink) == Map(1L -> 1.0, 3L -> 3.0))
+    assert(!new java.io.File(sink, "LOCK").exists(), "stalled writer leaked a lock")
+    // recovery is the documented restage-and-retry
+    Streams.upsertByKey(spark, sink, "user_id")(kv(2L -> 2.0))
+    assert(upsertSnap(sink) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assertStoreClean(sink)
     Streams.deleteRec(new java.io.File(sink))
   }
 

@@ -853,4 +853,18 @@ class StreamsSpec extends SparkSpec {
       Streams.deleteRec(src.toFile); Streams.deleteRec(sink.toFile)
     }
   }
+
+  test("chunkedEventsStream: a missing or chunkless dir fails with a named message, not an NPE") {
+    val missing = intercept[IllegalArgumentException] {
+      Streams.chunkedEventsStream(spark, "/graft_no_such_dir_xyz")
+    }
+    assert(missing.getMessage.contains("no .parquet chunk files"))
+    val empty = java.nio.file.Files.createTempDirectory("graft_nochunks")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Streams.chunkedEventsStream(spark, empty.toString)
+      }
+      assert(ex.getMessage.contains("no .parquet chunk files"))
+    } finally Streams.deleteRec(empty.toFile)
+  }
 }
