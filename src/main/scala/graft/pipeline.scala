@@ -80,17 +80,30 @@ object Pipeline {
     * listing cost grows with file COUNT, not bytes. Rewrites each
     * partition into `ceil(bytes / targetBytes)` files (never zero) by
     * hash-repartitioning WITHIN the partition column, writes to a staging
-    * dir, and atomically swaps directories only after the staged copy is
-    * complete — readers never observe a half-compacted table. Work is
-    * proportional to the partitions rewritten; `onlyPartitions` restricts
-    * the pass to named partition values (the incremental form: compact
-    * yesterday, not history). Returns (filesBefore, filesAfter).
+    * dir, and swaps directories only after the staged copy is complete —
+    * readers never observe a half-compacted table. Work is proportional
+    * to the partitions rewritten; `onlyPartitions` restricts the pass to
+    * named partition values (the incremental form: compact yesterday,
+    * not history). Returns (filesBefore, filesAfter).
+    *
+    * CRASH SAFETY: a directory swap is two renames (live→trash,
+    * staged→live) and a crash between them would leave NO live
+    * partition — the same two-rename hole the manifest sinks closed.
+    * Here an INTENT MARKER (`.<dir>.commit`) is created only once the
+    * staged copy is complete and removed only once the swap is done, so
+    * every crash point is mechanically recoverable: [[recoverCompaction]]
+    * (run on entry, and safe to run any time) promotes a marker-proven
+    * staged dir whose live dir is missing, aborts a half-staged attempt
+    * whose live dir survived, and sweeps swap leftovers. The
+    * crash-injection matrix in GoldSpec drives every `tick` point.
     * PipelineSpec gates: row-set identical, file count reduced,
     * partition pruning still works on the compacted layout. */
   def compactSink(spark: SparkSession, dir: String, partitionCol: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      onlyPartitions: Seq[String] = Nil): (Int, Int) = {
+      onlyPartitions: Seq[String] = Nil,
+      tick: String => Unit = _ => ()): (Int, Int) = {
     val root = new java.io.File(dir)
+    recoverCompaction(root)
     def parquets(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
       kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
@@ -107,18 +120,67 @@ object Pipeline {
       val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (files.size > n) {
         val staged = new java.io.File(pd.getParentFile, s".${pd.getName}.compact")
-        Streams.deleteRec(staged)
+        val marker = new java.io.File(pd.getParentFile, s".${pd.getName}.commit")
+        val trash = new java.io.File(pd.getParentFile, s".${pd.getName}.old")
+        Streams.deleteRec(staged); marker.delete(); Streams.deleteRec(trash)
         spark.read.parquet(pd.toString)
           .repartition(n)
           .write.mode("overwrite").parquet(staged.toString)
-        val trash = new java.io.File(pd.getParentFile, s".${pd.getName}.old")
-        Streams.deleteRec(trash)
-        require(pd.renameTo(trash) && staged.renameTo(pd),
-          s"compaction swap failed for $pd")
+        tick("staged-written")
+        // the marker is created only AFTER the staged write returned, so
+        // its existence proves the staged copy is whole — recovery may
+        // promote it without inspecting parquet footers
+        require(marker.createNewFile(), s"compaction marker already exists for $pd")
+        tick("marker-created")
+        require(pd.renameTo(trash), s"compaction swap failed: $pd -> $trash")
+        tick("old-renamed")
+        require(staged.renameTo(pd), s"compaction swap failed: $staged -> $pd")
+        tick("swapped")
+        marker.delete()
+        tick("marker-removed")
         Streams.deleteRec(trash)
       }
     }
     (before, partDirs.map(parquets(_).size).sum)
+  }
+
+  /** Finish or abort any compaction swap a crashed [[compactSink]] left
+    * behind; idempotent, run on every compaction entry (a production
+    * table would also run it on open). The intent marker disambiguates
+    * every crash point: marker + missing live dir + staged dir = the
+    * crash hit between the two renames and the staged copy is proven
+    * whole → promote it (then the old data in trash is superseded);
+    * marker + live dir intact = the crash hit before the first rename →
+    * abort the attempt (the next compaction pass redoes it); a
+    * markerless trash/staging leftover is post-swap (or pre-marker)
+    * debris → sweep. Dot-prefixed names keep every transient state
+    * invisible to Spark's file listing, so readers only ever see whole
+    * live dirs. */
+  private[graft] def recoverCompaction(root: java.io.File): Unit = {
+    val kids = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+    kids.filter(f => f.isFile && f.getName.startsWith(".") &&
+        f.getName.endsWith(".commit"))
+      .foreach { marker =>
+        val name = marker.getName.stripPrefix(".").stripSuffix(".commit")
+        val pd = new java.io.File(root, name)
+        val staged = new java.io.File(root, s".$name.compact")
+        val trash = new java.io.File(root, s".$name.old")
+        if (!pd.isDirectory && staged.isDirectory)
+          require(staged.renameTo(pd), s"compaction recovery failed: $staged -> $pd")
+        else if (pd.isDirectory && staged.isDirectory)
+          Streams.deleteRec(staged)
+        marker.delete()
+        Streams.deleteRec(trash)
+      }
+    // leftovers without a marker: a pre-marker staged attempt (never
+    // swap-eligible) or a post-swap trash — both safe to sweep
+    kids.filter(f => f.isDirectory && f.getName.startsWith(".") &&
+        (f.getName.endsWith(".old") || f.getName.endsWith(".compact")))
+      .foreach { d =>
+        val name = d.getName.stripPrefix(".")
+          .stripSuffix(".old").stripSuffix(".compact")
+        if (!new java.io.File(root, s".$name.commit").isFile) Streams.deleteRec(d)
+      }
   }
 
   /** Dynamic partition overwrite — the partition-level MERGE every

@@ -340,6 +340,70 @@ class SinkDurabilitySpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  // ------------------------------------------- cross-process (two-JVM) lock
+  // The six-writer stress above shares one JVM (and one writerToken);
+  // these spawn a genuinely separate JVM (LockContenderMain) so the lock
+  // file crosses a real process boundary — the production topology.
+
+  /** Launch the contender JVM and block until it prints `HELD` (it is
+    * then sleeping INSIDE the commit-lock window). */
+  private def spawnContender(sink: String, holdMs: Long): Process = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val p = new ProcessBuilder(javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.LockContenderMain", sink, holdMs.toString)
+      .redirectErrorStream(true).start()
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val deadline = System.currentTimeMillis() + 60000
+    var line = in.readLine()
+    while (line != null && line != "HELD" && System.currentTimeMillis() < deadline)
+      line = in.readLine()
+    assert(line == "HELD", s"contender never took the lock (last: $line)")
+    p
+  }
+
+  test("two JVMs: a live writer in another process fails this one loudly; after its release the retry lands") {
+    val sink = tmp("graft_xjvm_live")
+    Streams.upsertByKey(spark, sink, "user_id")(kv(1L -> 1.0))
+    val p = spawnContender(sink, holdMs = 8000)
+    try {
+      // the other PROCESS holds a fresh lock: loud failure, no wait-and-clobber
+      val ex = intercept[IllegalStateException] {
+        Streams.upsertByKey(spark, sink, "user_id")(kv(2L -> 2.0))
+      }
+      assert(ex.getMessage.contains("concurrent writer holds"))
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "contender hung")
+      // contender released cleanly -> the retry commits
+      Streams.upsertByKey(spark, sink, "user_id")(kv(2L -> 2.0))
+      assert(upsertSnap(sink) == Map(1L -> 1.0, 2L -> 2.0))
+      assert(!new java.io.File(sink, "LOCK").exists())
+      assertStoreClean(sink)
+    } finally { p.destroyForcibly(); Streams.deleteRec(new java.io.File(sink)) }
+  }
+
+  test("two JVMs: a KILLED process's leftover lock ages out via the lease and the next writer recovers") {
+    val sink = tmp("graft_xjvm_crash")
+    Streams.upsertByKey(spark, sink, "user_id")(kv(1L -> 1.0))
+    val p = spawnContender(sink, holdMs = 120000)
+    try {
+      p.destroyForcibly()
+      assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS), "kill did not land")
+      val lock = new java.io.File(sink, "LOCK")
+      assert(lock.isFile, "a killed process must leave its lock behind")
+      // fresh, the foreign corpse lock still fails writers loudly …
+      assert(intercept[IllegalStateException] {
+        Streams.upsertByKey(spark, sink, "user_id")(kv(2L -> 2.0))
+      }.getMessage.contains("concurrent writer holds"))
+      // … until the lease expires; then the next writer breaks it and lands
+      assert(lock.setLastModified(System.currentTimeMillis() - Streams.lockLeaseMs - 60000))
+      Streams.upsertByKey(spark, sink, "user_id")(kv(2L -> 2.0))
+      assert(upsertSnap(sink) == Map(1L -> 1.0, 2L -> 2.0))
+      assert(!lock.exists())
+      assertStoreClean(sink)
+    } finally { p.destroyForcibly(); Streams.deleteRec(new java.io.File(sink)) }
+  }
+
   test("a legacy current/ layout without a MANIFEST fails loudly instead of silently resetting the view") {
     val sink = tmp("graft_legacy")
     new java.io.File(sink, "current").mkdirs()
