@@ -128,7 +128,12 @@ object Multimodal {
           s"not a BMP (${payload.length} bytes)")
         (le32(payload, 18), le32(payload, 22), 1)
       case "audio" =>
-        (0, 0, 1 + wavDataRange(payload)._2 / (2 * WavWindow))
+        // ceil(samples / window), floored at 1: an exact-multiple data
+        // length must NOT grow a phantom empty trailing window (at corpus
+        // scale 1-in-window_size files land exactly on the boundary), and
+        // a zero-length data chunk still reports one (empty) window
+        val dn = wavDataRange(payload)._2
+        (0, 0, math.max(1, (dn + 2 * WavWindow - 1) / (2 * WavWindow)))
       case _ =>
         val header = y4mHeaderString(payload)
         val dims = header.split(" ").toSeq

@@ -19,8 +19,12 @@ class MultimodalSpec extends SparkSpec {
   test("WAV: RIFF chunk walk finds the data chunk; windows derive from sample count") {
     val text = Array.fill(4500)('x'.toByte) // 4500 samples = 3 windows of 2000
     val payload = MediaGen.wav(text)
-    assert(MediaCodec.decode("audio", payload) == ((0, 0, 1 + 4500 / 2000)))
+    assert(MediaCodec.decode("audio", payload) == ((0, 0, 3)))
     assert(payload.length == 44 + 2 * 4500)
+    // exact-multiple boundary: 4000 samples fill 2 windows exactly — no
+    // phantom empty trailing window (ceil semantics, not 1 + floor)
+    assert(MediaCodec.decode("audio",
+      MediaGen.wav(Array.fill(4000)('x'.toByte))) == ((0, 0, 2)))
     // empty audio still decodes: zero-length data chunk, one (empty) window
     assert(MediaCodec.decode("audio", MediaGen.wav(Array.empty)) == ((0, 0, 1)))
   }
@@ -46,8 +50,8 @@ class MultimodalSpec extends SparkSpec {
     // the frame's own sample range rather than the whole payload
     val text = Array.fill(2000)(0.toByte) ++ Array.fill(2000)(255.toByte)
     val payload = MediaGen.wav(text)
-    val f0 = MediaCodec.features("audio", payload, 0, 3)
-    val f1 = MediaCodec.features("audio", payload, 1, 3)
+    val f0 = MediaCodec.features("audio", payload, 0, 2)
+    val f1 = MediaCodec.features("audio", payload, 1, 2)
     assert(math.abs(f0.sum - 1.0) < 1e-9)
     assert(math.abs(f1.sum - 1.0) < 1e-9)
     assert(!f0.sameElements(f1))
