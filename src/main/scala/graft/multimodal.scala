@@ -137,19 +137,33 @@ object Multimodal {
       case _ =>
         val header = y4mHeaderString(payload)
         val dims = header.split(" ").toSeq
+        // toIntOption, not toInt: a corrupt header must fail as a typed
+        // IllegalArgumentException, never a NumberFormatException
         def num(prefix: String): Int = dims.collectFirst {
-          case t if t.startsWith(prefix) => t.drop(1).toInt
-        }.getOrElse(throw new IllegalArgumentException(s"y4m header missing $prefix"))
+          case t if t.startsWith(prefix) => t.drop(1)
+        }.flatMap(_.toIntOption).getOrElse(
+          throw new IllegalArgumentException(s"y4m header missing $prefix"))
         val (w, h) = (num("W"), num("H"))
-        // walk FRAME markers, skipping each frame's raw 4:2:0 bytes
+        // bound the geometry BEFORE deriving the frame stride: w*h*3/2
+        // from hostile bytes can be zero, negative, or overflow Int, any
+        // of which turns the marker walk into an infinite loop
+        require(w > 0 && h > 0 && w.toLong * h * 3 / 2 <= Int.MaxValue,
+          s"bad y4m geometry ${w}x$h")
+        // walk FRAME markers, skipping each frame's raw 4:2:0 bytes;
+        // every read is bounds-checked — truncated/corrupt streams must
+        // reject, not run off the array or hang an executor
         val frameBytes = w * h * 3 / 2
         var off = header.length + 1
         var frames = 0
         while (off < payload.length) {
-          require(tag(payload, off) == "FRAM", s"bad y4m frame marker at $off")
-          while (payload(off) != '\n') off += 1
+          require(off + 6 <= payload.length && tag(payload, off) == "FRAM",
+            s"bad y4m frame marker at $off")
+          while (off < payload.length && payload(off) != '\n') off += 1
+          require(off < payload.length, s"unterminated y4m FRAME line")
           off += 1 + frameBytes
           frames += 1
+          require(off <= payload.length,
+            s"truncated y4m frame $frames: payload ends at ${payload.length}, frame at $off")
         }
         (w, h, frames)
     }
@@ -158,9 +172,25 @@ object Multimodal {
     private[graft] def wavDataRange(payload: Array[Byte]): (Int, Int) = {
       require(payload.length >= 44 && tag(payload, 0) == "RIFF" &&
         tag(payload, 8) == "WAVE", s"not a WAV (${payload.length} bytes)")
+      // bounds-checked RIFF walk: a hostile chunk size can be negative
+      // (off walks backward — infinite loop) or overshoot the payload
+      // (out-of-bounds tag read); both must reject as typed errors
       var off = 12
-      while (tag(payload, off) != "data") off += 8 + le32(payload, off + 4)
-      (off + 8, le32(payload, off + 4))
+      while (off + 8 <= payload.length && tag(payload, off) != "data") {
+        val sz = le32(payload, off + 4)
+        // Long arithmetic: off + 8 + sz overflows Int for a hostile size,
+        // landing off negative and the next tag read out of bounds
+        val next = off.toLong + 8 + sz
+        require(sz >= 0 && next <= payload.length,
+          s"RIFF chunk at $off (size $sz) overruns the ${payload.length}-byte payload")
+        off = next.toInt
+      }
+      require(off + 8 <= payload.length, s"WAV has no data chunk")
+      val dn = le32(payload, off + 4)
+      require(dn >= 0 && off + 8 + dn <= payload.length,
+        s"WAV data chunk ($dn bytes at ${off + 8}) overruns the " +
+          s"${payload.length}-byte payload")
+      (off + 8, dn)
     }
 
     /** Per-frame feature: 8-bin byte histogram over the frame's OWN data
