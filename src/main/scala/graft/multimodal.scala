@@ -151,8 +151,11 @@ object Multimodal {
           s"bad y4m geometry ${w}x$h")
         // walk FRAME markers, skipping each frame's raw 4:2:0 bytes;
         // every read is bounds-checked — truncated/corrupt streams must
-        // reject, not run off the array or hang an executor
-        val frameBytes = w * h * 3 / 2
+        // reject, not run off the array or hang an executor. The stride is
+        // computed in Long and narrowed once guard-bounded: the Int form
+        // w*h*3/2 wraps for geometries the Long guard admits (e.g. W4
+        // H357913940 → Int w*h*3 = -16), turning the walk into a spin
+        val frameBytes = (w.toLong * h * 3 / 2).toInt
         var off = header.length + 1
         var frames = 0
         while (off < payload.length) {
@@ -160,10 +163,14 @@ object Multimodal {
             s"bad y4m frame marker at $off")
           while (off < payload.length && payload(off) != '\n') off += 1
           require(off < payload.length, s"unterminated y4m FRAME line")
-          off += 1 + frameBytes
+          // advance in Long: off + 1 + frameBytes wraps Int for a stride
+          // near Int.MaxValue, making the truncation require pass vacuously
+          // and the next tag read land at a negative index
+          val next = off.toLong + 1 + frameBytes
           frames += 1
-          require(off <= payload.length,
-            s"truncated y4m frame $frames: payload ends at ${payload.length}, frame at $off")
+          require(next <= payload.length,
+            s"truncated y4m frame $frames: payload ends at ${payload.length}, frame at $next")
+          off = next.toInt
         }
         (w, h, frames)
     }
@@ -187,7 +194,9 @@ object Multimodal {
       }
       require(off + 8 <= payload.length, s"WAV has no data chunk")
       val dn = le32(payload, off + 4)
-      require(dn >= 0 && off + 8 + dn <= payload.length,
+      // Long bound, same as the chunk walk above: an Int sum wraps negative
+      // for dn near Int.MaxValue and the require passes on a corrupt payload
+      require(dn >= 0 && off.toLong + 8 + dn <= payload.length,
         s"WAV data chunk ($dn bytes at ${off + 8}) overruns the " +
           s"${payload.length}-byte payload")
       (off + 8, dn)

@@ -75,6 +75,64 @@ object MultimodalProps extends Properties("MediaCodec") {
       Prop(img && aud && vid) :| s"len=${text.length} img=$img aud=$aud vid=$vid"
     }
 
+  // ---- deterministic Int-boundary adversarial vectors -------------------
+  // The random generators above (≤4 KB bytes, single-byte flips) cannot
+  // reach the overflow class: huge W/H header fields or near-Int.MaxValue
+  // RIFF/data sizes need multi-byte crafted values. Each vector below maps
+  // to a concrete historical wrap: Int frame stride (w*h*3/2 wraps even
+  // when the Long guard passes), Int offset advance (off+1+frameBytes wraps
+  // negative), and the Int data-chunk bound (off+8+dn wraps negative).
+  // Decode runs on a watchdog thread: the stride-wrap failure mode is an
+  // infinite loop, so "rejects typed" must also mean "returns at all".
+
+  private def le(n: Int): Array[Byte] = Array(
+    (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+    ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+
+  /** Valid guard-passing geometry, one short FRAME line ("FRAMEab\n"): with
+    * an Int-wrapped stride the walk returns to the same marker forever. */
+  private def y4mHostile(w: Int, h: Int): Array[Byte] =
+    (s"YUV4MPEG2 W$w H$h F25:1\n" + "FRAMEab\n").getBytes("US-ASCII")
+
+  /** 44-byte WAV whose data-chunk size field is hostile. */
+  private def wavHostile(dn: Int): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "data".getBytes("US-ASCII") ++ le(dn) ++ Array.fill[Byte](24)(0)
+
+  /** WAV whose first (non-data) chunk size is hostile — exercises the walk. */
+  private def wavChunkHostile(sz: Int): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le(sz) ++ Array.fill[Byte](24)(0)
+
+  private def rejectsTyped(kind: String, payload: Array[Byte],
+      label: String): Prop = {
+    @volatile var out: Option[Prop] = None
+    val t = new Thread(() => out = Some(
+      try { MediaCodec.decode(kind, payload)
+        Prop.falsified :| s"$label: decoded a corrupt payload" }
+      catch {
+        case _: IllegalArgumentException => Prop.passed
+        case e: Throwable => Prop.falsified :|
+          s"$label leaked ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }))
+    t.setDaemon(true); t.start(); t.join(5000L)
+    out.getOrElse(Prop.falsified :| s"$label: decode hung past 5s watchdog")
+  }
+
+  property("Int-boundary adversarial vectors reject typed, in bounded time") =
+    Prop.all(Seq[(String, Array[Byte], String)](
+      ("video", y4mHostile(4, 357913940), "y4m W4 H357913940 (Int stride -8)"),
+      ("video", y4mHostile(2, 715827882), "y4m W2 H715827882 (off wrap)"),
+      ("video", y4mHostile(1431655765, 1), "y4m W1431655765 H1 (stride wrap)"),
+      ("audio", wavHostile(Int.MaxValue), "WAV data size Int.MaxValue"),
+      ("audio", wavChunkHostile(Int.MaxValue - 8), "WAV fmt chunk hostile")
+    ).map { case (k, p, l) => rejectsTyped(k, p, l) }: _*)
+
+  property("WAV data sizes in [Int.MaxValue-64, Int.MaxValue] all reject") =
+    Prop.forAll(Gen.choose(Int.MaxValue - 64, Int.MaxValue)) { dn =>
+      rejectsTyped("audio", wavHostile(dn), s"WAV dn=$dn")
+    }
+
   property("per-frame features are an L1-normalized histogram (or empty)") =
     Prop.forAll(genText.flatMap(genValid)) { case (kind, payload) =>
       val (_, _, frames) = MediaCodec.decode(kind, payload)
