@@ -126,7 +126,12 @@ object Multimodal {
       case "image" =>
         require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
           s"not a BMP (${payload.length} bytes)")
-        (le32(payload, 18), le32(payload, 22), 1)
+        // hostile header bytes can encode negative dimensions; reject them
+        // as a typed error instead of emitting nonsense metadata — same
+        // posture as the y4m geometry guard below
+        val (w, h) = (le32(payload, 18), le32(payload, 22))
+        require(w >= 0 && h >= 0, s"bad BMP geometry ${w}x$h")
+        (w, h, 1)
       case "audio" =>
         // ceil(samples / window), floored at 1: an exact-multiple data
         // length must NOT grow a phantom empty trailing window (at corpus
@@ -159,7 +164,10 @@ object Multimodal {
         var off = header.length + 1
         var frames = 0
         while (off < payload.length) {
-          require(off + 6 <= payload.length && tag(payload, off) == "FRAM",
+          // Long sum: off + 6 wraps Int for a payload within 6 bytes of the
+          // JVM array ceiling, passing the guard and landing tag() on an
+          // untyped StringIndexOutOfBoundsException instead of the reject
+          require(off.toLong + 6 <= payload.length && tag(payload, off) == "FRAM",
             s"bad y4m frame marker at $off")
           while (off < payload.length && payload(off) != '\n') off += 1
           require(off < payload.length, s"unterminated y4m FRAME line")
@@ -182,8 +190,11 @@ object Multimodal {
       // bounds-checked RIFF walk: a hostile chunk size can be negative
       // (off walks backward — infinite loop) or overshoot the payload
       // (out-of-bounds tag read); both must reject as typed errors
+      // Long sums throughout the walk: off + 8 wraps Int when the payload
+      // sits within 8 bytes of the JVM array ceiling, so an Int guard would
+      // pass vacuously and tag() would throw untyped instead of rejecting
       var off = 12
-      while (off + 8 <= payload.length && tag(payload, off) != "data") {
+      while (off.toLong + 8 <= payload.length && tag(payload, off) != "data") {
         val sz = le32(payload, off + 4)
         // Long arithmetic: off + 8 + sz overflows Int for a hostile size,
         // landing off negative and the next tag read out of bounds
@@ -192,7 +203,7 @@ object Multimodal {
           s"RIFF chunk at $off (size $sz) overruns the ${payload.length}-byte payload")
         off = next.toInt
       }
-      require(off + 8 <= payload.length, s"WAV has no data chunk")
+      require(off.toLong + 8 <= payload.length, s"WAV has no data chunk")
       val dn = le32(payload, off + 4)
       // Long bound, same as the chunk walk above: an Int sum wraps negative
       // for dn near Int.MaxValue and the require passes on a corrupt payload

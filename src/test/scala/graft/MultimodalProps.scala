@@ -104,6 +104,15 @@ object MultimodalProps extends Properties("MediaCodec") {
     "RIFF".getBytes("US-ASCII") ++ le(36) ++ "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le(sz) ++ Array.fill[Byte](24)(0)
 
+  /** 54-byte BMP whose width/height fields carry hostile values. */
+  private def bmpHostile(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    System.arraycopy(le(w), 0, b, 18, 4)
+    System.arraycopy(le(h), 0, b, 22, 4)
+    b
+  }
+
   private def rejectsTyped(kind: String, payload: Array[Byte],
       label: String): Prop = {
     @volatile var out: Option[Prop] = None
@@ -125,7 +134,13 @@ object MultimodalProps extends Properties("MediaCodec") {
       ("video", y4mHostile(2, 715827882), "y4m W2 H715827882 (off wrap)"),
       ("video", y4mHostile(1431655765, 1), "y4m W1431655765 H1 (stride wrap)"),
       ("audio", wavHostile(Int.MaxValue), "WAV data size Int.MaxValue"),
-      ("audio", wavChunkHostile(Int.MaxValue - 8), "WAV fmt chunk hostile")
+      ("audio", wavChunkHostile(Int.MaxValue - 8), "WAV fmt chunk hostile"),
+      // negative dims from hostile header bytes must reject, not surface as
+      // nonsense metadata (the remaining Int-wrap guards — off+6/off+8 at a
+      // payload within bytes of the 2GB array ceiling — are untestable
+      // without allocating such an array, hence guarded by code review)
+      ("image", bmpHostile(-1, 7), "BMP width -1"),
+      ("image", bmpHostile(7, Int.MinValue), "BMP height Int.MinValue")
     ).map { case (k, p, l) => rejectsTyped(k, p, l) }: _*)
 
   property("WAV data sizes in [Int.MaxValue-64, Int.MaxValue] all reject") =
