@@ -235,6 +235,22 @@ object Profile {
         time("dim no-sort")(noop(dim))
         time("dim sorted")(noop(dim.orderBy("c_custkey")))
         time("full registered")(noop(SparkEntry.queries("dim_clients")(spark, d)))
+      case Array("tri") =>
+        import org.apache.spark.sql.functions._
+        val e = Gold.itemPairEdges(Tables.lineitem(spark, d))
+        val nEdges = e.count()
+        val exTot = Gold.triangleCounts(e).agg(sum("n_triangles")).head.getLong(0)
+        for (seed <- Seq(42L, 7L, 123L, 9001L, 5L)) {
+          val kept = e.filter(
+            pmod(xxhash64(col("a"), col("b"), lit(seed)), lit(2L)) === 0L)
+          val est =
+            Gold.triangleCounts(kept).agg(sum("n_triangles")).head.getLong(0) * 8
+          println(f"[profile] tri $d seed=$seed edges=$nEdges exact=$exTot " +
+            f"est=$est relerr=${math.abs(est - exTot).toDouble / exTot}%.4f")
+        }
+        val topEx = Gold.copurchaseTrianglesFrom(e).collect().map(_.getLong(0)).toSet
+        val topAp = Gold.copurchaseTrianglesApprox(e).collect().map(_.getLong(0)).toSet
+        println(s"[profile] tri $d top20 overlap=${(topEx & topAp).size}")
       case Array("explain", names @ _*) =>
         names.foreach { n =>
           println(s"========== $n ==========")

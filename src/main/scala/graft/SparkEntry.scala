@@ -760,6 +760,14 @@ object SparkEntry {
     "copurchase_triangles" -> ((s, d) =>
       Gold.copurchaseTrianglesFrom(
         itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
+    // DOULION edge-sparsified tier of the same counting core: keep each
+    // edge by a deterministic hash coin (p=1/2), scale counts by invP³ —
+    // the wedge stage (the exact tier's quadratic-in-degree scaler) runs
+    // on ~1/4 the wedges. Rows-gated: estimates, not exact counts
+    // (GoldSpec pins the relative-error floor vs the exact tier)
+    "copurchase_triangles_approx" -> ((s, d) =>
+      Gold.copurchaseTrianglesApprox(
+        itemCooc(s, d).select(col("p1").as("a"), col("p2").as("b")))),
     // weighted label-propagation communities over the same shared
     // co-occurrence frame; memoized — the modularity query reads the
     // same partition. Oracle-checked: 5 unrolled exact-integer-argmax

@@ -580,12 +580,32 @@ object Gold {
       .agg(count(lit(1)).as("together"))
 
   /** [[basketPairs]] over prebuilt [[orderItems]] / [[itemCooccurrenceFrom]]
-    * frames (what SparkEntry feeds from its shared memos). */
+    * frames (what SparkEntry feeds from its shared memos).
+    *
+    * Support prune (anti-monotonicity): together(p1,p2) ≤ min(freq(p1),
+    * freq(p2)), so an item in fewer than `minSupport` baskets can never be
+    * in a surviving pair — it can be dropped from the self-join INPUT (the
+    * quadratic stage), not just filtered from its output. On a Zipf-shaped
+    * open-web catalog the sub-support tail is most of the vocabulary, so
+    * the prune collapses the pair expansion; on a head-heavy catalog like
+    * TPC-H it is a measured no-op (zero sub-support parts at every test
+    * SF), so the branch is ADAPTIVE: one count on the part-grain frequency
+    * frame (needed downstream for the lift denominators anyway) decides,
+    * and the no-tail path keeps the session-shared co-occurrence frame
+    * with no extra join. Lossless either way — the pruned pipeline's
+    * output is provably identical (GoldProps fuzzes the equality on
+    * tailed random baskets); lift denominators stay the UNPRUNED corpus
+    * frequencies by definition. */
   def basketPairsFrom(items: DataFrame, cooc: DataFrame,
       minSupport: Long = 3, k: Int = 20): DataFrame = {
     val nOrders = items.select("ok").distinct().count()
-    val pairs = cooc.filter(col("together") >= minSupport)
-    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val freq = CacheOnce(items.groupBy(col("p")).agg(count(lit(1)).as("n")))
+    val nRare = freq.filter(col("n") < minSupport).count()
+    val pairsSrc =
+      if (nRare == 0L) cooc
+      else itemCooccurrenceFrom(items.join(
+        freq.filter(col("n") >= minSupport).select("p"), Seq("p"), "left_semi"))
+    val pairs = pairsSrc.filter(col("together") >= minSupport)
     pairs
       .join(freq.select(col("p").as("p1"), col("n").as("n1")), Seq("p1"))
       .join(freq.select(col("p").as("p2"), col("n").as("n2")), Seq("p2"))
@@ -1101,7 +1121,46 @@ object Gold {
   def copurchaseTriangles(lineitem: DataFrame, k: Int = 20): DataFrame =
     copurchaseTrianglesFrom(itemPairEdges(lineitem), k)
 
-  def copurchaseTrianglesFrom(e: DataFrame, k: Int = 20): DataFrame = {
+  def copurchaseTrianglesFrom(e: DataFrame, k: Int = 20): DataFrame =
+    triangleCounts(e)
+      .orderBy(desc("n_triangles"), col("p_partkey"))
+      .limit(k)
+
+  /** Edge-sparsified twin of [[copurchaseTrianglesFrom]] — the DOULION
+    * estimator (Tsourakakis, Kang, Miller &amp; Faloutsos, KDD'09, public):
+    * keep each undirected edge with probability 1/invP, count triangles on
+    * the sparsified graph with the SAME oriented-wedge core, and scale
+    * every node's count by invP³ (a triangle survives iff all three of its
+    * edges do, independently). The exact tier's cost is the wedge
+    * enumeration, Σ C(outdeg,2) — quadratic in retained degree — so
+    * sampling at 1/invP cuts the dominant stage ~invP² while the estimate
+    * stays unbiased: E[count·invP³] = true count, node by node.
+    *
+    * The coin is a HASH of the edge key (xxhash64(a, b, seed)), not
+    * Math.random: the sample is a pure function of the data, so the
+    * estimate is bit-reproducible across runs, partitionings, and retries
+    * — the determinism rule every approx tier here follows (a speculative
+    * re-execution that re-flips coins would break exactly-once outputs).
+    * invP³ stays integer arithmetic; no float enters until nothing does.
+    * Rows-gated: GoldSpec pins a relative-error floor against the exact
+    * tier plus repartition-invariance of the estimate. */
+  def copurchaseTrianglesApprox(e: DataFrame, k: Int = 20, invP: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(invP >= 1, s"invP must be >= 1, got $invP")
+    val kept = e.filter(
+      pmod(xxhash64(col("a"), col("b"), lit(seed)), lit(invP.toLong)) === 0L)
+    val scale = invP.toLong * invP * invP
+    triangleCounts(kept)
+      .select(col("p_partkey"),
+        (col("n_triangles") * scale).as("n_triangles_est"))
+      .orderBy(desc("n_triangles_est"), col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Node-grain triangle membership counts — the oriented-wedge counting
+    * core the exact and the DOULION-sampled tier share (one algorithm, two
+    * edge frames; the tiers can never drift onto different wedge logic). */
+  def triangleCounts(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // rank(x) = (deg(x), x): a total order, ties broken by id
@@ -1127,8 +1186,6 @@ object Gold {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy(desc("n_triangles"), col("p_partkey"))
-      .limit(k)
   }
 
   /** Order-priority check (TPC-H Q4 shape): orders placed in a quarter

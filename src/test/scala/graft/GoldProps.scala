@@ -60,6 +60,47 @@ object GoldProps extends Properties("Gold") {
     } yield (order, part))
   } yield rows
 
+  // baskets drawn from either a narrow catalog (every part frequent — the
+  // adaptive prune must take the shared-cooc no-op path) or a wide one
+  // (most parts below support — the prune fires); the reference is the
+  // same either way, so a prune that drops a surviving pair, keeps a
+  // sub-support pair, or shifts a lift denominator falsifies immediately
+  private val genTailedBaskets = for {
+    maxPart <- Gen.oneOf(5L, 30L)
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      order <- Gen.choose(1L, 6L)
+      part <- Gen.choose(1L, maxPart)
+    } yield (order, part))
+  } yield rows
+
+  property("basketPairsFrom with adaptive support prune equals brute force") =
+    Prop.forAll(genTailedBaskets, Gen.choose(1L, 3L)) { (rows, minSup) =>
+      import spark.implicits._
+      val items = rows.distinct
+      val nOrders = items.map(_._1).distinct.size
+      val freq = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2))
+      val together = byOrder.values.flatMap(ps =>
+        for (a <- ps; b <- ps if a < b) yield (a, b))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      // mirror Spark's exact arithmetic: double multiply/divide, then
+      // HALF_UP at 6dp (what functions.round does on a double)
+      def lift(p: (Long, Long), t: Long): Double =
+        java.math.BigDecimal.valueOf(t.toDouble * nOrders / (freq(p._1) * freq(p._2)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val expected = together.filter(_._2 >= minSup).toSeq
+        .map { case (p, t) => (p._1, p._2, t, lift(p, t)) }
+        .sortBy { case (p1, p2, _, l) => (-l, p1, p2) }
+        .take(20)
+      val itemsDf = rows.toDF("l_orderkey", "l_partkey")
+      val frame = Gold.orderItems(itemsDf)
+      val got = Gold.basketPairsFrom(frame, Gold.itemCooccurrenceFrom(frame),
+          minSupport = minSup).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      got == expected
+    }
+
   property("copurchaseTriangles equals brute-force triple enumeration") =
     Prop.forAll(genBaskets) { rows =>
       import spark.implicits._
