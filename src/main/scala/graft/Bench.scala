@@ -49,7 +49,8 @@ object Bench {
       // text) collapse to 1-2 tasks at test scale. A 16 KB floor keeps
       // them on all cores; at production scale partitions are >= 64 MB so
       // this floor never binds.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "16k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

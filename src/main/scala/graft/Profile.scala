@@ -235,6 +235,49 @@ object Profile {
         time("dim no-sort")(noop(dim))
         time("dim sorted")(noop(dim.orderBy("c_custkey")))
         time("full registered")(noop(SparkEntry.queries("dim_clients")(spark, d)))
+      case Array("floor") =>
+        // decompose the bench's per-query fixed cost at tiny SF:
+        //   build = SparkEntry builder call (incl. any driver actions)
+        //   plan  = analysis + optimization + physical planning + codegen
+        //   exec  = the noop-sink job(s)
+        // run twice per query, report the second (warm) split — the bench
+        // itself measures warm passes after its untimed warmup
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def split(fn: (SparkSession, String) => DataFrame): (Double, Double, Double, Int) = {
+          val j0 = listener.jobs.get()
+          val t0 = System.nanoTime()
+          val df = fn(spark, d)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force analyze/optimize/plan
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          Thread.sleep(15) // let the async listener bus drain job events
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
+            listener.jobs.get() - j0)
+        }
+        val rows = SparkEntry.queries.toSeq.map { case (name, fn) =>
+          try {
+            split(fn) // warmup
+            val (b, p, x, j) = split(fn)
+            (name, b, p, x, j)
+          } catch { case e: Throwable =>
+            println(s"[profile] floor $name FAILED: ${e.getMessage.takeWhile(_ != '\n')}")
+            (name, 0.0, 0.0, 0.0, 0)
+          }
+        }
+        val (tb, tp, tx) = (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+        println(f"[profile] floor TOTAL build=$tb%.1fs plan=$tp%.1fs exec=$tx%.1fs jobs=${rows.map(_._5).sum}")
+        rows.sortBy(r => -(r._2 + r._3 + r._4)).take(30).foreach { case (n, b, p, x, j) =>
+          println(f"[profile] floor $n%-32s build=$b%6.2f plan=$p%6.2f exec=$x%6.2f jobs=$j%3d")
+        }
       case Array("tri") =>
         import org.apache.spark.sql.functions._
         val e = Gold.itemPairEdges(Tables.lineitem(spark, d))
