@@ -9,6 +9,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args.drop(2).toSet) else None
+    // correctness-dump posture: tier-switch queries whose sketch side is
+    // separately spec-pinned (kpis_rewritten + PlanShapeSpec) run their
+    // exact body here so the oracle hash-checks the query code itself;
+    // Bench never sets this and always measures the sketch plan
+    System.setProperty("graft.verify.exactTiers", "true")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -772,13 +772,17 @@ object Gold {
     * divided once on output: adding two rounded doubles would reintroduce
     * the partition-order fp noise [[Tables.moneySum]] exists to kill. */
   def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame =
-    base.join(changes, base("o_custkey") === changes("o_custkey"), "full_outer")
-      .filter(changes("op").isNull || changes("op") === "U")
+    // alias-qualified refs, not dataset-tagged ones (base("col")): both
+    // sides may derive from the SAME memoized source relation, where
+    // shared expression ids make dataset-tagged conditions ambiguous
+    base.as("b").join(changes.as("c"),
+        col("b.o_custkey") === col("c.o_custkey"), "full_outer")
+      .filter(col("c.op").isNull || col("c.op") === "U")
       .select(
-        coalesce(base("o_custkey"), changes("o_custkey")).as("o_custkey"),
-        (coalesce(base("n_orders"), lit(0L)) + coalesce(changes("c_n"), lit(0L)))
+        coalesce(col("b.o_custkey"), col("c.o_custkey")).as("o_custkey"),
+        (coalesce(col("b.n_orders"), lit(0L)) + coalesce(col("c.c_n"), lit(0L)))
           .as("n_orders"),
-        round((coalesce(base("cents"), lit(0L)) + coalesce(changes("c_cents"), lit(0L)))
+        round((coalesce(col("b.cents"), lit(0L)) + coalesce(col("c.c_cents"), lit(0L)))
           / 100.0, 2).as("total"))
       .orderBy("o_custkey")
 

@@ -76,11 +76,17 @@ object Layout {
     * PROVES integrity the way a production compactor must: row count
     * and the order-independent [[Catalog.tableChecksum]] digest are
     * compared before/after — a compaction that loses or duplicates one
-    * row cannot report ok. One metrics row out; LayoutSpec gates the
-    * file arithmetic and integrity flag (StreamsSpec separately proves
-    * the digest flips on a single-cent change). Complements
-    * [[Pipeline.compactSink]] — that one is the in-place per-partition
-    * dir swap; this is the audited whole-dataset rewrite. */
+    * row cannot report ok. One metrics row out, carrying the raw digests
+    * (not just a match flag): rows and digests restate in SQL over the
+    * source table, so the audit row is ORACLE-CHECKED end to end —
+    * DuckDB computes the same polynomial checksum and ⌈rows/target⌉
+    * file count from the original data, and a compaction that loses or
+    * duplicates one row hash-mismatches the driver's compare. LayoutSpec
+    * gates the file arithmetic (files_before is fixture-dependent and
+    * stays out of SQL); StreamsSpec separately proves the digest flips
+    * on a single-cent change. Complements [[Pipeline.compactSink]] —
+    * that one is the in-place per-partition dir swap; this is the
+    * audited whole-dataset rewrite. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetRecordsPerFile: Long): DataFrame = {
     import spark.implicits._
@@ -93,9 +99,9 @@ object Layout {
     before.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     val aSum = Catalog.tableChecksum(spark.read.parquet(outDir)).head()
     Seq((files(inDir), files(outDir), bSum.getLong(0), aSum.getLong(0),
-      bSum.getLong(1) == aSum.getLong(1)))
+      bSum.getLong(1), aSum.getLong(1)))
       .toDF("files_before", "files_after", "rows_before", "rows_after",
-        "checksum_match")
+        "checksum_before", "checksum_after")
   }
 
   /** Snapshot reconciliation — the row-level diff behind a restatement

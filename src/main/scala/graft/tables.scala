@@ -91,10 +91,23 @@ object Tables {
     requireColumns(df, schema.fieldNames.toSeq, table)
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
-  }
+  /** Resolved-relation memo — what a catalog does for a registered table.
+    * `spark.read.parquet` resolves the DataSource from scratch on every
+    * call: a driver-side file listing plus a footer read for schema
+    * inference, ~5-10ms each. The test tables are immutable within a
+    * session, and a 190-query bench pass issues hundreds of loader calls,
+    * so re-resolving per call is pure floor cost (measured seconds per
+    * bench run). One resolved handle per (session, dir, table); sinks and
+    * scratch dirs — anything rewritten mid-session — never load through
+    * here, they call spark.read directly. */
+  private val loadMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadMemo.getOrElseUpdate((spark.hashCode, dir, name), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
+    })
 
   /** Raw-log text lines for the events stream — the unstructured-source
     * entry an ELT pipeline parses FIRST (S-family sibling of the CSV

@@ -70,7 +70,7 @@ class LayoutSpec extends SparkSpec {
     assert(r.getAs[Long]("files_after") == (n + target - 1) / target)
     assert(r.getAs[Long]("files_after") < r.getAs[Long]("files_before"))
     assert(r.getAs[Long]("rows_before") == n && r.getAs[Long]("rows_after") == n)
-    assert(r.getAs[Boolean]("checksum_match"))
+    assert(r.getAs[Long]("checksum_before") == r.getAs[Long]("checksum_after"))
     Streams.deleteRec(base.toFile)
   }
 }
