@@ -90,7 +90,14 @@ object Gold {
       max("o_orderdate").as("last_purchase"),
       count("o_orderkey").as("total_orders"),
       moneySum(col("o_totalprice")).as("total_spend"))
-    val parts = o.join(lineitem.select("l_orderkey", "l_partkey"),
+    // explicit narrow projection BEFORE the line-grain join: only the
+    // join key and the grouping key travel through the 4|L|-row exchange.
+    // Catalyst's column pruning does not fully recover this through the
+    // validity filter + join (measured 1.7s vs 1.1s isolated at sf0.1 —
+    // Profile 'dim'), and at 100 TB the delta is the whole orders row
+    // width times the lineitem multiplicity
+    val parts = o.select("o_orderkey", "o_custkey")
+      .join(lineitem.select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("pc_custkey"))
       .agg(countDistinct("l_partkey").as("product_count"))
@@ -1428,19 +1435,24 @@ object Gold {
     * quantified (bool_and) aggregation, realized as a per-order max
     * over the line lag then a month-grain conditional share. Integer
     * day arithmetic end to end; the share is the single float division,
-    * 6dp. Scale shape: fact-fact join reduced at order grain first, the
-    * month rollup moves only order subtotals. */
+    * 6dp. Scale shape: the per-order reduce happens BEFORE the join —
+    * datediff is monotone in its first argument with the order date
+    * fixed, so max(datediff(ship, d)) = datediff(max(ship), d), and the
+    * lineitem side collapses to one row per order in a map-side-combining
+    * pre-aggregate. The join then runs at ORDER grain on both sides
+    * (|O| × |O|, not |O| × |L|), and the line-grain post-join aggregate
+    * the fused form needed disappears entirely. */
   def orderSla(orders: DataFrame, lineitem: DataFrame,
       slaDays: Int = 90): DataFrame =
     orders.select(col("o_orderkey"), col("o_orderdate"),
       date_format(col("o_orderdate"), "yyyy-MM").as("mois"))
-      .join(lineitem.select("l_orderkey", "l_shipdate"),
+      .join(lineitem.select("l_orderkey", "l_shipdate")
+          .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship")),
         col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderkey", "mois")
-      .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))).as("worst_lag"))
       .groupBy("mois")
       .agg(count(lit(1)).as("n_orders"),
-        sum(when(col("worst_lag") <= slaDays, 1L).otherwise(0L)).as("n_met"))
+        sum(when(datediff(col("last_ship"), col("o_orderdate")) <= slaDays,
+          1L).otherwise(0L)).as("n_met"))
       .select(col("mois"), col("n_orders"), col("n_met"),
         round(col("n_met") / col("n_orders").cast("double"), 6).as("sla_share"))
       .orderBy("mois")
