@@ -769,11 +769,16 @@ object Serving {
     val s = eventSessions(events, gapSeconds)
       .select(col("user_id"), col("session_seq"),
         col("session_start"), col("session_end"))
-    val binned = s.select(col("user_id"), col("session_seq"),
+    // cache the binned frame: it feeds BOTH sides of the interval join,
+    // and exchange reuse cannot unify them (the probe side is
+    // hash-partitioned on bin, the build side is a BroadcastExchange —
+    // different distributions), so without the cache the whole
+    // sessionization pipeline (scan -> 2 windows -> explode) runs twice
+    val binned = CacheOnce(s.select(col("user_id"), col("session_seq"),
       col("session_start"), col("session_end"),
       explode(sequence(date_trunc("hour", col("session_start")),
         date_trunc("hour", col("session_end")),
-        expr("interval 1 hour"))).as("bin"))
+        expr("interval 1 hour"))).as("bin")))
     binned.as("x").join(binned.as("y"),
         col("x.bin") === col("y.bin") &&
           col("x.user_id") < col("y.user_id") &&
