@@ -92,7 +92,16 @@ finally:
 # machine-independent cross-round comparison by construction. Uses the
 # committed BENCH_FULL.json of each commit (the prev worktree carries
 # the previous round's artifact; the repo root carries this round's).
-probe_ratio = sum(head_times.values()) / sum(prev_times.values())
+# MEDIAN of the per-query ratios, not the ratio of sums: one probe with
+# bimodal scheduling behavior (copurchase_triangles swings 4.5-9s in
+# shared-JVM context on IDENTICAL code — measured both commits, round 13)
+# would otherwise own the whole drift estimate. The median survives any
+# single outlier probe; the per-query ratios are recorded so a reader can
+# see which probe disagreed and by how much.
+per_query_ratio = {q: round(head_times[q] / prev_times[q], 4) for q in QUERIES}
+ratios = sorted(per_query_ratio.values())
+probe_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else \
+    (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
 drift_corrected = None
 full_totals = {}
 try:
@@ -117,18 +126,20 @@ out = {
     "head_commit": head,
     "head_dirty": dirty,
     "timing": "graft.Bench noop-materialize min-of-3, same machine, back-to-back",
-    "queries": {q: {"prev": prev_times.get(q), "head": head_times.get(q)}
+    "queries": {q: {"prev": prev_times.get(q), "head": head_times.get(q),
+                    "ratio": per_query_ratio.get(q)}
                 for q in QUERIES},
     "total": {"prev": round(sum(prev_times.values()), 3),
               "head": round(sum(head_times.values()), 3)},
     "machine_drift_ratio": round(probe_ratio, 4),
     "bench_full_total": full_totals or None,
     "drift_corrected_vs_prev": drift_corrected,
-    "note": "machine_drift_ratio = head/prev on five untouched heavy "
-            "queries (pure VM drift); drift_corrected_vs_prev = "
-            "(BENCH_FULL head/prev) / machine_drift_ratio — the "
-            "machine-independent cross-round suite ratio; <1 means the "
-            "code got faster",
+    "note": "machine_drift_ratio = MEDIAN of per-query head/prev ratios "
+            "on five code-untouched heavy probes (pure VM drift; the "
+            "median survives one bimodal probe — see per-query ratios); "
+            "drift_corrected_vs_prev = (BENCH_FULL head/prev) / "
+            "machine_drift_ratio — the machine-independent cross-round "
+            "suite ratio; <1 means the code got faster",
 }
 with open("CALIBRATION.json", "w") as f:
     json.dump(out, f, indent=1)
