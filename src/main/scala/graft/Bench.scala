@@ -41,6 +41,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MINPART", "16k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,8 +50,7 @@ object Bench {
       // text) collapse to 1-2 tasks at test scale. A 16 KB floor keeps
       // them on all cores; at production scale partitions are >= 64 MB so
       // this floor never binds.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MINPART", "16k"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -117,7 +117,11 @@ object Bench {
         .mkString("{", ",", "}")
       val sp = spreads.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
+      // effective env-tunable session config rides in the artifact so an
+      // overridden probe run can never masquerade as a default-config
+      // record in cross-round comparisons
+      val conf = s"""{"cpus":${jstr(cpus)},"minPartitionSize":${jstr(minPart)},"queryFilter":${only.map(f => jstr(f.toSeq.sorted.mkString(","))).getOrElse("null")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"conf":$conf,"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
     }
     // best-effort: a read-only/odd cwd must not kill the run after the
     // queries already completed — the stdout line below is the record

@@ -290,20 +290,31 @@ object SparkEntry {
     // streaming form of the same maintenance: orders as a micro-batched
     // file stream, each batch sum-merged into the persisted partial;
     // final table hash-checks against the batch ca_monthly oracle.
-    // Warm-sink form: history bootstrapped once, the invocation merges
-    // the one-trigger tail delta (see [[warmMaintBase]])
+    // Bench measures the warm-sink form: history bootstrapped once, the
+    // invocation merges the one-trigger tail delta (see [[warmMaintBase]]).
+    // Verify (-Dgraft.verify.exactTiers) runs the COLD from-empty 4-batch
+    // replay instead, so the cross-SF oracle sweep keeps hash-checking the
+    // full bootstrap path, not just the steady-state merge.
     "ca_monthly_maintained" -> ((s, d) => {
-      val (base, tail) = warmMaintBase(s, d, "camaint")(
-        (src, sink) => { Streams.caMonthlyMaintained(s, src, sink); () })
-      Streams.caMonthlyMaintained(s, tail, scratchSinkCopy(base, "camaint"))
+      if (java.lang.Boolean.getBoolean("graft.verify.exactTiers"))
+        Streams.caMonthlyMaintained(s, ordersStreamDir(s, d), coldSink("camaint"))
+      else {
+        val (base, tail) = warmMaintBase(s, d, "camaint")(
+          (src, sink) => { Streams.caMonthlyMaintained(s, src, sink); () })
+        Streams.caMonthlyMaintained(s, tail, scratchSinkCopy(base, "camaint"))
+      }
     }),
     // streamed maintenance of the top-client BASE state (client-grain
     // exact partials; top-k on read) — same oracle as top_clients; same
-    // warm-sink bootstrap as ca_monthly_maintained
+    // warm-bench / cold-Verify split as ca_monthly_maintained
     "top_clients_maintained" -> ((s, d) => {
-      val (base, tail) = warmMaintBase(s, d, "topkmaint")(
-        (src, sink) => { Streams.topClientsMaintained(s, src, sink); () })
-      Streams.topClientsMaintained(s, tail, scratchSinkCopy(base, "topkmaint"))
+      if (java.lang.Boolean.getBoolean("graft.verify.exactTiers"))
+        Streams.topClientsMaintained(s, ordersStreamDir(s, d), coldSink("topkmaint"))
+      else {
+        val (base, tail) = warmMaintBase(s, d, "topkmaint")(
+          (src, sink) => { Streams.topClientsMaintained(s, src, sink); () })
+        Streams.topClientsMaintained(s, tail, scratchSinkCopy(base, "topkmaint"))
+      }
     }),
     "ca_country" -> ((s, d) => Gold.caCountry(fact(s, d))),
     // the hot-key two-stage salted aggregation as a query (same oracle:
@@ -1275,14 +1286,22 @@ object SparkEntry {
     val scratch = java.nio.file.Files.createTempDirectory(s"graft_${kind}_scratch")
     sys.addShutdownHook(Streams.deleteRec(scratch.toFile))
     val basePath = java.nio.file.Paths.get(baseSink)
-    java.nio.file.Files.walk(basePath).forEach { p =>
+    val walk = java.nio.file.Files.walk(basePath)
+    try walk.forEach { p =>
       val dst = scratch.resolve(basePath.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(dst)
       else java.nio.file.Files.copy(p, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
     scratch.toString
+  }
+
+  /** Fresh empty sink dir for a Verify-mode cold maintained-view replay. */
+  private def coldSink(kind: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_cold")
+    sys.addShutdownHook(Streams.deleteRec(p.toFile))
+    p.toString
   }
 
   // ------------------------------------------------------------- oracle SQL

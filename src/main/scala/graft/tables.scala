@@ -99,15 +99,48 @@ object Tables {
     * so re-resolving per call is pure floor cost (measured seconds per
     * bench run). One resolved handle per (session, dir, table); sinks and
     * scratch dirs — anything rewritten mid-session — never load through
-    * here, they call spark.read directly. */
-  private val loadMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    * here, they call spark.read directly.
+    *
+    * Keys are `spark.sessionUUID` — unique per session for the JVM's
+    * lifetime, unlike an identity hash, which can recur after a stopped
+    * session is GC'd and would then hand a DataFrame bound to the dead
+    * session to an unrelated new one. The session handle rides along in
+    * the value so every `load` can evict entries whose SparkContext has
+    * stopped: a long-lived multi-session JVM (the test suite runs many)
+    * otherwise retains dead plans forever. */
+  private val loadMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (SparkSession, DataFrame)]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadMemo.getOrElseUpdate((spark.hashCode, dir, name), {
+  /** One UUID per live session, assigned on first sight and never
+    * reused (Spark's own `sessionUUID` is `private[sql]`, so we mint our
+    * own). Weak keys: the value string holds no reference back to the
+    * session, so a dropped session's registry entry is collectable —
+    * and a later session occupying the same identity hash gets a FRESH
+    * uuid, which is exactly the collision class a raw `hashCode` key
+    * suffers. */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private[graft] def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    loadMemo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    loadMemo.getOrElseUpdate((sessionId(spark), dir, name), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
-    })
+      (spark, required.get(name).map(requireColumns(df, _, name)).getOrElse(df))
+    })._2
+  }
+
+  /** Test hook: the memo's current keys (uuid, dir, table). */
+  private[graft] def loadMemoKeys: Set[(String, String, String)] =
+    loadMemo.keySet.toSet
 
   /** Raw-log text lines for the events stream — the unstructured-source
     * entry an ELT pipeline parses FIRST (S-family sibling of the CSV

@@ -98,7 +98,19 @@ finally:
 # would otherwise own the whole drift estimate. The median survives any
 # single outlier probe; the per-query ratios are recorded so a reader can
 # see which probe disagreed and by how much.
-per_query_ratio = {q: round(head_times[q] / prev_times[q], 4) for q in QUERIES}
+# tolerate probes missing from either artifact (a crashed/renamed query)
+# or a zero prev time — build ratios only where both sides are usable,
+# and refuse a median over fewer than 3 survivors (too few to be robust).
+per_query_ratio = {q: round(head_times[q] / prev_times[q], 4)
+                   for q in QUERIES
+                   if head_times.get(q) is not None
+                   and prev_times.get(q, 0) > 0}
+dropped = [q for q in QUERIES if q not in per_query_ratio]
+if dropped:
+    print(f"[calibrate] probes dropped (missing/zero on one side): {dropped}")
+if len(per_query_ratio) < 3:
+    sys.exit(f"[calibrate] only {len(per_query_ratio)} usable probe ratios "
+             f"({sorted(per_query_ratio)}); need >= 3 for a robust median")
 ratios = sorted(per_query_ratio.values())
 probe_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else \
     (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
