@@ -284,6 +284,33 @@ class StreamsSpec extends SparkSpec {
     assert(orphans.filter(col("n_clicks") < 1 || col("user_id") === -1L).count() == 0)
   }
 
+  test("derived attribution views equal their genuine independent drains") {
+    // bench path: the three views derive from ONE shared full-outer pair
+    // drain; exactTiers path: each runs its own stream-stream join. The
+    // two postures must be row-identical on the same dataset.
+    def fmt(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("purchase_id"), col("user_id"), col("n_clicks"),
+          col("click_value"))
+        .orderBy(col("purchase_id").asc_nulls_first, col("user_id"))
+        .collect().map(_.mkString("|")).toSeq
+    val derived = Seq(
+      fmt(Streams.attributionStreamed(spark, sf)),
+      fmt(Streams.attributionOuterStreamed(spark, sf)),
+      fmt(Streams.attributionFullStreamed(spark, sf)))
+    System.setProperty("graft.verify.exactTiers", "true")
+    val genuine =
+      try Seq(
+        fmt(Streams.attributionStreamed(spark, sf)),
+        fmt(Streams.attributionOuterStreamed(spark, sf)),
+        fmt(Streams.attributionFullStreamed(spark, sf)))
+      finally System.clearProperty("graft.verify.exactTiers")
+    assert(derived.forall(_.nonEmpty))
+    assert(derived == genuine)
+    // inner ⊂ left-outer ⊂ full, strictly (zero-click purchases and
+    // orphan clicks both exist in the fixture)
+    assert(derived(0).size < derived(1).size && derived(1).size < derived(2).size)
+  }
+
   test("snapshotDiff: all four statuses classified with exact cents deltas") {
     import spark.implicits._
     val v1 = Seq((1L, 2020, 10.0), (2L, 2020, 20.0), (3L, 2021, 30.0))
