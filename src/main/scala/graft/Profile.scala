@@ -263,7 +263,12 @@ object Profile {
           ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
             listener.jobs.get() - j0)
         }
-        val rows = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        // SPARK_GRAFT_QUERIES narrows the floor pass like Bench's filter
+        val only = sys.env.get("SPARK_GRAFT_QUERIES")
+          .map(_.split(",").map(_.trim).toSet)
+        val rows = SparkEntry.queries.toSeq
+          .filter { case (name, _) => only.forall(_.contains(name)) }
+          .map { case (name, fn) =>
           try {
             split(fn) // warmup
             val (b, p, x, j) = split(fn)

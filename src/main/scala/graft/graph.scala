@@ -169,8 +169,17 @@ object Graph {
     val broadcastRanks = n <= 4000000L
     // degree rides WITH the edges either way: rounds join ONE frame.
     // Division stays rank/deg, bit-identical to the two-join formulation.
+    // Broadcast regime: the rank join needs NO edge-side distribution
+    // (the ranks are the broadcast side), so the one distribution a
+    // round does need — the contribution sum's hash(dst) — is paid HERE,
+    // once, and localCheckpoint's LogicalRDD carries it into every
+    // round: the per-round plan is then a single exchange-free stage
+    // (scan ⋈ broadcast → project → partial+final agg on the pinned
+    // hash(dst) layout). Shuffle regime keeps hash(src), which the
+    // per-round shuffle join requires instead.
     val ew =
-      (if (broadcastRanks) e.join(broadcast(outDeg), Seq("src"))
+      (if (broadcastRanks)
+         e.join(broadcast(outDeg), Seq("src")).repartition(col("dst"))
        else e.repartition(col("src")).join(outDeg, Seq("src")))
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -179,7 +188,16 @@ object Graph {
       val contribs = ew.join(rk, col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      // undirected callers emitted both edge directions, so every node
+      // has in-edges and `contribs` already covers the full node set —
+      // the zero-contrib left join is a provable no-op there and one
+      // whole join per round; general digraphs (sink-only in-degree-0
+      // nodes possible) keep it. coalesce stays: it's free, and it makes
+      // the two branches the same expression shape.
+      val kept =
+        if (undirected) contribs
+        else nodes.join(contribs, Seq("id"), "left")
+      ranks = kept
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
@@ -205,10 +223,19 @@ object Graph {
   def bfsDistances(edges: DataFrame, source: Long, maxDepth: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges
+    // broadcast-regime layout: the frontier join is map-side (frontier
+    // is the broadcast side), so the edge frame owes NO distribution to
+    // it — the one distribution a round does need is the neighbor
+    // distinct's hash(b), pinned here once so the whole round runs as a
+    // single exchange-free stage (pageRank's discipline). The >4M-node
+    // shuffle regime needs hash(a) for its frontier shuffle join
+    // instead; that copy is built lazily IF the walk ever crosses the
+    // gate, one extra exchange paid once at a scale where it vanishes.
+    val eB = edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .repartition(col("a"))
+      .repartition(col("b"))
       .localCheckpoint()
+    var eA: DataFrame = null
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
     var d = 0L
@@ -222,6 +249,9 @@ object Graph {
       // the only per-round shuffle is the neighbor distinct
       val small = reached <= 4000000L
       val fr = if (small) broadcast(frontier) else frontier
+      if (!small && eA == null)
+        eA = eB.repartition(col("a")).localCheckpoint()
+      val e = if (small) eB else eA
       // anti-join BEFORE distinct: the visited filter is map-side (under
       // the broadcast gate) while distinct is the round's one shuffle —
       // in late rounds most neighbors are already visited, so filtering
