@@ -305,6 +305,35 @@ object Profile {
           println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         }
+      case Array("repeat", name, nStr) =>
+        // variance diagnosis: run one query N times in this JVM, print
+        // per-pass wall time alongside the JVM-level suspects — GC time
+        // delta, JIT compilation time delta, and a hash of the executed
+        // plan (an AQE flip between passes would change it)
+        import java.lang.management.ManagementFactory
+        import scala.jdk.CollectionConverters._
+        def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+        def jitMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+        val fn = SparkEntry.queries(name)
+        fn(spark, d).write.format("noop").mode("overwrite").save() // warmup
+        for (i <- 1 to nStr.toInt) {
+          val (g0, c0, t0) = (gcMs, jitMs, System.nanoTime())
+          val df = fn(spark, d)
+          df.write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // read the plan AFTER the action (AQE finalized); exprIds make
+          // the raw string hash-unstable across passes, so compare the
+          // operator SHAPE: per-strategy node counts — an AQE join flip
+          // between passes shows up here
+          val plan = df.queryExecution.executedPlan.toString
+          def cnt(op: String) = op + "=" + plan.sliding(op.length).count(_ == op)
+          val shape = Seq("SortMergeJoin", "BroadcastHashJoin",
+            "ShuffledHashJoin", "CartesianProduct", "AQEShuffleRead")
+            .map(cnt).mkString(" ")
+          println(f"[profile] repeat $name pass=$i%2d wall=$wall%6.2fs " +
+            f"gc=+${gcMs - g0}%4dms jit=+${jitMs - c0}%5dms $shape")
+        }
       case _ =>
         val docs = Tables.documents(spark, d)
         time("signatures")(mat(Llm.minhashSignatures(docs)))
