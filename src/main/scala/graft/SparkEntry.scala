@@ -28,6 +28,17 @@ object SparkEntry {
   private val V = s"o_totalprice > 0 AND o_totalprice <= ${Gold.MaxAmount}"
   private def ms(c: String) = Tables.moneySumSql(c)
 
+  /** knn_lsh's 64 deterministic ±1 hyperplanes (4 planes × 16 tables,
+    * testdata embedding width 64) inlined as DuckDB VALUES literals —
+    * the same splitmix64 derivation graft.functions.LshSign evaluates,
+    * via the driver-folded reference [[Llm.hyperplanes]] that LlmSpec
+    * already pins bit-equal to the native expression. */
+  private lazy val lshPlanesValues: String =
+    Llm.hyperplanes(64, 64).zipWithIndex.map { case (w, j) =>
+      w.map(x => if (x > 0) "1" else "-1")
+        .mkString(s"($j, [", ",", "]::DOUBLE[])")
+    }.mkString(",\n        ")
+
   /** Shared subtrees memoized per (name, session, dataset) — ONE cached
     * DataFrame handle each, built once and reused by reference. Earlier
     * rounds rebuilt an identical plan per invocation and leaned on the
@@ -275,11 +286,22 @@ object SparkEntry {
     }),
     // sketch-merge incremental KPIs: distinct clients refresh by HLL
     // union of a persisted sketch with the delta's — never an exact
-    // recount over history (rows-only: the estimate is approximate)
-    "kpis_incremental" -> ((s, d) => Serving.kpisFromPartials(
-      s.read.parquet(kpisPartialDir(s, d)).unionByName(
-        Serving.kpisPartial(Tables.orders(s, d)
-          .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
+    // recount over history. kpis_rewritten decomposition: Verify
+    // (-Dgraft.verify.exactTiers) runs the fully-exact merge (algebraic
+    // fields + a persisted exact key set) hash-checked against the kpis
+    // oracle; Bench measures the sketch merge, whose error bound and
+    // split-insensitivity GoldSpec pins.
+    "kpis_incremental" -> ((s, d) =>
+      if (java.lang.Boolean.getBoolean("graft.verify.exactTiers"))
+        Serving.kpisExactIncremental(
+          s.read.parquet(kpisPartialDir(s, d)),
+          s.read.parquet(kpisKeysDir(s, d)),
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))
+      else Serving.kpisFromPartials(
+        s.read.parquet(kpisPartialDir(s, d)).unionByName(
+          Serving.kpisPartial(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(IncrementalCutoff).cast("timestamp")))))),
     // the exact algebraic half of the same refresh (sums/counts in
     // integer cents merge bit-for-bit) — hash-checked against a full
     // recompute; only the HLL client estimate stays rows-only above
@@ -1221,6 +1243,23 @@ object SparkEntry {
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Serving.kpisPartial(Tables.orders(s, d)
           .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+
+  /** Persisted exact client-key set (pre-cutoff) for the exact tier of
+    * the incremental KPI refresh — the structure an exact incremental
+    * distinct count maintains instead of an HLL sketch. Same cutoff and
+    * lifecycle as [[kpisPartialDir]]. */
+  private val kpisKeysMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  private def kpisKeysDir(s: SparkSession, d: String): String =
+    kpisKeysMemo.getOrElseUpdate((s.hashCode, d), {
+      val p = java.nio.file.Files.createTempDirectory("graft_kpi_keys")
+      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      Gold.validOrders(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(IncrementalCutoff).cast("timestamp")))
+        .select("o_custkey").distinct()
         .write.mode("overwrite").parquet(p.toString)
       p.toString
     })
@@ -2288,6 +2327,17 @@ object SparkEntry {
                    count(DISTINCT o_custkey) AS nb_clients
             FROM orders WHERE $V)""",
 
+    // kpis_incremental runs its fully-exact merge tier at verify time
+    // (persisted algebraic partial + exact key set; the HLL sketch tier
+    // is pinned by GoldSpec) — same truth as the kpis oracle, with the
+    // exact distinct under the sketch tier's column name
+    "kpis_incremental" -> s"""
+      SELECT ca_total, nb_achats, nb_clients_approx,
+             round(ca_total / nb_achats, 2) AS panier_moyen
+      FROM (SELECT ${ms("o_totalprice")} AS ca_total, count(o_orderkey) AS nb_achats,
+                   count(DISTINCT o_custkey) AS nb_clients_approx
+            FROM orders WHERE $V)""",
+
     // the incremental refresh's exact fields vs a FULL recompute: the
     // partial+delta merge must be indistinguishable from one pass
     "kpis_incremental_exact" -> s"""
@@ -2853,6 +2903,37 @@ object SparkEntry {
       s AS (SELECT probe_id, e.vec_id AS neighbor_id,
               round(list_cosine_similarity(pemb, emb), 6) AS sim
             FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT probe_id, neighbor_id, rank, sim FROM r
+      WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // sign-LSH ANN restated whole: the ±1 hyperplanes are deterministic
+    // (splitmix64 of plane*4096+dim), so they inline as literals and
+    // DuckDB re-derives the per-table bucket ids, the bucket-mate
+    // candidate union, and the cosine top-k over candidates — the full
+    // ranked result, not just the candidate set. Sign decisions are
+    // float-safe cross-engine: the minimum |dot| margin over every
+    // (vector, plane) at all three SFs is ~5e-6, eight orders above
+    // double accumulation noise (measured round 14).
+    "knn_lsh" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      planes(j, w) AS (VALUES $lshPlanesValues),
+      bits AS (SELECT e.vec_id, p.j // 4 AS tbl,
+                      CASE WHEN list_dot_product(e.emb, p.w) >= 0
+                           THEN 1 << (p.j % 4) ELSE 0 END AS bit
+               FROM e CROSS JOIN planes p),
+      b AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+            FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT pb.vec_id AS probe_id, b2.vec_id
+               FROM b pb JOIN b b2 ON pb.tbl = b2.tbl AND pb.bucket = b2.bucket
+               WHERE pb.vec_id < 10 AND b2.vec_id <> pb.vec_id),
+      s AS (SELECT c.probe_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(ep.emb, en.emb), 6) AS sim
+            FROM cand c
+            JOIN e ep ON ep.vec_id = c.probe_id
+            JOIN e en ON en.vec_id = c.vec_id),
       r AS (SELECT probe_id, neighbor_id, sim,
               CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
             FROM s)

@@ -353,6 +353,34 @@ object Serving {
       .select((col("ca_cents") / 100.0).as("ca_total"), col("nb_achats"),
         round((col("ca_cents") / 100.0) / col("nb_achats"), 2).as("panier_moyen"))
 
+  /** Fully-exact tier of the incremental KPI refresh — the Verify
+    * posture of `kpis_incremental` (kpis_rewritten decomposition): the
+    * algebraic fields merge from the persisted partial exactly as in
+    * [[kpisExactFromPartials]], and the distinct-client count merges a
+    * persisted exact KEY SET with the delta's keys (union → distinct) —
+    * still merge-not-recount over history, but with exact arithmetic,
+    * so the result hash-checks against the same SQL as `kpis`. The
+    * column keeps the sketch tier's `nb_clients_approx` name so both
+    * tiers present one schema; Bench never takes this path — it
+    * measures the HLL sketch merge, whose 5% bound and
+    * split-insensitivity GoldSpec pins separately. */
+  def kpisExactIncremental(partials: DataFrame, historyKeys: DataFrame,
+      deltaOrders: DataFrame): DataFrame = {
+    val deltaValid = Gold.validOrders(deltaOrders)
+    val alg = partials.select("ca_cents", "nb_achats")
+      .unionByName(deltaValid.agg(
+        sum(Tables.cents(col("o_totalprice"))).as("ca_cents"),
+        count("o_orderkey").as("nb_achats")))
+      .agg(sum("ca_cents").as("ca_cents"), sum("nb_achats").as("nb_achats"))
+    val clients = historyKeys.select("o_custkey")
+      .unionByName(deltaValid.select("o_custkey"))
+      .agg(countDistinct("o_custkey").as("nb_clients_approx"))
+    alg.crossJoin(clients) // 1×1 scalar combine
+      .select((col("ca_cents") / 100.0).as("ca_total"), col("nb_achats"),
+        col("nb_clients_approx"),
+        round((col("ca_cents") / 100.0) / col("nb_achats"), 2).as("panier_moyen"))
+  }
+
   /** Top-K clients by lifetime spend (reference scripts/dashboard.py:165,
     * W3/O2/O4). Global top-k = TakeOrderedAndProject — no full sort. */
   def topClients(fact: DataFrame, k: Int = 20): DataFrame =

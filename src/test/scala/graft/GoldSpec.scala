@@ -566,6 +566,18 @@ class GoldSpec extends SparkSpec {
     // lands on the same estimate the two-way split produced
     val single = Serving.kpisFromPartials(split(lit(true))).collect().head
     assert(single.getLong(2) == merged.getLong(2))
+    // the fully-exact Verify tier: algebraic partial + persisted key-set
+    // merge must be indistinguishable from a one-pass recompute — every
+    // field, including the distinct count, bit-for-bit
+    val hist = col("o_orderdate") < cut
+    val exactInc = Serving.kpisExactIncremental(
+      split(hist),
+      Gold.validOrders(orders.filter(hist)).select("o_custkey").distinct(),
+      orders.filter(!hist)).collect().head
+    assert(exactInc.getDouble(0) == exact.getDouble(0))
+    assert(exactInc.getLong(1) == exact.getLong(1))
+    assert(exactInc.getLong(2) == exact.getLong(2))
+    assert(exactInc.getDouble(3) == exact.getDouble(3))
   }
 
   test("incremental ca_monthly: merged partials equal the full recompute, mid-month cutoff") {
