@@ -2487,6 +2487,33 @@ object SparkEntry {
       SELECT e.vec_id, coalesce(g.n_near, 0) AS n_near, g.max_cos
       FROM e LEFT JOIN g USING (vec_id) ORDER BY e.vec_id""",
 
+    // the LSH twin restated whole, same inlined-hyperplane recipe as
+    // knn_lsh: bucket-mate candidate pairs (a < b), 6dp cosine over the
+    // candidates only, threshold, then the dedup_embedding summary shape
+    "dedup_embedding_lsh" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      planes(j, w) AS (VALUES $lshPlanesValues),
+      bits AS (SELECT e.vec_id, p.j // 4 AS tbl,
+                      CASE WHEN list_dot_product(e.emb, p.w) >= 0
+                           THEN 1 << (p.j % 4) ELSE 0 END AS bit
+               FROM e CROSS JOIN planes p),
+      b AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+            FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+               FROM b b1 JOIN b b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+               WHERE b1.vec_id < b2.vec_id),
+      q AS (SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(a.emb, bb.emb), 6) AS sim
+            FROM cand c
+            JOIN e a ON a.vec_id = c.vec_a
+            JOIN e bb ON bb.vec_id = c.vec_b
+            WHERE round(list_cosine_similarity(a.emb, bb.emb), 6) >= 0.35),
+      u AS (SELECT vec_a AS vec_id, sim FROM q
+            UNION ALL SELECT vec_b, sim FROM q),
+      g AS (SELECT vec_id, count(*) AS n_near, max(sim) AS max_cos FROM u GROUP BY 1)
+      SELECT e.vec_id, coalesce(g.n_near, 0) AS n_near, g.max_cos
+      FROM e LEFT JOIN g USING (vec_id) ORDER BY e.vec_id""",
+
     // MinHash restated end-to-end: distinct 3-word shingles (whole-text
     // fallback) -> per-shingle tokenHash -> 16-member splitmix64 hash
     // family -> signed-min signatures -> position-salted band folds ->
