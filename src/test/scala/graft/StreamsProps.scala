@@ -277,6 +277,54 @@ object StreamsProps extends Properties("Streams") {
       } finally Streams.deleteRec(new java.io.File(dir))
     }
 
+  property("one full-outer pair drain serves all three attribution rollups (derived = batch)") =
+    Prop.forAll(genContiguous) { case (all, chunks) =>
+      // the bench posture: ONE drained pair set, three derived views —
+      // fuzzed against the three batch joins under random chunked
+      // arrival with a sentinel final chunk (the derivation must hold on
+      // hostile data, not just the fixture StreamsSpec pins)
+      val maxOff = all.map(_.off).max
+      val sentinel = Ev(-1L, -1L, "sentinel", maxOff + 3 * 3600L, 0.0)
+      val dir = writeChunks(chunks :+ Seq(sentinel))
+      try {
+        val pairs = Streams.attributionPairsDrain(spark,
+          () => Streams.chunkedEventsStream(spark, dir))
+        def fmt(df: DataFrame): Seq[String] =
+          df.select("purchase_id", "user_id", "n_clicks", "click_value")
+            .collect().map(_.mkString("|")).toSeq.sorted
+        val ev = toDf(all)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val cond = col("c_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") < col("purchase_ts")
+        val bInner = purchases.join(clicks, cond)
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(count(lit(1)).as("n_clicks"),
+            Tables.moneySum(col("click_value")).as("click_value"))
+        val bOuter = purchases.join(clicks, cond, "left_outer")
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(count(col("c_user")).as("n_clicks"),
+            Tables.moneySum(col("click_value")).as("click_value"))
+        val bFull = purchases.join(clicks, cond, "full_outer")
+          .groupBy(col("purchase_id"),
+            coalesce(col("user_id"), col("c_user")).as("user_id"),
+            col("purchase_ts"))
+          .agg(count(col("c_user")).as("n_clicks"),
+            Tables.moneySum(col("click_value")).as("click_value"))
+        val (di, bi) = (fmt(Streams.innerFromPairs(pairs)), fmt(bInner))
+        val (dl, bl) = (fmt(Streams.outerFromPairs(pairs)), fmt(bOuter))
+        val (df_, bf) = (fmt(Streams.fullFromPairs(pairs)), fmt(bFull))
+        ((di == bi) :| s"inner: derived=$di batch=$bi") &&
+          ((dl == bl) :| s"outer: derived=$dl batch=$bl") &&
+          ((df_ == bf) :| s"full: derived=$df_ batch=$bf")
+      } finally Streams.deleteRec(new java.io.File(dir))
+    }
+
   property("chunked stream-stream attribution equals the batch range join") =
     Prop.forAll(genContiguous) { case (all, chunks) =>
       val dir = writeChunks(chunks)
