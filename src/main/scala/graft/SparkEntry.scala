@@ -50,10 +50,10 @@ object SparkEntry {
     * gives atomic winner selection; a concurrent first call may build the
     * plan twice, but only the winning handle is cached and kept. */
   private val frameMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
   private def memoFrame(name: String, s: SparkSession, d: String)
       (build: => DataFrame): DataFrame =
-    frameMemo.getOrElseUpdate((name, s.hashCode, d), build.cache())
+    frameMemo.getOrElseUpdate((name, Tables.sessionId(s), d), build.cache())
 
   /** Release every shared cached frame (the unpersist path the per-query
     * canonical-plan caching never had). Blocking=false: executors drop
@@ -126,9 +126,9 @@ object SparkEntry {
   /** Corpus vocabulary size (distinct tokens) — the bigram LM's V,
     * folded once per (session, dataset) off the shared tf frame. */
   private val vocabSizeMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
   private def vocabSize(s: SparkSession, d: String): Long =
-    vocabSizeMemo.getOrElseUpdate((s.hashCode, d),
+    vocabSizeMemo.getOrElseUpdate((Tables.sessionId(s), d),
       docTf(s, d).select("word").distinct().count())
 
   /** Quality-family frames shared by their per-metric queries AND the
@@ -385,7 +385,7 @@ object SparkEntry {
     // partitions that contain them; target picked deterministically
     // (min custkey among single-year customers, mirrored in the oracle)
     "gdpr_delete" -> ((s, d) => {
-      val dir = gdprMemo.getOrElseUpdate((s.hashCode, d), {
+      val dir = gdprMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val p = java.nio.file.Files.createTempDirectory("graft_gdpr")
         sys.addShutdownHook(Streams.deleteRec(p.toFile))
         fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
@@ -408,7 +408,7 @@ object SparkEntry {
     // parameter (the 48-way fragmented input), SQL-invisible — LayoutSpec
     // gates that side of the arithmetic.
     "compact_files" -> ((s, d) => {
-      val (frag, out) = compactMemo.getOrElseUpdate((s.hashCode, d), {
+      val (frag, out) = compactMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val base = java.nio.file.Files.createTempDirectory("graft_compact")
         sys.addShutdownHook(Streams.deleteRec(base.toFile))
         Tables.orders(s, d).repartition(48)
@@ -560,7 +560,7 @@ object SparkEntry {
     // hash-checked against the parquet path's oracle. Timestamps and
     // doubles must survive the text round trip exactly or the hash breaks.
     "events_hourly_json" -> ((s, d) => {
-      val dir = jsonMemo.getOrElseUpdate((s.hashCode, d), {
+      val dir = jsonMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val tmp = java.nio.file.Files.createTempDirectory("graft_json")
         sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
         Tables.events(s, d).write.mode("overwrite").json(tmp.toString)
@@ -665,7 +665,7 @@ object SparkEntry {
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
-    "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", s.hashCode, d),
+    "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", Tables.sessionId(s), d),
       Ml.knnIvf(Tables.embeddings(s, d)).cache())),
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
     // incremental IVF maintenance: delta vectors assigned to PERSISTED
@@ -680,7 +680,7 @@ object SparkEntry {
     // hash-checked since r8 — the DuckDB oracle restates the integer
     // quantization and the codebook fold exactly — and LlmSpec still
     // gates recall@5 vs knn_bruteforce
-    "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", s.hashCode, d),
+    "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(("sq", Tables.sessionId(s), d),
       Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
     // per-label centroid aggregation, long form (the IVF-training shape)
     // PCA decomposition over embeddings (rows-only: float eigen; spec
@@ -713,7 +713,7 @@ object SparkEntry {
     // of the timestamp column ride along so a silently null-coerced
     // parse (the PERMISSIVE failure mode) breaks the hash, not just rows
     "csv_roundtrip" -> ((s, d) => {
-      val dir = csvMemo.getOrElseUpdate((s.hashCode, d), {
+      val dir = csvMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
         sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
         Tables.orders(s, d).write.mode("overwrite")
@@ -730,7 +730,7 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "events_upsert_publish" -> ((s, d) => Streams.userTotalsUpserted(s, d,
-      upsertSinkMemo.getOrElseUpdate((s.hashCode, d), {
+      upsertSinkMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val p = java.nio.file.Files.createTempDirectory("graft_upsert_q")
         sys.addShutdownHook(Streams.deleteRec(p.toFile))
         p.toString
@@ -752,7 +752,7 @@ object SparkEntry {
     "ca_grouping_sets" -> ((s, d) => Serving.caGroupingSets(fact(s, d))),
     // S-family: ORC source/sink round trip, same gate shape as csv_roundtrip
     "orc_roundtrip" -> ((s, d) => {
-      val dir = orcMemo.getOrElseUpdate((s.hashCode, d), {
+      val dir = orcMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
         sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
         Tables.orders(s, d).write.mode("overwrite").orc(tmp.toString)
@@ -877,7 +877,7 @@ object SparkEntry {
     // schema evolution: v1 files lack o_orderdate; the mergeSchema read
     // must surface it as null for v1 rows and aggregate across both
     "schema_evolution" -> ((s, d) => {
-      val (v1, v2) = evoMemo.getOrElseUpdate((s.hashCode, d), {
+      val (v1, v2) = evoMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val base = java.nio.file.Files.createTempDirectory("graft_evo")
         sys.addShutdownHook(Streams.deleteRec(base.toFile))
         val o = Tables.orders(s, d)
@@ -909,7 +909,7 @@ object SparkEntry {
       // on collision-freedom here
       val sfx = "_" + java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      bucketMemo.getOrElseUpdate((s.hashCode, d), {
+      bucketMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val base = java.nio.file.Files.createTempDirectory("graft_bucket")
         sys.addShutdownHook(Streams.deleteRec(base.toFile))
         Bucketing.cooLocatedOrderLines(s, d, path = Some(base.toString), suffix = sfx)
@@ -976,7 +976,7 @@ object SparkEntry {
     // them back via regexp_extract, prove the roundtrip against the
     // parquet truth
     "textlog_roundtrip" -> ((s, d) => {
-      val dir = textlogMemo.getOrElseUpdate((s.hashCode, d), {
+      val dir = textlogMemo.getOrElseUpdate((Tables.sessionId(s), d), {
         val tmp = java.nio.file.Files.createTempDirectory("graft_textlog")
         sys.addShutdownHook(Streams.deleteRec(tmp.toFile))
         Tables.eventLogLines(Tables.events(s, d))
@@ -1030,12 +1030,12 @@ object SparkEntry {
     // smoothed target encoding of the country category against order
     // totals — exact-cents means, so oracle-hashable unlike most ML prep
     "target_encode" -> ((s, d) => Ml.targetEncode(fact(s, d))),
-    "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", s.hashCode, d),
+    "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(("kmeans", Tables.sessionId(s), d),
       Ml.kmeansSegments(feats(s, d)).cache())),
     // cluster-quality metric the reference's advisor publishes
     // (reference scripts/train_advisor.py:123,321): mean silhouette of the
     // seed-pinned k=5 assignment, squaredEuclidean
-    "kmeans_silhouette" -> ((s, d) => mlMemo.getOrElseUpdate(("silhouette", s.hashCode, d),
+    "kmeans_silhouette" -> ((s, d) => mlMemo.getOrElseUpdate(("silhouette", Tables.sessionId(s), d),
       Ml.kmeansSilhouette(feats(s, d)).cache())),
     // supervised repurchase propensity: cutoff-time features, LR-learned
     // weights instead of the reference's hard-coded heuristic blend;
@@ -1051,12 +1051,12 @@ object SparkEntry {
     * keys before returning, so the metrics lookup after getOrElseUpdate
     * always hits. */
   private def propensityPair(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val scoredHoldout = mlMemo.getOrElseUpdate(("propensity", s.hashCode, d), {
+    val scoredHoldout = mlMemo.getOrElseUpdate(("propensity", Tables.sessionId(s), d), {
       val (sc, m) = Ml.propensityBacktest(Tables.orders(s, d), Tables.lineitem(s, d))
-      mlMemo.put(("propensity_bt", s.hashCode, d), m.cache())
+      mlMemo.put(("propensity_bt", Tables.sessionId(s), d), m.cache())
       sc.cache()
     })
-    (scoredHoldout, mlMemo(("propensity_bt", s.hashCode, d)))
+    (scoredHoldout, mlMemo(("propensity_bt", Tables.sessionId(s), d)))
   }
 
   /** Fitted-model query results memoized per (op, session, dataset): a
@@ -1064,10 +1064,10 @@ object SparkEntry {
     * would — re-fitting it per invocation is wasted work, and the fit is
     * eager (happens at plan construction, not execution). */
   private val mlMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   private val upsertSinkMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** The annee-partitioned fact sink (what Pipeline.run stages for
     * fact_achats), written once per session for the pruning-dependent
@@ -1076,9 +1076,9 @@ object SparkEntry {
     * but each write lands in its own temp dir and the losing dir is
     * removed by its shutdown hook — harmless, never a torn write. */
   private val factSinkMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def factSink(s: SparkSession, d: String): String =
-    factSinkMemo.getOrElseUpdate((s.hashCode, d), {
+    factSinkMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_fact_sink")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
@@ -1089,44 +1089,44 @@ object SparkEntry {
   // gates the reader; rewriting the fixture per bench pass would time
   // the writer instead
   private val csvMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   // one line-delimited JSON copy of events per (session, sfDir), same
   // rationale as csvMemo
   private val jsonMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   // one ORC copy of orders per (session, sfDir), same rationale as csvMemo
   private val orcMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   // two-generation parquet layout (v1 lacks o_orderdate) for the
   // mergeSchema evolution read, same lifecycle as orcMemo
   private val evoMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   // fragmented 48-file copy of orders for the compaction job
   private val compactMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   // text-format log copy of events for the raw-log parse roundtrip
   private val textlogMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   // external-path location for the bucketed orders/lineitem twins; the
   // write is the one-time amortized cost, the per-run query is the
   // shuffle-free join it buys
   private val bucketMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   // annee-partitioned fact copy that the dynamic-overwrite restatement
   // mutates (factSink stays pristine for the pruning queries); shared by
   // partition_overwrite (end-state proof) and snapshot_diff (row-level
   // reconciliation of the same restatement)
   private val dynOverwriteMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def restatedFactDir(s: SparkSession, d: String): String =
-    dynOverwriteMemo.getOrElseUpdate((s.hashCode, d), {
+    dynOverwriteMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_dyn_overwrite")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       fact(s, d).write.mode("overwrite").partitionBy("annee").parquet(p.toString)
@@ -1138,7 +1138,7 @@ object SparkEntry {
 
   // fact copy the right-to-be-forgotten delete mutates
   private val gdprMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Cloned session carrying the opt-in approx-distinct rewrite —
     * ISOLATED from the main session on purpose: the flag lives in
@@ -1146,9 +1146,9 @@ object SparkEntry {
     * toggling it on the shared session would nondeterministically
     * rewrite the exact-gated queries mid-flight. */
   private val rewriteSessionMemo =
-    scala.collection.concurrent.TrieMap.empty[Int, SparkSession]
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
   private def rewriteSession(s: SparkSession): SparkSession =
-    rewriteSessionMemo.getOrElseUpdate(s.hashCode, {
+    rewriteSessionMemo.getOrElseUpdate(Tables.sessionId(s), {
       val ns = s.newSession()
       ns.conf.set("graft.rewrite.approxDistinct", "true")
       org.apache.spark.sql.graftbridge.Bridge.addOptimizerRule(
@@ -1165,9 +1165,9 @@ object SparkEntry {
     * be bucketed by `h` so the delta join co-locates without shuffling
     * the index; local parquet keeps the same read path.) */
   private val dedupIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def dedupIndex(s: SparkSession, d: String, oldDocs: Long = 400): String =
-    dedupIndexMemo.getOrElseUpdate((s.hashCode, d), {
+    dedupIndexMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_dedup_idx")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Tables.documents(s, d).filter(col("doc_id") < oldDocs)
@@ -1184,9 +1184,9 @@ object SparkEntry {
     * and scans the post-cutoff delta, never refitting KMeans or
     * rescanning indexed vectors. */
   private val ivfIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def ivfIndex(s: SparkSession, d: String, oldVecs: Long = 400): String =
-    ivfIndexMemo.getOrElseUpdate((s.hashCode, d), {
+    ivfIndexMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Ml.ivfCentroids(Tables.embeddings(s, d).filter(col("vec_id") < oldVecs))
@@ -1202,10 +1202,10 @@ object SparkEntry {
     * requires (the reference instead re-runs the whole pipeline,
     * tools/run.py:131-146). */
   private val caPartialMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   val IncrementalCutoff = "1997-01-01 00:00:00"
   private def caPartialDir(s: SparkSession, d: String): String =
-    caPartialMemo.getOrElseUpdate((s.hashCode, d), {
+    caPartialMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_ca_partial")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Gold.caMonthlyPartial(Tables.orders(s, d)
@@ -1219,9 +1219,9 @@ object SparkEntry {
     * against it by key, never re-join it. Same lifecycle as
     * [[caPartialDir]]. */
   private val joinPartialMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def joinPartialDir(s: SparkSession, d: String): String =
-    joinPartialMemo.getOrElseUpdate((s.hashCode, d), {
+    joinPartialMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_join_partial")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       val cut = lit(IncrementalCutoff).cast("timestamp")
@@ -1236,9 +1236,9 @@ object SparkEntry {
     * DataSketches HLL sketch of client keys — the merge-not-recount form
     * of a distinct count. Same cutoff and lifecycle as [[caPartialDir]]. */
   private val kpisPartialMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def kpisPartialDir(s: SparkSession, d: String): String =
-    kpisPartialMemo.getOrElseUpdate((s.hashCode, d), {
+    kpisPartialMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_kpi_partial")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Serving.kpisPartial(Tables.orders(s, d)
@@ -1252,9 +1252,9 @@ object SparkEntry {
     * distinct count maintains instead of an HLL sketch. Same cutoff and
     * lifecycle as [[kpisPartialDir]]. */
   private val kpisKeysMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def kpisKeysDir(s: SparkSession, d: String): String =
-    kpisKeysMemo.getOrElseUpdate((s.hashCode, d), {
+    kpisKeysMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_kpi_keys")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Gold.validOrders(Tables.orders(s, d)
@@ -1271,9 +1271,9 @@ object SparkEntry {
     * sum-merge is deliberately not idempotent, so a re-run must start
     * from an empty partial, exactly as a fresh deployment would. */
   private val ordersStreamMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def ordersStreamDir(s: SparkSession, d: String): String =
-    ordersStreamMemo.getOrElseUpdate((s.hashCode, d), {
+    ordersStreamMemo.getOrElseUpdate((Tables.sessionId(s), d), {
       val p = java.nio.file.Files.createTempDirectory("graft_orders_stream")
       sys.addShutdownHook(Streams.deleteRec(p.toFile))
       Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(p.toString)
@@ -1293,10 +1293,10 @@ object SparkEntry {
     * from-empty path (and its crash/redelivery machinery) stays covered
     * by StreamsSpec/SinkDurabilitySpec, which call Streams.* directly. */
   private val warmMaintMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), (String, String)]
   private def warmMaintBase(s: SparkSession, d: String, kind: String)
       (maintain: (String, String) => Unit): (String, String) =
-    warmMaintMemo.getOrElseUpdate((s.hashCode, d, kind), {
+    warmMaintMemo.getOrElseUpdate((Tables.sessionId(s), d, kind), {
       def tmp(tag: String) = {
         val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_$tag")
         sys.addShutdownHook(Streams.deleteRec(p.toFile))

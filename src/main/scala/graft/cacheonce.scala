@@ -15,11 +15,11 @@ import org.apache.spark.sql.DataFrame
   * sessions are long-lived; a leaked registry grows per query). */
 object CacheOnce {
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
   def apply(df: DataFrame): DataFrame =
     memo.getOrElseUpdate(
-      (df.sparkSession.hashCode, df.queryExecution.analyzed.semanticHash()),
+      (Tables.sessionId(df.sparkSession), df.queryExecution.analyzed.semanticHash()),
       df.cache())
 
   /** Unpersist every registered frame (blocking=false: executors drop

@@ -31,10 +31,10 @@ object Streams extends Serializable {
     * GC thrash. The previous invocation's DataFrame is dead by the time
     * the next one starts, so the drop is safe. */
   private val lastSink =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sinkName(spark: SparkSession, prefix: String): String = {
     val name = s"${prefix}_${runId.incrementAndGet()}"
-    lastSink.put((spark.hashCode, prefix), name)
+    lastSink.put((Tables.sessionId(spark), prefix), name)
       .foreach(old => spark.catalog.dropTempView(old))
     name
   }
@@ -899,7 +899,7 @@ object Streams extends Serializable {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val static = spark.read.parquet(s"$dir/events.parquet")
     val isNanos = static.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tmp = heartbeatMemo.getOrElseUpdate((spark.hashCode, dir), {
+    val tmp = heartbeatMemo.getOrElseUpdate((Tables.sessionId(spark), dir), {
       val p = java.nio.file.Files.createTempDirectory("graft_heartbeat")
       sys.addShutdownHook(deleteRec(p.toFile))
       val maxTs = static.agg(max("ts")).first()
@@ -923,7 +923,7 @@ object Streams extends Serializable {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
   private val heartbeatMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** [[attributionStreamed]]'s LEFT OUTER form: every purchase emits,
     * zero-click purchases with a null-click row once the watermark proves
