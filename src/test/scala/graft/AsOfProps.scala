@@ -12,7 +12,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object AsOfProps extends Properties("AsOfJoin") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(8))
 
   private lazy val spark = SparkSpec.session
 

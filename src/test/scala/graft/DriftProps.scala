@@ -15,7 +15,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object DriftProps extends Properties("Drift") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "8").toInt)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(8))
 
   private lazy val spark = SparkSpec.session
 

@@ -12,7 +12,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object GoldProps extends Properties("Gold") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(6)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(6))
 
   private lazy val spark = SparkSpec.session
 

@@ -11,7 +11,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object GraphProps extends Properties("Graph") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "6").toInt)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(6))
 
   private lazy val spark = SparkSpec.session
 

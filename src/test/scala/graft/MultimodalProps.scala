@@ -15,7 +15,7 @@ import graft.Multimodal.{MediaCodec, MediaGen}
 object MultimodalProps extends Properties("MediaCodec") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "200").toInt)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(200))
 
   private val kinds = Seq("image", "audio", "video")
 

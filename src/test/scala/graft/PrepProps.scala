@@ -22,7 +22,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object PrepProps extends Properties("Prep") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(8))
 
   private lazy val spark = SparkSpec.session
 

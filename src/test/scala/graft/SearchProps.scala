@@ -11,7 +11,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object SearchProps extends Properties("Search") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(6)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(6))
 
   private lazy val spark = SparkSpec.session
 

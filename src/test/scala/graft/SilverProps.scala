@@ -12,7 +12,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object SilverProps extends Properties("SilverCleaning") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(10))
 
   private lazy val spark = SparkSpec.session
 

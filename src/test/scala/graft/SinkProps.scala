@@ -11,7 +11,7 @@ import org.scalacheck.Prop.propBoolean
 object SinkProps extends Properties("Sinks") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(5))
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(5))
 
   private lazy val spark = SparkSpec.session
 

@@ -17,7 +17,7 @@ import graft.functions.Sketches
 object SketchProps extends Properties("Sketches") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(200))
 
   private val M = BigInt(1) << 64
   private val Golden = BigInt("9E3779B97F4A7C15", 16)

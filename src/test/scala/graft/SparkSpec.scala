@@ -10,6 +10,13 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  /** Fuzz-case budget for a Props suite: GRAFT_FUZZ_N deepens a soak
+    * run but never shrinks a suite below its committed default (so a
+    * 40-case soak doesn't silently cut SketchProps' 200-case floor). */
+  def fuzzN(default: Int): Int =
+    sys.env.get("GRAFT_FUZZ_N").map(_.toInt).map(math.max(_, default))
+      .getOrElse(default)
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

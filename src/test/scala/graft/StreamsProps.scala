@@ -22,7 +22,7 @@ object StreamsProps extends Properties("Streams") {
   // default stays small; GRAFT_FUZZ_N deepens a soak run without a code
   // change (e.g. GRAFT_FUZZ_N=25 sbt "testOnly graft.StreamsProps")
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(5))
+    p.withMinSuccessfulTests(SparkSpec.fuzzN(5))
 
   private lazy val spark = SparkSpec.session
 
