@@ -14,8 +14,14 @@ round boundary — pass the previous round's final commit explicitly)
 """
 import json, os, subprocess, sys, datetime
 
-QUERIES = ["copurchase_triangles", "events_attribution", "bm25_search",
-           "product_rank", "copurchase_distance"]
+# The drift estimate is only valid over probes whose CODE is untouched
+# between the two commits — a probe that got optimized measures the code
+# delta, not the machine. Round 14 optimized three of the original five
+# (events_attribution, product_rank, copurchase_distance), so the set
+# was re-drawn from that round's untouched heavies. REVISE THIS LIST in
+# any round that code-touches a probe, before running the bracket.
+QUERIES = ["copurchase_triangles", "bm25_search", "dedup_ngram_prefix",
+           "dim_clients", "session_overlaps"]
 SF_DIR = "/root/testdata/sf0.1"
 
 args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
