@@ -24,6 +24,13 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- helpers
+  /** Placeholder in [[oracleSql]] for [[Tables.oracleArtifactsDir]] —
+    * Verify substitutes the dataset's real artifacts path at dump time,
+    * so oracle SQL that must read PERSISTED model state (the IVF
+    * centroid parquets) stays a static map here while the dumped
+    * `oracle_sql.json` is fully concrete and runnable by the driver. */
+  private[graft] val ArtifactsToken = "__GRAFT_ARTIFACTS__"
+
   /** gold-entry validity predicate (reference gold_transformation_spark.py:225) */
   private val V = s"o_totalprice > 0 AND o_totalprice <= ${Gold.MaxAmount}"
   private def ms(c: String) = Tables.moneySumSql(c)
@@ -665,8 +672,12 @@ object SparkEntry {
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => Llm.knnLsh(Tables.embeddings(s, d))),
+    // IVF search against the persisted full-corpus quantizer: explicit
+    // argmin assignment + nprobe probing (Ml.knnIvfFrom), hash-checked
+    // since r15 — the oracle reads the same centroid parquet
     "knn_ivf" -> ((s, d) => mlMemo.getOrElseUpdate(("ivf", Tables.sessionId(s), d),
-      Ml.knnIvf(Tables.embeddings(s, d)).cache())),
+      Ml.knnIvfFrom(Tables.embeddings(s, d),
+        s.read.parquet(ivfFullIndex(s, d))).cache())),
     "knn_topk_agg" -> ((s, d) => Llm.knnTopkAgg(Tables.embeddings(s, d))),
     // incremental IVF maintenance: delta vectors assigned to PERSISTED
     // centroids — no refit, no indexed-corpus rescan (delta scan carries
@@ -1187,11 +1198,26 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def ivfIndex(s: SparkSession, d: String, oldVecs: Long = 400): String =
     ivfIndexMemo.getOrElseUpdate((Tables.sessionId(s), d), {
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
-      sys.addShutdownHook(Streams.deleteRec(p.toFile))
+      // artifacts dir, NOT a temp dir: the DuckDB oracle re-derives the
+      // argmin assignment from this exact parquet after the JVM exits
+      val p = s"${Tables.oracleArtifactsDir(d)}/ivf_idx"
       Ml.ivfCentroids(Tables.embeddings(s, d).filter(col("vec_id") < oldVecs))
-        .write.mode("overwrite").parquet(p.toString)
-      p.toString
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Full-corpus IVF coarse-quantizer centroids for [[knn_ivf]]'s
+    * search path — persisted to the same oracle-artifacts dir so the
+    * DuckDB oracle restates assignment, probing, and the cosine top-k
+    * from the identical centroid values the Spark plan folded. */
+  private val ivfFullIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def ivfFullIndex(s: SparkSession, d: String): String =
+    ivfFullIndexMemo.getOrElseUpdate((Tables.sessionId(s), d), {
+      val p = s"${Tables.oracleArtifactsDir(d)}/ivf_full"
+      Ml.ivfCentroids(Tables.embeddings(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
     })
 
   /** Persisted per-month revenue partial up to the refresh cutoff (what
@@ -2994,6 +3020,52 @@ object SparkEntry {
             FROM s)
       SELECT probe_id, neighbor_id, rank, sim FROM r
       WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // IVF search restated end-to-end from the PERSISTED coarse-quantizer
+    // centroids (Verify substitutes ArtifactsToken with the real path at
+    // dump time): squared-L2 argmin cell assignment with ties to the
+    // lower cell, nprobe=8 nearest-cell probing per probe vector, then
+    // the shared 6dp-cosine top-k contract over cell-mates. Assignment
+    // margins are float-safe cross-engine: the Spark side evaluates the
+    // same explicit (x-c)² fold, not MLlib's norm-trick distance
+    "knn_ivf" -> s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      cen AS (SELECT cell, centroid FROM read_parquet('$ArtifactsToken/ivf_full/*.parquet')),
+      d AS (SELECT e.vec_id, cen.cell, e.emb,
+              list_sum(list_transform(range(1, len(e.emb)+1),
+                i -> (e.emb[i]-cen.centroid[i])*(e.emb[i]-cen.centroid[i]))) AS d2,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_sum(list_transform(range(1, len(e.emb)+1),
+                  i -> (e.emb[i]-cen.centroid[i])*(e.emb[i]-cen.centroid[i]))), cen.cell) AS rn
+            FROM e CROSS JOIN cen),
+      a AS (SELECT vec_id, cell, emb FROM d WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, emb AS pemb, cell FROM d
+            WHERE vec_id < 10 AND rn <= 8),
+      s AS (SELECT p.probe_id, a.vec_id AS neighbor_id,
+              round(list_cosine_similarity(p.pemb, a.emb), 6) AS sim
+            FROM p JOIN a USING (cell) WHERE a.vec_id <> p.probe_id),
+      r AS (SELECT probe_id, neighbor_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+            FROM s)
+      SELECT probe_id, neighbor_id, rank, sim FROM r
+      WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // incremental IVF maintenance restated from the persisted vec_id<400
+    // index: delta-only scan, same argmin + lower-cell tie-break, 6dp
+    // squared distance
+    "knn_ivf_incremental" -> s"""
+      WITH del AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE vec_id >= 400),
+      cen AS (SELECT cell, centroid FROM read_parquet('$ArtifactsToken/ivf_idx/*.parquet')),
+      d AS (SELECT del.vec_id, cen.cell,
+              list_sum(list_transform(range(1, len(del.emb)+1),
+                i -> (del.emb[i]-cen.centroid[i])*(del.emb[i]-cen.centroid[i]))) AS d2
+            FROM del CROSS JOIN cen)
+      SELECT vec_id, cell, round(d2, 6) AS dist2 FROM (
+        SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d)
+      WHERE rn = 1 ORDER BY vec_id""",
 
     // same selection contract as knn_bruteforce — shared oracle shape
     "knn_topk_agg" -> """

@@ -31,6 +31,15 @@ object Verify {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // determinism digests for the no-oracle queries: computed from the
+    // parquet just written (exactly what the driver checks), compared
+    // against the committed goldens; mismatches print as `digest
+    // MISMATCH` (crosscheck fails the sweep on them) rather than
+    // failing the query row — the digest pins OUR tree against OUR
+    // history and must not convert an environment delta into a driver
+    // correctness failure (see graft.Digests).
+    val dataset = Paths.get(sfDir).getFileName.toString
+    val digests = scala.collection.concurrent.TrieMap.empty[String, String]
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -39,6 +48,14 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          if (Digests.queries(name)) {
+            val dg = Digests.resultDigest(spark.read.parquet(s"$outDir/$name"))
+            digests.put(name, dg)
+            Digests.golden.get((name, dataset)).foreach { want =>
+              if (want != dg)
+                System.err.println(s"[verify] digest MISMATCH $name: got $dg want $want")
+            }
+          }
           System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -59,9 +76,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // artifacts substitution: oracle SQL that reads persisted model
+    // state (IVF centroids) carries a placeholder — concretize it to
+    // this dataset's stable artifacts path so the dumped SQL is
+    // runnable by the driver's DuckDB after this JVM exits
+    val art = Tables.oracleArtifactsDir(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.ArtifactsToken, art))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // computed no-oracle digests (regeneration source for Digests.golden)
+    Files.writeString(Paths.get(s"$outDir/digests.json"),
+      digests.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(s"$k|$dataset")}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

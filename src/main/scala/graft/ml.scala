@@ -32,29 +32,44 @@ object Ml {
     * same recall. */
   def knnIvf(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 8, seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = embeddings.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-      .withColumn("fv", array_to_vector(col("emb")))
     // fail-loud precondition (EmptyInputSpec whitelist): the coarse
     // quantizer cannot train on an empty corpus
-    require(!e.isEmpty, "knnIvf: no embedding rows to index")
-    val model = new MlKMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("emb"), col("cell"))
+    require(!embeddings.isEmpty, "knnIvf: no embedding rows to index")
+    knnIvfFrom(embeddings, ivfCentroids(embeddings, nlist, seed),
+      nProbes, k, nprobe)
+  }
 
-    val centroids = typedlit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
-    // nprobe nearest cells per probe: squared-L2 to each centroid, sort
-    val cellDists = transform(sequence(lit(0), lit(nlist - 1)), ci =>
+  /** [[knnIvf]]'s search path against an EXTERNALLY persisted coarse
+    * quantizer — the form a vector store actually serves (quantizer
+    * trained on a schedule, searches run against the persisted index).
+    * Cell assignment and nprobe probing are the same explicit
+    * squared-L2 argmin expression as [[ivfAssignDelta]] — (dist, idx)
+    * struct sort, ties to the lower cell — NOT the opaque
+    * `model.transform` (whose norm-trick distance shortcut rounds
+    * differently), so the DuckDB oracle can restate assignment,
+    * probing, and the cosine top-k exactly from the same centroid
+    * parquet. One pass computes each vector's full sorted cell-distance
+    * list; assignment takes element 1, probes take the first nprobe. */
+  def knnIvfFrom(embeddings: DataFrame, centroids: DataFrame,
+      nProbes: Int = 10, k: Int = 5, nprobe: Int = 8): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val centArr = typedlit(cents.map(_._2).toSeq)
+    val cellIds = typedlit(cents.map(_._1).toSeq)
+    val dists = transform(sequence(lit(0), lit(cents.length - 1)), ci =>
       struct(
-        aggregate(zip_with(col("emb"), element_at(centroids, ci + 1),
+        aggregate(zip_with(col("emb"), element_at(centArr, ci + 1),
           (x, c) => (x - c) * (x - c)), lit(0.0), (a, v) => a + v).as("d"),
         ci.as("idx")))
-    val probeCells = transform(slice(array_sort(cellDists), 1, nprobe), s => s("idx"))
-    val probes = assigned.filter(col("vec_id") < nProbes)
+    val e = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("cells", array_sort(dists))
+    val assigned = e.select(col("vec_id"), col("emb"),
+      element_at(cellIds, element_at(col("cells"), 1)("idx") + 1).as("cell"))
+    val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
-        explode(probeCells).as("cell"))
+        explode(transform(slice(col("cells"), 1, nprobe),
+          s => element_at(cellIds, s("idx") + 1))).as("cell"))
 
     probes.join(assigned, Seq("cell")).filter(col("vec_id") =!= col("probe_id"))
       .withColumn("sim", round(

@@ -130,6 +130,25 @@ object Tables {
       id
     }
 
+  /** Stable on-disk oracle-artifacts dir for a dataset: persisted model
+    * state (e.g. IVF coarse-quantizer centroids) that the driver's
+    * DuckDB oracle must `read_parquet` AFTER the dumping JVM has exited
+    * — so unlike every scratch sink this lives at a deterministic path
+    * derived from the dataset dir and carries NO shutdown-delete hook.
+    * Contents are tiny by construction (nlist×dim doubles per index)
+    * and rewritten by each session's first use, so staleness cannot
+    * outlive the run that dumps the SQL referencing it. Verify
+    * substitutes [[SparkEntry.ArtifactsToken]] in oracle SQL with this
+    * path at dump time. */
+  private[graft] def oracleArtifactsDir(sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_oracle_art_$tag")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     loadMemo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
     loadMemo.getOrElseUpdate((sessionId(spark), dir, name), {

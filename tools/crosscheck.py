@@ -21,12 +21,16 @@ for sf in sfs:
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify /root/testdata/{sf} {out}"],
         capture_output=True, text=True)
+    # "failed:" = query error; "digest MISMATCH" = a no-oracle query's
+    # committed determinism digest drifted (graft.Digests) — both fail
+    # the sweep
     bad = [l for l in r.stderr.splitlines() + r.stdout.splitlines()
-           if "[verify]" in l and "failed:" in l]
+           if "[verify]" in l and ("failed:" in l or "digest MISMATCH" in l)]
     if r.returncode != 0 or bad:
         print("\n".join(bad) or r.stdout[-2000:])
         fails += 1
         continue
+    n_digests = len(json.load(open(f"{out}/digests.json")))
     print(f"[crosscheck] compare {sf} ...", flush=True)
     c = subprocess.run(
         [sys.executable, "tools/selfcheck.py", f"/root/testdata/{sf}", out],
@@ -49,9 +53,9 @@ for sf in sfs:
         continue
     print("\n".join(l for l in lines
                     if l.startswith("FAIL") or l == "PASS" or "FAILURES" in l))
-    print(f"[crosscheck] {sf}: {n_ok} queries ok")
+    print(f"[crosscheck] {sf}: {n_ok} queries ok, {n_digests} digests checked")
     record[sf] = {"ok": n_ok, "fail": n_fail, "dumped": n_dumped,
-                  "pass": c.returncode == 0}
+                  "digests": n_digests, "pass": c.returncode == 0}
     if c.returncode != 0:
         fails += 1
 # committed record of the run, so the cross-SF all-PASS claim is
