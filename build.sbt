@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites in the forked test JVM must run SEQUENTIALLY (the sbt default,
+// pinned here on purpose): StreamsSpec flips the JVM-global
+// `graft.verify.exactTiers` system property around its derived==genuine
+// attribution gate, which would poison concurrently running suites'
+// tier selection mid-flight if suite parallelism were ever enabled.
+Test / testForkedParallel := false
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

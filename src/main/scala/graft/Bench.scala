@@ -121,7 +121,14 @@ object Bench {
       // overridden probe run can never masquerade as a default-config
       // record in cross-round comparisons
       val conf = s"""{"cpus":${jstr(cpus)},"minPartitionSize":${jstr(minPart)},"queryFilter":${only.map(f => jstr(f.toSeq.sorted.mkString(","))).getOrElse("null")}}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"conf":$conf,"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
+      // tier-switch posture per affected query (ADVICE r14): what this
+      // bench MEASURED vs what Verify hash-checks, so amortized tiers
+      // can never be misread as engine speedups in cross-round deltas
+      val posture = SparkEntry.benchPostures
+        .filter { case (k, _) => qs.contains(k) }.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"conf":$conf,"posture":$posture,"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
     }
     // best-effort: a read-only/odd cwd must not kill the run after the
     // queries already completed — the stdout line below is the record

@@ -14,13 +14,11 @@ import org.apache.spark.sql.DataFrame
   * the SAME DataFrame, and [[releaseAll]] can drop the lot (Bench/Verify
   * sessions are long-lived; a leaked registry grows per query). */
 object CacheOnce {
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private val memo = new Tables.SessionMemo[Int, DataFrame]
 
   def apply(df: DataFrame): DataFrame =
-    memo.getOrElseUpdate(
-      (Tables.sessionId(df.sparkSession), df.queryExecution.analyzed.semanticHash()),
-      df.cache())
+    memo.getOrElseUpdate(df.sparkSession,
+      df.queryExecution.analyzed.semanticHash(), df.cache())
 
   /** Unpersist every registered frame (blocking=false: executors drop
     * blocks asynchronously). */

@@ -315,7 +315,7 @@ object Gold {
       .unionByName(cp.select(col("p").as("src"), col("c").as("dst")))
     // preDeduped: cp is distinct and the parity encoding makes the two
     // union branches disjoint (even->odd vs odd->even src)
-    Graph.pageRank(edges, iters, undirected = true, preDeduped = true)
+    Graph.pageRank(edges, iters, bothDirectionsEmitted = true, preDeduped = true)
       .filter(pmod(col("id"), lit(2)) === 1)
       .select(((col("id") - 1) / 2).cast("long").as("p_partkey"),
         round(col("rank"), 9).as("rank"))

@@ -116,13 +116,17 @@ object Graph {
     * that also removes dangling nodes (every node has out-degree ≥ 1),
     * so rank mass is conserved and sums to 1 at every round (GraphSpec
     * pins both the conservation and the values against an in-test
-    * reference power iteration); such callers pass `undirected = true`
-    * to skip the node-set union-distinct the build otherwise pays. Fixed iteration count rather than a
+    * reference power iteration); such callers pass `bothDirectionsEmitted = true`
+    * to skip the node-set union-distinct the build otherwise pays —
+    * the flag asserts the EMISSION contract (every edge present in both
+    * directions), not merely "I think of my graph as undirected"; a
+    * caller passing an asymmetric frame with it set would silently drop
+    * in-degree-0 nodes and their (1−d)/n baseline rank. Fixed iteration count rather than a
     * convergence probe: each probe is an action, and rank deltas decay
     * geometrically — the standard budget (damping 0.85, ~10 rounds for
     * 3-digit stability) is predictable, which a 100 TB scheduler wants. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      damping: Double = 0.85, undirected: Boolean = false,
+      damping: Double = 0.85, bothDirectionsEmitted: Boolean = false,
       preDeduped: Boolean = false): DataFrame = {
     val cast = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -142,12 +146,12 @@ object Graph {
     // node COUNT — the scalar every sizing decision below keys on — is
     // known before any 2|E| frame is built.
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    // `undirected` callers emitted both directions, so every node is a
+    // `bothDirectionsEmitted` callers emitted both directions, so every node is a
     // src and the node set IS outDeg's key set — that skips a 2|E|-row
     // union-distinct. General digraphs (sink-only nodes possible) take
     // the full union.
     val nodes =
-      (if (undirected) outDeg.select(col("src").as("id"))
+      (if (bothDirectionsEmitted) outDeg.select(col("src").as("id"))
        else outDeg.select(col("src").as("id"))
          .union(e.select(col("dst").as("id"))).distinct())
       .localCheckpoint()
@@ -188,14 +192,14 @@ object Graph {
       val contribs = ew.join(rk, col("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      // undirected callers emitted both edge directions, so every node
+      // bothDirectionsEmitted callers sent every edge both ways, so every node
       // has in-edges and `contribs` already covers the full node set —
       // the zero-contrib left join is a provable no-op there and one
       // whole join per round; general digraphs (sink-only in-degree-0
       // nodes possible) keep it. coalesce stays: it's free, and it makes
       // the two branches the same expression shape.
       val kept =
-        if (undirected) contribs
+        if (bothDirectionsEmitted) contribs
         else nodes.join(contribs, Seq("id"), "left")
       ranks = kept
         .select(col("id"),

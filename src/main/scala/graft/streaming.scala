@@ -30,11 +30,10 @@ object Streams extends Serializable {
     * bench passes that accumulation was measured pushing the suite into
     * GC thrash. The previous invocation's DataFrame is dead by the time
     * the next one starts, so the drop is safe. */
-  private val lastSink =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val lastSink = new Tables.SessionMemo[String, String]
   private def sinkName(spark: SparkSession, prefix: String): String = {
     val name = s"${prefix}_${runId.incrementAndGet()}"
-    lastSink.put((Tables.sessionId(spark), prefix), name)
+    lastSink.put(spark, prefix, name)
       .foreach(old => spark.catalog.dropTempView(old))
     name
   }
@@ -804,17 +803,16 @@ object Streams extends Serializable {
   /** The one shared full-outer pair drain behind the three attribution
     * views — drained once per (session, dataset), heartbeat-punctuated
     * on both sides so every outer row flushes. */
-  private val attrPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val attrPairsMemo = new Tables.SessionMemo[String, DataFrame]
   private def sharedAttributionPairs(spark: SparkSession, dir: String): DataFrame =
-    attrPairsMemo.getOrElseUpdate((Tables.sessionId(spark), dir),
+    attrPairsMemo.getOrElseUpdate(spark, dir,
       attributionPairsDrain(spark,
         () => eventsStream(spark, dir).unionByName(heartbeatStream(spark, dir)),
         // own per-dir sink prefix: sinkName drops the PREVIOUS view of the
         // same (session, prefix), so the memoized view must never share a
         // prefix with per-call drains (spec/fuzz/Verify paths) or with a
         // different dataset's shared drain in the same session
-        s"graft_attr_shared_${java.lang.Integer.toHexString(dir.hashCode)}"))
+        s"graft_attr_shared_${Tables.pathTag(dir)}"))
 
   /** Drain the full-outer click↔purchase range join and return the RAW
     * pair set (no rollup) as the session-local memory table. */
@@ -899,7 +897,7 @@ object Streams extends Serializable {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val static = spark.read.parquet(s"$dir/events.parquet")
     val isNanos = static.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tmp = heartbeatMemo.getOrElseUpdate((Tables.sessionId(spark), dir), {
+    val tmp = heartbeatMemo.getOrElseUpdate(spark, dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_heartbeat")
       sys.addShutdownHook(deleteRec(p.toFile))
       val maxTs = static.agg(max("ts")).first()
@@ -922,8 +920,7 @@ object Streams extends Serializable {
     if (isNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
-  private val heartbeatMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val heartbeatMemo = new Tables.SessionMemo[String, String]
 
   /** [[attributionStreamed]]'s LEFT OUTER form: every purchase emits,
     * zero-click purchases with a null-click row once the watermark proves

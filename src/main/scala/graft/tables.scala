@@ -108,8 +108,7 @@ object Tables {
     * the value so every `load` can evict entries whose SparkContext has
     * stopped: a long-lived multi-session JVM (the test suite runs many)
     * otherwise retains dead plans forever. */
-  private val loadMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String), (SparkSession, DataFrame)]
+  private val loadMemo = new SessionMemo[(String, String), DataFrame]
 
   /** One UUID per live session, assigned on first sight and never
     * reused (Spark's own `sessionUUID` is `private[sql]`, so we mint our
@@ -130,6 +129,39 @@ object Tables {
       id
     }
 
+  /** Session-scoped memo (ADVICE r14): entries carry their owning
+    * session and every access first evicts entries whose session has
+    * stopped. Session UUIDs never recur, so without eviction a long
+    * multi-session JVM (the test suite, a notebook server) retains dead
+    * sessions' cached frames and scratch paths forever. Same TrieMap
+    * atomicity as before: getOrElseUpdate selects one winner; a
+    * concurrent first call may run `build` twice but only the winning
+    * value is kept. */
+  private[graft] final class SessionMemo[K, V] {
+    private val m = scala.collection.concurrent.TrieMap
+      .empty[(String, K), (SparkSession, V)]
+    def getOrElseUpdate(spark: SparkSession, key: K, build: => V): V = {
+      evict()
+      m.getOrElseUpdate((sessionId(spark), key), (spark, build))._2
+    }
+    def put(spark: SparkSession, key: K, v: V): Option[V] =
+      m.put((sessionId(spark), key), (spark, v)).map(_._2)
+    def apply(spark: SparkSession, key: K): V = m((sessionId(spark), key))._2
+    def values: Iterable[V] = m.values.map(_._2)
+    def clear(): Unit = m.clear()
+    private[graft] def keys: Set[(String, K)] = m.keySet.toSet
+    private def evict(): Unit =
+      m.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+  }
+
+  /** Collision-free short tag for a path (16 hex chars of SHA-256) —
+    * for sink prefixes and scratch names that must never alias across
+    * dataset dirs (ADVICE r14: a 32-bit `hashCode` collision between
+    * two dirs in one session would drop the other's memoized view). */
+  private[graft] def pathTag(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Stable on-disk oracle-artifacts dir for a dataset: persisted model
     * state (e.g. IVF coarse-quantizer centroids) that the driver's
     * DuckDB oracle must `read_parquet` AFTER the dumping JVM has exited
@@ -141,25 +173,22 @@ object Tables {
     * substitutes [[SparkEntry.ArtifactsToken]] in oracle SQL with this
     * path at dump time. */
   private[graft] def oracleArtifactsDir(sfDir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val tag = pathTag(sfDir)
     val p = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_oracle_art_$tag")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    loadMemo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    loadMemo.getOrElseUpdate((sessionId(spark), dir, name), {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadMemo.getOrElseUpdate(spark, (dir, name), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      (spark, required.get(name).map(requireColumns(df, _, name)).getOrElse(df))
-    })._2
-  }
+      required.get(name).map(requireColumns(df, _, name)).getOrElse(df)
+    })
 
   /** Test hook: the memo's current keys (uuid, dir, table). */
   private[graft] def loadMemoKeys: Set[(String, String, String)] =
-    loadMemo.keySet.toSet
+    loadMemo.keys.map { case (u, (d, n)) => (u, d, n) }
 
   /** Raw-log text lines for the events stream — the unstructured-source
     * entry an ELT pipeline parses FIRST (S-family sibling of the CSV

@@ -121,7 +121,7 @@ class GraphSpec extends SparkSpec {
     // undirected co-purchase shape: every edge emitted both ways
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
-    val out = Graph.pageRank(edges, iters = 8, undirected = true).collect()
+    val out = Graph.pageRank(edges, iters = 8, bothDirectionsEmitted = true).collect()
     assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     val mass = out.map(_.getDouble(1)).sum
     assert(math.abs(mass - 1.0) < 1e-9, s"mass leaked: $mass")

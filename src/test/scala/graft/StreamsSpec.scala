@@ -288,6 +288,11 @@ class StreamsSpec extends SparkSpec {
     // bench path: the three views derive from ONE shared full-outer pair
     // drain; exactTiers path: each runs its own stream-stream join. The
     // two postures must be row-identical on the same dataset.
+    // NOTE: this test flips the JVM-GLOBAL graft.verify.exactTiers
+    // system property, which switches query-tier selection for every
+    // suite in the JVM — safe only because forked suites run
+    // sequentially (Test/testForkedParallel + Test/parallelExecution
+    // pinned false in build.sbt; do not enable suite parallelism).
     def fmt(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.select(col("purchase_id"), col("user_id"), col("n_clicks"),
           col("click_value"))

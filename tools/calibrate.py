@@ -42,6 +42,38 @@ head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
 prev_full = subprocess.run(["git", "rev-parse", prev], capture_output=True,
                            text=True).stdout.strip()
 
+# -- probe staleness guard (round-14 lesson, made structural) ---------------
+# A probe whose implementing file changed between the two commits measures
+# the code delta, not the machine (round 14's first bracket returned a
+# nonsense 0.78 because 3/5 probes were that round's own speedups). Drop
+# stale probes automatically and REFUSE if fewer than 3 clean ones remain.
+# SparkEntry.scala is deliberately NOT in the map: the registry file
+# changes every round, almost never in a way that touches a probe's plan —
+# a probe whose registry lambda itself changes must be re-drawn by hand.
+PROBE_FILES = {
+    "copurchase_triangles": ["src/main/scala/graft/gold.scala"],
+    "bm25_search": ["src/main/scala/graft/search.scala"],
+    "dedup_ngram_prefix": ["src/main/scala/graft/llm.scala"],
+    "dim_clients": ["src/main/scala/graft/gold.scala"],
+    "session_overlaps": ["src/main/scala/graft/serving.scala"],
+}
+unmapped = [q for q in QUERIES if q not in PROBE_FILES]
+if unmapped:
+    sys.exit(f"[calibrate] probes without a PROBE_FILES entry: {unmapped} — "
+             "map their implementing files before running the bracket")
+changed = set(subprocess.run(
+    ["git", "diff", "--name-only", f"{prev_full}..{head}"],
+    capture_output=True, text=True).stdout.split())
+stale = sorted(q for q in QUERIES
+               if any(f in changed for f in PROBE_FILES[q]))
+if stale:
+    print(f"[calibrate] STALE probes dropped (implementing file changed "
+          f"{prev_full[:12]}..{head[:12]}): {stale}")
+QUERIES = [q for q in QUERIES if q not in stale]
+if len(QUERIES) < 3:
+    sys.exit(f"[calibrate] only {len(QUERIES)} code-untouched probes remain "
+             f"— re-draw QUERIES/PROBE_FILES before running the bracket")
+
 
 def bench(workdir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -143,6 +175,7 @@ out = {
     "prev_commit": prev_full,
     "head_commit": head,
     "head_dirty": dirty,
+    "stale_probes_dropped": stale,
     "timing": "graft.Bench noop-materialize min-of-3, same machine, back-to-back",
     "queries": {q: {"prev": prev_times.get(q), "head": head_times.get(q),
                     "ratio": per_query_ratio.get(q)}
@@ -153,7 +186,7 @@ out = {
     "bench_full_total": full_totals or None,
     "drift_corrected_vs_prev": drift_corrected,
     "note": "machine_drift_ratio = MEDIAN of per-query head/prev ratios "
-            "on five code-untouched heavy probes (pure VM drift; the "
+            "on the code-untouched heavy probes (pure VM drift; the "
             "median survives one bimodal probe — see per-query ratios); "
             "drift_corrected_vs_prev = (BENCH_FULL head/prev) / "
             "machine_drift_ratio — the machine-independent cross-round "

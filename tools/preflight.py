@@ -67,23 +67,46 @@ if skip_tests:
 else:
     print("[preflight] sbt test (full suite) ...", flush=True)
     r = subprocess.run(["sbt", "-batch", "test"], capture_output=True, text=True)
-    m = None
+    m = agg = None
     for line in r.stdout.splitlines():
         mm = re.search(r"Tests: succeeded (\d+), failed (\d+)", line)
         if mm:
-            m = mm  # keep the LAST summary line (aggregate)
+            m = mm  # keep the LAST ScalaTest summary line
+        # sbt's framework-aggregate line also counts ScalaCheck
+        # properties: "Passed: Total N, Failed M, Errors E, Passed P"
+        ma = re.search(r"Passed: Total (\d+), Failed (\d+), Errors (\d+)", line)
+        if ma:
+            agg = ma
     tests.update({
         "rc": r.returncode,
         "succeeded": int(m.group(1)) if m else None,
         "failed": int(m.group(2)) if m else None,
-        "pass": r.returncode == 0 and m is not None and int(m.group(2)) == 0,
+        # both counts recorded so the 256-vs-307 style discrepancy can
+        # never re-litigate: scalatest counts ScalaTest tests only, the
+        # framework aggregate adds the ScalaCheck property suites
+        "framework_total": int(agg.group(1)) if agg else None,
+        "framework_failed": (int(agg.group(2)) + int(agg.group(3))) if agg else None,
+        "pass": (r.returncode == 0 and m is not None and int(m.group(2)) == 0
+                 and (agg is None or int(agg.group(2)) + int(agg.group(3)) == 0)),
     })
     if not tests["pass"]:
         tail = "\n".join(r.stdout.splitlines()[-30:])
         print(tail)
         fail(f"sbt test not green (rc={r.returncode}, "
              f"summary={'%s/%s' % (m.group(1), m.group(2)) if m else 'missing'})")
-    print(f"[preflight] suite green: {tests['succeeded']} tests")
+    print(f"[preflight] suite green: {tests['succeeded']} ScalaTest tests, "
+          f"{tests['framework_total']} framework-aggregate")
+
+# -- 2a'. bench-posture gate ------------------------------------------------
+# Bench measures derived/warm/sketch tiers for the tier-switch queries
+# (SparkEntry.benchPostures); their correctness rests on the StreamsSpec
+# derived==genuine equivalence test plus Verify's exactTiers sweep. The
+# equivalence test must EXIST in the certified tree — a green suite then
+# proves it ran; deleting the test can no longer silently drop the gate.
+POSTURE_TEST = "derived attribution views equal their genuine independent drains"
+if POSTURE_TEST not in open("src/test/scala/graft/StreamsSpec.scala").read():
+    fail(f"posture gate test missing from StreamsSpec: '{POSTURE_TEST}'")
+print("[preflight] posture gate present (StreamsSpec derived==genuine)")
 
 # -- 2b. cross-SF oracle sweep (writes CROSSCHECK.json at this HEAD) -------
 print("[preflight] cross-SF oracle sweep ...", flush=True)
@@ -102,6 +125,7 @@ receipt = {
     "build_sbt_blob": build_blob,
     "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
     "sbt_test": tests,
+    "posture_gate": "StreamsSpec derived==genuine present + suite green",
     "crosscheck": {sf: run.get("ok") for sf, run in cross["runs"].items()},
     "all_green": True,
 }
