@@ -29,6 +29,37 @@ object Profile {
       case Array("sql", query @ _*) =>
         Catalog.registerTables(spark, d)
         spark.sql(query.mkString(" ")).show(20, false)
+      case Array("streamprof", name, nStr) =>
+        // per-batch durationMs breakdown for a streaming query: is the
+        // per-drain floor microbatch machinery (walCommit/stateOperators
+        // = inherent) or source listing/planning (shareable)?
+        import org.apache.spark.sql.streaming.StreamingQueryListener
+        import scala.collection.mutable.ArrayBuffer
+        val batches = ArrayBuffer.empty[String]
+        spark.streams.addListener(new StreamingQueryListener {
+          override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            val d = p.durationMs
+            batches.synchronized { batches += (
+              s"batch=${p.batchId} rows=${p.numInputRows} trigger=${d.get("triggerExecution")}ms" +
+              s" addBatch=${d.get("addBatch")} getBatch=${d.get("getBatch")}" +
+              s" latestOffset=${d.get("latestOffset")} planning=${d.get("queryPlanning")}" +
+              s" walCommit=${d.get("walCommit")} commitOffsets=${d.get("commitOffsets")}" +
+              s" stateCommit=${p.stateOperators.map(_.commitTimeMs).sum}ms" +
+              s" stateRows=${p.stateOperators.map(_.numRowsTotal).sum}") }
+          }
+        })
+        for (i <- 1 to nStr.toInt) {
+          batches.synchronized(batches.clear())
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(spark, d).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // listener events are async
+          println(f"[streamprof] $name pass $i: wall=$wall%.2fs rows=$n")
+          batches.synchronized(batches.foreach(b => println(s"  $b")))
+        }
       case Array("skew") =>
         import org.apache.spark.sql.functions._
         // hot-key demo over real data: salted vs direct revenue by country
