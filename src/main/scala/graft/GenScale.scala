@@ -73,20 +73,37 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SINGLE-FILE layout, exactly like the driver's testdata: the
+    // streaming file source selects leaves via
+    // `pathGlobFilter=events.parquet`, so a DIRECTORY named
+    // events.parquet would silently contribute zero files and every
+    // streaming query would drain an empty stream (caught by the r15
+    // soak's impossible <1 ratios). Write via coalesce(1) into a
+    // scratch dir, then move the part file to `<out>/<table>.parquet`.
+    def writeSingle(df: DataFrame, table: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"genscale_$table")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.getFileName.toString
+        .endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(outDir, s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Streams.deleteRec(tmp.toFile)
+      System.err.println(s"[genscale] $table written")
+    }
+
     // fixed dims copy through verbatim
     for (t <- Seq("region", "nation"))
-      spark.read.parquet(s"$inDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      writeSingle(spark.read.parquet(s"$inDir/$t.parquet"), t)
 
     def scale(table: String, keys: Seq[String],
         extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val src = spark.read.parquet(s"$inDir/$table.parquet")
-      (0 until r).map { i =>
+      writeSingle((0 until r).map { i =>
         extra(keys.foldLeft(src)((df, k) =>
           df.withColumn(k, col(k) * r + i)), i)
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-      System.err.println(s"[genscale] $table x$r written")
+      }.reduce(_ unionByName _), table)
     }
 
     scale("customer", Seq("c_custkey"))
