@@ -1556,6 +1556,31 @@ object SparkEntry {
   private val XxP3 = "1609587929392839161"
   private val XxP4 = "9650029242287828579"
   private val XxH0 = "2870177450012600311"
+  private val XxP5plus8 = "2870177450012600269" // P5 + 8
+
+  /** CTE chain for ONE XXH64 8-byte-input step, `out` = XXH64_long(`in`,
+    * `seed`) — Spark's `xxhash64(c1, c2, …)` folds its inputs through
+    * exactly this step left-to-right with the previous hash as the next
+    * seed (seed 42 at the start), so chaining these CTEs restates a
+    * multi-column xxhash64 bit-for-bit (validated against Spark on
+    * literal probes, r15). `in`/`seed` are HUGEINT [0,2^64) expressions
+    * over `src`'s columns; `keep` columns ride through. Every stage is
+    * AS MATERIALIZED: each stage expression reads its predecessor's
+    * column up to ~6 times, so DuckDB's default CTE inlining would grow
+    * the expression tree exponentially across the 9×3 chained stages
+    * (the un-materialized form hung the planner; measured r15). */
+  private def xxLong(name: String, src: String, keep: String,
+      in: String, seed: String, out: String): String =
+    s"""${name}_0 AS MATERIALIZED (SELECT $keep, ((($seed) + $XxP5plus8) % $XxM) AS h0,
+             ${xxMul(in, XxP2)} AS k FROM $src),
+      ${name}_1 AS MATERIALIZED (SELECT $keep, h0, ${xxMul(xxRotl("k", 31), XxP1)} AS kk FROM ${name}_0),
+      ${name}_2 AS MATERIALIZED (SELECT $keep, ${xxXor("h0", "kk")} AS hx FROM ${name}_1),
+      ${name}_3 AS MATERIALIZED (SELECT $keep, (${xxMul(xxRotl("hx", 27), XxP1)} + $XxP4) % $XxM AS f FROM ${name}_2),
+      ${name}_4 AS MATERIALIZED (SELECT $keep, ${xxXor("f", xxShr("f", 33))} AS g1 FROM ${name}_3),
+      ${name}_5 AS MATERIALIZED (SELECT $keep, ${xxMul("g1", XxP2)} AS g2 FROM ${name}_4),
+      ${name}_6 AS MATERIALIZED (SELECT $keep, ${xxXor("g2", xxShr("g2", 29))} AS g3 FROM ${name}_5),
+      ${name}_7 AS MATERIALIZED (SELECT $keep, ${xxMul("g3", XxP3)} AS g4 FROM ${name}_6),
+      $name AS MATERIALIZED (SELECT $keep, ${xxXor("g4", xxShr("g4", 32))} AS $out FROM ${name}_7)"""
 
   /** splitmix64 restated for DuckDB, mirroring Sketches.splitmix64 /
     * tokenHash (the SimHash/MinHash signature arithmetic). Values live
@@ -3547,6 +3572,31 @@ object SparkEntry {
             UNION ALL SELECT b FROM t
             UNION ALL SELECT c FROM t)
       GROUP BY 1 ORDER BY n_triangles DESC, p_partkey LIMIT 20""",
+
+    // DOULION tier promoted to a full oracle (r15): the edge coin is
+    // pmod(xxhash64(a, b, 42L), 2) — three chained XXH64 long-steps
+    // restated in wrapping HUGEINT arithmetic (validated bit-equal to
+    // Spark on probes) — then the SAME triangle SQL as the exact tier
+    // runs on the kept edges and counts scale by invP³ = 8. The
+    // estimate itself is deterministic (hash coin, not randomness), so
+    // exact cross-engine equality is the right gate.
+    "copurchase_triangles_approx" -> s"""
+      WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+             FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+      eh AS (SELECT a, b, a::HUGEINT AS ah, b::HUGEINT AS bh FROM e0),
+      ${xxLong("cn1", "eh", "a, b, bh", "ah", "42::HUGEINT", "h1")},
+      ${xxLong("cn2", "cn1", "a, b", "bh", "h1", "h2")},
+      ${xxLong("cn3", "cn2", "a, b", "42::HUGEINT", "h2", "h3")},
+      e AS (SELECT a, b FROM cn3 WHERE h3 % 2 = 0),
+      t AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT p_partkey, CAST(count(*) * 8 AS BIGINT) AS n_triangles_est
+      FROM (SELECT a AS p_partkey FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+      GROUP BY 1 ORDER BY n_triangles_est DESC, p_partkey LIMIT 20""",
 
     // pair counts weighted by word frequency; tokenization identical to
     // vocab_top's; generate_series(1,0) is empty so 1-char words vanish
