@@ -153,17 +153,38 @@ ratios = sorted(per_query_ratio.values())
 probe_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else \
     (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
 drift_corrected = None
+temporal = {}
+temporal_drift = None
+drift_corrected_temporal = None
 full_totals = {}
 try:
     shown = subprocess.run(["git", "show", f"{prev_full}:BENCH_FULL.json"],
                            capture_output=True, text=True)
     if shown.returncode != 0:
         raise OSError(f"no BENCH_FULL.json at {prev_full[:12]}")
-    full_totals["prev"] = json.loads(shown.stdout)["value"]
+    prev_artifact = json.loads(shown.stdout)
+    full_totals["prev"] = prev_artifact["value"]
     with open("BENCH_FULL.json") as f:
         full_totals["head"] = json.load(f)["value"]
     drift_corrected = round(
         (full_totals["head"] / full_totals["prev"]) / probe_ratio, 4)
+    # TEMPORAL machine drift (added r15): the back-to-back probe_ratio
+    # above is ~1 by construction (same machine minute, code-identical
+    # probes) — it catches a code delta sneaking into the probe set but
+    # NOT how much the VM changed since the prev round's committed
+    # artifact was measured. That drift is prev-commit-NOW vs the SAME
+    # probe inside the prev commit's committed BENCH_FULL: identical
+    # code, two points in time. The corrected ratio divides it out.
+    for q in QUERIES:
+        then = prev_artifact.get("queries", {}).get(q)
+        if then and then > 0 and prev_times.get(q):
+            temporal[q] = round(prev_times[q] / then, 4)
+    tr = sorted(temporal.values())
+    if len(tr) >= 3:
+        temporal_drift = tr[len(tr) // 2] if len(tr) % 2 else \
+            (tr[len(tr) // 2 - 1] + tr[len(tr) // 2]) / 2
+        drift_corrected_temporal = round(
+            (full_totals["head"] / full_totals["prev"]) / temporal_drift, 4)
 except (OSError, KeyError, ValueError, ZeroDivisionError) as e:
     print(f"[calibrate] no drift-corrected ratio ({e}); raw probe ratio only")
 
@@ -185,12 +206,22 @@ out = {
     "machine_drift_ratio": round(probe_ratio, 4),
     "bench_full_total": full_totals or None,
     "drift_corrected_vs_prev": drift_corrected,
+    "temporal_probe_ratios": temporal or None,
+    "temporal_drift_ratio": temporal_drift,
+    "drift_corrected_vs_prev_temporal": drift_corrected_temporal,
     "note": "machine_drift_ratio = MEDIAN of per-query head/prev ratios "
-            "on the code-untouched heavy probes (pure VM drift; the "
-            "median survives one bimodal probe — see per-query ratios); "
-            "drift_corrected_vs_prev = (BENCH_FULL head/prev) / "
-            "machine_drift_ratio — the machine-independent cross-round "
-            "suite ratio; <1 means the code got faster",
+            "on the code-untouched heavy probes, both benched NOW "
+            "back-to-back — ~1 by construction; it catches a code delta "
+            "hiding in the probe set, not time. temporal_drift_ratio = "
+            "MEDIAN of prev-commit-NOW / prev-commit's committed "
+            "BENCH_FULL per probe — identical code at two points in "
+            "time, i.e. the actual machine change since the prev round "
+            "was recorded. drift_corrected_vs_prev_temporal = "
+            "(BENCH_FULL head/prev) / temporal_drift_ratio is the "
+            "machine-independent cross-round suite ratio; <1 means the "
+            "code got faster. drift_corrected_vs_prev (the pre-r15 "
+            "field) divides by the back-to-back ratio instead and "
+            "understates machine movement between rounds.",
 }
 with open("CALIBRATION.json", "w") as f:
     json.dump(out, f, indent=1)
