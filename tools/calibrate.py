@@ -153,6 +153,7 @@ ratios = sorted(per_query_ratio.values())
 probe_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else \
     (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
 drift_corrected = None
+out_extra = {}
 temporal = {}
 temporal_drift = None
 drift_corrected_temporal = None
@@ -185,6 +186,24 @@ try:
             (tr[len(tr) // 2 - 1] + tr[len(tr) // 2]) / 2
         drift_corrected_temporal = round(
             (full_totals["head"] / full_totals["prev"]) / temporal_drift, 4)
+    # Widest (and most robust) temporal estimator: the MEDIAN per-query
+    # head-artifact/prev-artifact ratio over the FULL intersection of
+    # the two committed BENCH_FULLs. With ~190 queries the median is
+    # immune both to the handful the round actually code-touched and to
+    # any single query's bimodal scheduling — unlike the 3-5 probe
+    # median above, which a noisy day can swing by ±30% (measured r15:
+    # session_overlaps ran 0.73s and 1.66s in back-to-back brackets).
+    prev_q = prev_artifact.get("queries", {})
+    with open("BENCH_FULL.json") as f:
+        head_q = json.load(f).get("queries", {})
+    wide = sorted(head_q[q] / prev_q[q] for q in set(prev_q) & set(head_q)
+                  if prev_q[q] > 0.05)
+    if len(wide) >= 20:
+        artifact_median = wide[len(wide) // 2] if len(wide) % 2 else \
+            (wide[len(wide) // 2 - 1] + wide[len(wide) // 2]) / 2
+        out_extra["artifact_median_query_ratio"] = round(artifact_median, 4)
+        out_extra["drift_corrected_vs_prev_wide"] = round(
+            (full_totals["head"] / full_totals["prev"]) / artifact_median, 4)
 except (OSError, KeyError, ValueError, ZeroDivisionError) as e:
     print(f"[calibrate] no drift-corrected ratio ({e}); raw probe ratio only")
 
@@ -209,6 +228,7 @@ out = {
     "temporal_probe_ratios": temporal or None,
     "temporal_drift_ratio": temporal_drift,
     "drift_corrected_vs_prev_temporal": drift_corrected_temporal,
+    **out_extra,
     "note": "machine_drift_ratio = MEDIAN of per-query head/prev ratios "
             "on the code-untouched heavy probes, both benched NOW "
             "back-to-back — ~1 by construction; it catches a code delta "
@@ -221,7 +241,12 @@ out = {
             "machine-independent cross-round suite ratio; <1 means the "
             "code got faster. drift_corrected_vs_prev (the pre-r15 "
             "field) divides by the back-to-back ratio instead and "
-            "understates machine movement between rounds.",
+            "understates machine movement between rounds. "
+            "artifact_median_query_ratio = median per-query ratio over "
+            "the full committed-artifact intersection (~190 queries) - "
+            "the most robust temporal estimator (immune to the few "
+            "code-touched queries and to any one bimodal query); "
+            "drift_corrected_vs_prev_wide divides by it.",
 }
 with open("CALIBRATION.json", "w") as f:
     json.dump(out, f, indent=1)
