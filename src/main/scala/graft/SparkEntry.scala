@@ -1582,6 +1582,53 @@ object SparkEntry {
       ${name}_7 AS MATERIALIZED (SELECT $keep, ${xxMul("g3", XxP3)} AS g4 FROM ${name}_6),
       $name AS MATERIALIZED (SELECT $keep, ${xxXor("g4", xxShr("g4", 32))} AS $out FROM ${name}_7)"""
 
+  /** Murmur3_x86_32-over-a-long restated for DuckDB — the hash under
+    * Spark's BloomFilter V2 bit placement (sketch module: two chained
+    * `hashLong` rounds give (h1, h2), then k probes of
+    * h1·(2³¹−1) + i·h2 with a complement-flip and mod-bitSize; see
+    * Llm.decontaminateBloom's scaladoc). 32-bit wrapping arithmetic in
+    * HUGEINT [0, 2^32): products are reduced mod 2^32, rotations split
+    * at the rotate point, XOR hops through BIGINT (values < 2^32 are
+    * sign-safe there). SketchProps pins this arithmetic against the
+    * real BloomFilter on fuzzed keys, false-positive agreement
+    * included. */
+  private val Mm32 = "4294967296" // 2^32
+  private def mmMul(a: String, b: String): String =
+    s"((($a)::HUGEINT * ($b)) % $Mm32)"
+  private def mmRotl(a: String, r: Int): String =
+    s"((($a) % ${BigInt(1) << (32 - r)}) * ${BigInt(1) << r} + ($a) // ${BigInt(1) << (32 - r)})"
+  private def mmXor(a: String, b: String): String =
+    s"CAST(xor(($a)::BIGINT, ($b)::BIGINT) AS HUGEINT)"
+  private def mmShr(a: String, r: Int): String = s"(($a) // ${BigInt(1) << r})"
+  /** Unsigned [0,2^32) HUGEINT -> the bit-identical signed Java int (as
+    * BIGINT). */
+  private def mmSigned(a: String): String =
+    s"(CASE WHEN ($a) >= 2147483648 THEN ($a)::BIGINT - $Mm32 ELSE ($a)::BIGINT END)"
+
+  /** CTE chain for `out` = Murmur3_x86_32.hashLong(`in`, `seed`):
+    * mixK1/mixH1 over the long's low then high 32-bit word, fmix with
+    * len 8. `in` is HUGEINT [0,2^64), `seed` HUGEINT [0,2^32); `keep`
+    * columns ride through. Stages are MATERIALIZED for the same
+    * planner-blowup reason as [[xxLong]]. */
+  private def mmLong(name: String, src: String, keep: String,
+      in: String, seed: String, out: String): String =
+    s"""${name}_0 AS MATERIALIZED (SELECT $keep, ($seed) AS h0,
+             (($in) % $Mm32) AS kl, (($in) // $Mm32) AS kh FROM $src),
+      ${name}_1 AS MATERIALIZED (SELECT $keep, h0, kh, ${mmMul("kl", "3432918353")} AS k1 FROM ${name}_0),
+      ${name}_2 AS MATERIALIZED (SELECT $keep, h0, kh, ${mmMul(mmRotl("k1", 15), "461845907")} AS k2 FROM ${name}_1),
+      ${name}_3 AS MATERIALIZED (SELECT $keep, kh, ${mmXor("h0", "k2")} AS hx FROM ${name}_2),
+      ${name}_4 AS MATERIALIZED (SELECT $keep, kh, (${mmMul(mmRotl("hx", 13), "5")} + 3864292196) % $Mm32 AS ha FROM ${name}_3),
+      ${name}_5 AS MATERIALIZED (SELECT $keep, ha, ${mmMul("kh", "3432918353")} AS k3 FROM ${name}_4),
+      ${name}_6 AS MATERIALIZED (SELECT $keep, ha, ${mmMul(mmRotl("k3", 15), "461845907")} AS k4 FROM ${name}_5),
+      ${name}_7 AS MATERIALIZED (SELECT $keep, ${mmXor("ha", "k4")} AS hy FROM ${name}_6),
+      ${name}_8 AS MATERIALIZED (SELECT $keep, (${mmMul(mmRotl("hy", 13), "5")} + 3864292196) % $Mm32 AS hb FROM ${name}_7),
+      ${name}_9 AS MATERIALIZED (SELECT $keep, ${mmXor("hb", "8")} AS f0 FROM ${name}_8),
+      ${name}_10 AS MATERIALIZED (SELECT $keep, ${mmXor("f0", mmShr("f0", 16))} AS f1 FROM ${name}_9),
+      ${name}_11 AS MATERIALIZED (SELECT $keep, ${mmMul("f1", "2246822507")} AS f2 FROM ${name}_10),
+      ${name}_12 AS MATERIALIZED (SELECT $keep, ${mmXor("f2", mmShr("f2", 13))} AS f3 FROM ${name}_11),
+      ${name}_13 AS MATERIALIZED (SELECT $keep, ${mmMul("f3", "3266489909")} AS f4 FROM ${name}_12),
+      $name AS MATERIALIZED (SELECT $keep, ${mmXor("f4", mmShr("f4", 16))} AS $out FROM ${name}_13)"""
+
   /** splitmix64 restated for DuckDB, mirroring Sketches.splitmix64 /
     * tokenHash (the SimHash/MinHash signature arithmetic). Values live
     * in HUGEINT [0, 2^64); the wrapping multiply splits the CONSTANT at
@@ -2676,6 +2723,41 @@ object SparkEntry {
       FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
       LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""",
 
+    // the bloom tier END-TO-END, false positives included: shingle ->
+    // tokenHash (smPoly/smChain, the cross-engine hash), then Spark's
+    // BloomFilter V2 bit placement (two chained Murmur3_x86_32 rounds
+    // via mmLong, k=6 probes of h1*(2^31-1) + i*h2, complement-flip,
+    // mod 524288) re-derives the bench bit set AND each corpus probe —
+    // a doc is flagged iff >=1 shingle has all 6 bits set, exactly the
+    // BloomFilterMightContain semantics. Geometry is the aggregate's
+    // default: numBits = 8 * expectedShingles (1<<16) = 524288 (already
+    // a multiple of 64), k = round(8*ln2) = 6, seed 0.
+    "decontaminate_bloom" -> s"""
+      WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+             WHERE len(ws) >= 3),
+      hp AS (SELECT doc_id, ${smPoly("s")} AS ph FROM sh),
+      ${smChain("th", "hp", "doc_id", "ph", "h")},
+      hs AS MATERIALIZED (SELECT DISTINCT h FROM th),
+      ${mmLong("mA", "hs", "h", "h", "0::HUGEINT", "h1")},
+      ${mmLong("mB", "mA", "h, h1", "h", "h1", "h2")},
+      pos AS MATERIALIZED (
+        SELECT h, (CASE WHEN a < 0 THEN -a - 1 ELSE a END) % 524288 AS pos
+        FROM (SELECT h,
+                ${mmSigned("h1")} * 2147483647 + i * ${mmSigned("h2")} AS a
+              FROM mB CROSS JOIN range(1, 7) t(i))),
+      benchbits AS (SELECT DISTINCT pos FROM pos
+                    JOIN (SELECT DISTINCT h FROM th WHERE doc_id < 10) b USING (h)),
+      flagged AS (SELECT p.h FROM pos p LEFT JOIN benchbits b USING (pos)
+                  GROUP BY p.h HAVING bool_and(b.pos IS NOT NULL)),
+      hits AS (SELECT doc_id, count(DISTINCT h) AS n_flagged
+               FROM th JOIN flagged USING (h) WHERE doc_id >= 10 GROUP BY 1)
+      SELECT d.doc_id, coalesce(h.n_flagged, 0) AS n_flagged,
+             coalesce(h.n_flagged, 0) > 0 AS is_flagged
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+      LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""",
+
     "pii_scrub" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
@@ -3122,6 +3204,39 @@ object SparkEntry {
              WHEN doc_id % 3 = 1 THEN 44 + 2 * len
              ELSE 32 + (1 + len % 4) * 774 END AS BIGINT) AS n_bytes
       FROM d ORDER BY doc_id""",
+
+    // full decode+feature restatement, same closed-form basis as
+    // media_meta: geometry and frame counts are functions of the text
+    // length (BMP w=4*(2+len%15) h=2+len%11 single frame; WAV
+    // ceil(len/2000) sample windows, floor 1; y4m 32x16, 1+len%4
+    // frames), and the L1-normalized 8-bin histogram sums to exactly
+    // 1.0 for any non-empty region (0.0 only for a zero-sample WAV
+    // window) — so DuckDB re-derives every output cell including the
+    // frame fan-out. Hostile-header rejection stays gated by the
+    // MultimodalProps fuzz suite; this oracle pins the happy path
+    // end-to-end.
+    "multimodal_features" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      m AS (SELECT doc_id, len,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE WHEN doc_id % 3 = 0 THEN 1
+             WHEN doc_id % 3 = 1 THEN greatest(1, CAST(ceil(len / 2000.0) AS INT))
+             ELSE 1 + len % 4 END AS n_frames,
+        CASE WHEN doc_id % 3 = 0 THEN 4 * (2 + len % 15)
+             WHEN doc_id % 3 = 1 THEN 0 ELSE 32 END AS width,
+        CASE WHEN doc_id % 3 = 0 THEN 2 + len % 11
+             WHEN doc_id % 3 = 1 THEN 0 ELSE 16 END AS height,
+        CAST(CASE WHEN doc_id % 3 = 0
+               THEN 54 + 3 * (4 * (2 + len % 15)) * (2 + len % 11)
+             WHEN doc_id % 3 = 1 THEN 44 + 2 * len
+             ELSE 32 + (1 + len % 4) * 774 END AS BIGINT) AS n_bytes
+       FROM d)
+      SELECT doc_id, kind, n_bytes, width, height, n_frames,
+             CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+             CASE WHEN kind = 'audio' AND len = 0 THEN 0.0 ELSE 1.0 END AS feat_l1
+      FROM m
+      ORDER BY doc_id, frame_idx""",
 
     "ca_rollup" -> s"""
       WITH f AS (

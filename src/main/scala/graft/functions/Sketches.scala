@@ -145,11 +145,37 @@ object Sketches {
       new GenericArrayData(sig), new GenericArrayData(bands)))
   }
 
+  /** [[tokenHash]] over a UTF8String (the codegen entry point). */
+  def tokenHashU(s: UTF8String): Long = tokenHash(s.toString)
+
   import org.apache.spark.sql.graftbridge.Bridge
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
+  def token_hash64(s: Column): Column =
+    Bridge.column(TokenHash64(Bridge.expression(s)))
   def minhash_signature(text: Column, nHashes: Int = 16, nBands: Int = 4): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), nHashes, nBands))
+}
+
+/** Scalar [[Sketches.tokenHash]] as a codegen'd expression — the
+  * cross-engine 64-bit string hash (poly31 over code points +
+  * splitmix64) for paths whose hash values must be re-derivable by a
+  * different engine: the decontamination family keys its bench/corpus
+  * shingle match on it so the DuckDB oracle can recompute the hashes
+  * (and the bloom tier's bit positions) from the raw parquet text,
+  * which xxhash64's byte-stripe state machine would not allow. */
+case class TokenHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"token_hash64 expects a string, got $dt")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Sketches.tokenHashU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.tokenHashU($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

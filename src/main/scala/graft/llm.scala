@@ -490,13 +490,22 @@ object Llm {
     * map-side and only per-doc hit counts shuffle — the corpus text never
     * does. The two passes over the shingle pipeline each push their
     * doc_id filter into the scan, so the benchmark pass reads only the
-    * benchmark documents. */
+    * benchmark documents.
+    *
+    * Shingles key on [[graft.functions.Sketches.tokenHash]] (the
+    * cross-engine poly31+splitmix64 hash the MinHash/SimHash signatures
+    * already use) rather than xxhash64: equality-join semantics are
+    * identical for any 64-bit hash, and the restatable hash is what
+    * lets the bloom tier's DuckDB oracle re-derive the filter's bit
+    * positions from the raw text (and what a production corpus wants
+    * anyway — hashes recomputable by a different engine, bit-for-bit). */
   def decontaminate(documents: DataFrame, benchDocs: Long = 10): DataFrame = {
     val base = spread(documents)
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), shingles(col("ws")).as("sh"))
     val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.token_hash64(col("s")).as("h"))
     val bench = ex.filter(col("doc_id") < benchDocs).select("h").distinct()
     val hits = ex.filter(col("doc_id") >= benchDocs)
       .join(broadcast(bench), Seq("h"))
@@ -521,7 +530,18 @@ object Llm {
     * flagged); false positives only ever OVER-flag at the sketch's fpp —
     * the safe direction for training-set hygiene. The driver-folded
     * literal is the same two-phase shape as the scoring thresholds.
-    * Gated rows-only + LlmSpec (superset-of-exact + fp-rate bound). */
+    *
+    * Fully oracle-checked (rows+schema+hash), false positives included:
+    * shingle keys are the cross-engine tokenHash (see [[decontaminate]])
+    * and Spark's BloomFilter V2 bit placement is a pure function of the
+    * 64-bit key and the (numBits=8·expected, k=round(8·ln2)) geometry —
+    * two chained Murmur3_x86_32 rounds over the key's 32-bit halves,
+    * then k probes of (h1·(2³¹−1) + i·h2) with a complement-flip and a
+    * mod — all restated in DuckDB wrapping arithmetic, so the oracle
+    * re-derives the bench bit set AND each corpus probe bit-for-bit
+    * (SketchProps pins the restatement against the real BloomFilter on
+    * fuzzed keys, false-positive agreement included). LlmSpec keeps the
+    * superset-of-exact + fp-rate-bound gates. */
   def decontaminateBloom(documents: DataFrame, benchDocs: Long = 10,
       expectedShingles: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -532,7 +552,8 @@ object Llm {
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), shingles(col("ws")).as("sh"))
     val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        graft.functions.Sketches.token_hash64(col("s")).as("h"))
     val bfBytes = ex.filter(col("doc_id") < benchDocs)
       .agg(Bridge.column(new BloomFilterAggregate(
         Bridge.expression(col("h")), expectedShingles)

@@ -110,4 +110,67 @@ object SketchProps extends Properties("Sketches") {
         row.getArray(2).toLongArray().toSeq)
       got == refMinhash(s)
     }
+
+  // ------------------------- BloomFilter V2 bit-placement restatement
+  // The decontaminate_bloom oracle re-derives Spark's BloomFilter
+  // membership in DuckDB SQL. This reference mirrors that SQL's
+  // unsigned/BigInt arithmetic (two chained Murmur3_x86_32 rounds over
+  // the key's 32-bit halves, then k probes of h1·(2³¹−1) + i·h2 with a
+  // complement-flip and mod bitSize); the property checks it against
+  // the REAL org.apache.spark.util.sketch.BloomFilter — members AND
+  // non-members, so false-positive agreement is pinned too.
+
+  private val M32 = BigInt(1) << 32
+  private def mmMul32(a: BigInt, b: BigInt): BigInt = (a * b).mod(M32)
+  private def mmRotl32(a: BigInt, r: Int): BigInt =
+    (a.mod(BigInt(1) << (32 - r)) << r) + (a >> (32 - r))
+  private def refMurmurLong(input: BigInt, seed: BigInt): BigInt = {
+    def mixK1(k: BigInt) = mmMul32(
+      mmRotl32(mmMul32(k, BigInt("cc9e2d51", 16)), 15), BigInt("1b873593", 16))
+    def mixH1(h: BigInt, k: BigInt) =
+      (mmMul32(mmRotl32(h ^ k, 13), 5) + BigInt("e6546b64", 16)).mod(M32)
+    var h1 = mixH1(seed, mixK1(input.mod(M32)))
+    h1 = mixH1(h1, mixK1(input >> 32))
+    h1 ^= 8
+    h1 ^= h1 >> 16; h1 = mmMul32(h1, BigInt("85ebca6b", 16))
+    h1 ^= h1 >> 13; h1 = mmMul32(h1, BigInt("c2b2ae35", 16))
+    h1 ^ (h1 >> 16)
+  }
+  private def signed32(v: BigInt): Long =
+    (if (v >= (BigInt(1) << 31)) v - M32 else v).toLong
+  /** The k probed bit positions for a 64-bit key (seed 0). */
+  private def refBloomPositions(item: Long, k: Int, bitSize: Long): Seq[Long] = {
+    val u = unsigned(item)
+    val h1 = signed32(refMurmurLong(u, 0))
+    val h2 = signed32(refMurmurLong(u, BigInt(h1) & (M32 - 1)))
+    var acc = h1 * Int.MaxValue.toLong
+    (1 to k).map { _ =>
+      acc += h2
+      val bit = if (acc < 0) ~acc else acc
+      bit % bitSize
+    }
+  }
+
+  property("BloomFilter V2 membership equals the restated bit positions, fp agreement included") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.long),
+      Gen.listOfN(64, Gen.long),
+      // (32, 256) sits near 50% bit density for typical item-list sizes
+      // — the regime where false positives are COMMON, so fp agreement
+      // is exercised for real, not vacuously; (65536, 524288) is the
+      // production geometry the decontaminate_bloom oracle restates
+      Gen.oneOf((32L, 256L), (256L, 2048L), (100L, 800L), (65536L, 524288L))) {
+      (items, probes, geom) =>
+        val (n, numBits) = geom
+        val k = math.max(1, math.round(numBits.toDouble / n * math.log(2)).toInt)
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(n, numBits)
+        items.foreach(bf.putLong)
+        // BitArray rounds bitSize up to a multiple of 64
+        val bitSize = ((numBits + 63) / 64) * 64
+        val setBits = items.flatMap(refBloomPositions(_, k, bitSize)).toSet
+        (items ++ probes).forall { p =>
+          bf.mightContainLong(p) ==
+            refBloomPositions(p, k, bitSize).forall(setBits)
+        }
+    }
 }
