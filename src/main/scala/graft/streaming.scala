@@ -662,11 +662,14 @@ object Streams extends Serializable {
     * redelivery scope — a restart from it replays the same batch ids,
     * so the id must survive the restart), fresh per invocation when the
     * query runs on a temp checkpoint (its batch ids share no lineage
-    * with anything persisted, so no persisted mark may suppress them). */
+    * with anything persisted, so no persisted mark may suppress them).
+    * The id is a SHA-256 path tag, not a 32-bit hashCode: a collision
+    * between two checkpoint paths would alias their redelivery scopes,
+    * letting one dataset's persisted mark suppress another's replay
+    * (the same collision class as the shared-drain sink prefixes). */
   private[graft] def runIdFor(checkpointDir: Option[String]): String =
     checkpointDir match {
-      case Some(c) => "ckpt" + java.lang.Integer.toHexString(
-        new java.io.File(c).getAbsolutePath.hashCode)
+      case Some(c) => "ckpt" + Tables.pathTag(new java.io.File(c).getAbsolutePath)
       case None => s"tmp${writerToken}_${commitSeq.incrementAndGet()}"
     }
 
