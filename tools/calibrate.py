@@ -17,11 +17,14 @@ import json, os, subprocess, sys, datetime
 # The drift estimate is only valid over probes whose CODE is untouched
 # between the two commits — a probe that got optimized measures the code
 # delta, not the machine. Round 14 optimized three of the original five
-# (events_attribution, product_rank, copurchase_distance), so the set
-# was re-drawn from that round's untouched heavies. REVISE THIS LIST in
-# any round that code-touches a probe, before running the bracket.
-QUERIES = ["copurchase_triangles", "bm25_search", "dedup_ngram_prefix",
-           "dim_clients", "session_overlaps"]
+# (events_attribution, product_rank, copurchase_distance); round 15's
+# promotions touched gold.scala and llm.scala, so the set was re-drawn
+# again onto that round's untouched heavies (serving/search/catalog
+# files). REVISE THIS LIST in any round that code-touches a probe,
+# before running the bracket — the staleness guard below refuses stale
+# sets automatically.
+QUERIES = ["session_overlaps", "bm25_search", "customer_churn_monthly",
+           "source_top_terms", "table_profile"]
 SF_DIR = "/root/testdata/sf0.1"
 
 args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
@@ -51,11 +54,11 @@ prev_full = subprocess.run(["git", "rev-parse", prev], capture_output=True,
 # changes every round, almost never in a way that touches a probe's plan —
 # a probe whose registry lambda itself changes must be re-drawn by hand.
 PROBE_FILES = {
-    "copurchase_triangles": ["src/main/scala/graft/gold.scala"],
-    "bm25_search": ["src/main/scala/graft/search.scala"],
-    "dedup_ngram_prefix": ["src/main/scala/graft/llm.scala"],
-    "dim_clients": ["src/main/scala/graft/gold.scala"],
     "session_overlaps": ["src/main/scala/graft/serving.scala"],
+    "bm25_search": ["src/main/scala/graft/search.scala"],
+    "customer_churn_monthly": ["src/main/scala/graft/serving.scala"],
+    "source_top_terms": ["src/main/scala/graft/search.scala"],
+    "table_profile": ["src/main/scala/graft/catalog.scala"],
 }
 unmapped = [q for q in QUERIES if q not in PROBE_FILES]
 if unmapped:
