@@ -63,12 +63,33 @@ object StreamsProps extends Properties("Streams") {
     * (updated at batch END); a row strictly below it is late and
     * dropped, a row exactly AT it is on time — the boundary the
     * sessionizer's guard implements. */
+  /** Which events Spark's stateful operators actually admit under a
+    * 0-second watermark — TWO watermarks, not one (diagnosed from the
+    * r15 N=100 soak's counterexample and the 4.1.2 bytecode, pinned
+    * deterministically in StreamsSpec):
+    *
+    *  - Spark's built-in late-row filter drops rows with
+    *    `ts <= eventTimeWatermarkForLateEvents` (LessThanOrEqual,
+    *    WatermarkSupport), and that watermark LAGS ONE BATCH — for
+    *    batch k it is the max event time over batches <= k-2. A tie
+    *    with the immediately-previous batch's max is therefore
+    *    admitted, but the same tie with one batch in between (e.g. an
+    *    empty micro-batch advancing nothing but the lag) is dropped.
+    *  - the sessionizer's own guard then keeps
+    *    `ts >= getCurrentWatermarkMs` — the CURRENT (eviction)
+    *    watermark, max event time over batches <= k-1, equality kept
+    *    (state for the boundary instant is still live).
+    *
+    * Net: a row in batch k with time t survives iff
+    * t > max(batches <= k-2) && t >= max(batches <= k-1). */
   private def delivered(chunks: Seq[Seq[Ev]]): Seq[Ev] = {
-    var wm = Long.MinValue
+    var wmLate = Long.MinValue   // max over batches <= k-2 (lags one batch)
+    var wmEvict = Long.MinValue  // max over batches <= k-1
     val out = Seq.newBuilder[Ev]
     for (c <- chunks) {
-      out ++= c.filter(_.off >= wm)
-      if (c.nonEmpty) wm = math.max(wm, c.map(_.off).max)
+      out ++= c.filter(e => e.off > wmLate && e.off >= wmEvict)
+      wmLate = wmEvict
+      if (c.nonEmpty) wmEvict = math.max(wmEvict, c.map(_.off).max)
     }
     out.result()
   }
@@ -115,7 +136,13 @@ object StreamsProps extends Properties("Streams") {
     }
     val rnd = new scala.util.Random(seed)
     val sorted = ids.sortBy(_.off)
-    val cuts = (Seq(0, sorted.size) ++ Seq.fill(k - 1)(rnd.nextInt(sorted.size + 1)))
+    // cut only where ts strictly increases: a tie split across a cut
+    // would put the second member at ts == watermark in the next batch,
+    // and Spark's LessThanOrEqual late predicate drops it — that is the
+    // late-arrival regime, not this generator's no-late contract
+    val okCuts = (1 until sorted.size).filter(i => sorted(i - 1).off < sorted(i).off)
+    val cuts = (Seq(0, sorted.size) ++
+      Seq.fill(k - 1)(if (okCuts.isEmpty) 0 else okCuts(rnd.nextInt(okCuts.size))))
       .sorted.distinct
     val chunks = cuts.zip(cuts.tail)
       .map { case (a, b) => rnd.shuffle(sorted.slice(a, b)) }

@@ -130,6 +130,48 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("watermark boundary lags one batch: adjacent-batch ts tie kept, one-batch-lagged tie dropped") {
+    // The r15 N=100 StreamsProps soak falsified the single-watermark
+    // delivered model with exactly this shape. Spark admits a row iff
+    // ts > max(batches <= k-2)  [built-in LessThanOrEqual late filter on
+    // eventTimeWatermarkForLateEvents, which LAGS one batch]  AND
+    // ts >= max(batches <= k-1) [the sessionizer's getCurrentWatermarkMs
+    // guard, equality kept]. So a tie with the previous batch's max
+    // survives, but the SAME tie with any batch in between — even an
+    // empty one, which advances nothing except the lag — is dropped.
+    import spark.implicits._
+    def ts(off: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(off))
+    def chunk(rows: (Long, Long, Long)*) =
+      rows.map { case (id, u, off) => (id, u, "view", ts(off), 1.0) }
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    def drain(chunks: Seq[Seq[(Long, Long, Long)]]): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wmlag_events")
+      val stage = java.nio.file.Files.createTempDirectory("graft_wmlag_stage")
+      try {
+        chunks.zipWithIndex.foreach { case (rows, i) =>
+          chunk(rows: _*).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(dir.toFile, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 10000L)
+        }
+        Streams.sessionsDrain(spark, Streams.chunkedEventsStream(spark, dir.toString))
+          .select("user_id").collect().map(_.getLong(0)).toSeq.sorted
+      } finally {
+        Streams.deleteRec(dir.toFile); Streams.deleteRec(stage.toFile)
+      }
+    }
+    val t = 10561L
+    // tie in the immediately-next batch: late watermark still lags -> kept
+    assert(drain(Seq(Seq((1L, 3L, t)), Seq((2L, 4L, t)))) == Seq(3L, 4L))
+    // same tie after an empty micro-batch: the late watermark caught up
+    // to t and LessThanOrEqual drops the boundary row
+    assert(drain(Seq(Seq((1L, 3L, t)), Seq.empty, Seq((2L, 4L, t)))) == Seq(3L))
+    // strictly-later row after the empty batch is unaffected
+    assert(drain(Seq(Seq((1L, 3L, t)), Seq.empty, Seq((2L, 4L, t + 1)))) == Seq(3L, 4L))
+  }
+
   test("characterization: complete-mode session_window drops late rows by candidate-window END, not raw ts") {
     import java.sql.Timestamp
     import spark.implicits._
