@@ -2729,9 +2729,14 @@ object SparkEntry {
     // via mmLong, k=6 probes of h1*(2^31-1) + i*h2, complement-flip,
     // mod 524288) re-derives the bench bit set AND each corpus probe —
     // a doc is flagged iff >=1 shingle has all 6 bits set, exactly the
-    // BloomFilterMightContain semantics. Geometry is the aggregate's
-    // default: numBits = 8 * expectedShingles (1<<16) = 524288 (already
-    // a multiple of 64), k = round(8*ln2) = 6, seed 0.
+    // BloomFilterMightContain semantics. Geometry is pinned EXPLICITLY
+    // on the Spark side (3-arg BloomFilterAggregate constructor):
+    // numBits = 8 * expectedShingles (1<<16) = 524288 (already a
+    // multiple of 64), k = round(8*ln2) = 6, seed 0. The 2-arg
+    // constructor would instead derive a conf-dependent
+    // optimalNumOfBits geometry (1039168/k=11 under defaults) and
+    // silently diverge from this restatement — see the scaladoc on
+    // Llm.decontaminateBloom and SketchProps' geometry pin.
     "decontaminate_bloom" -> s"""
       WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
       sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s

@@ -49,7 +49,8 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           if (Digests.queries(name)) {
-            val dg = Digests.resultDigest(spark.read.parquet(s"$outDir/$name"))
+            val dg = Digests.resultDigest(
+              Digests.canonical(name, spark.read.parquet(s"$outDir/$name")))
             digests.put(name, dg)
             Digests.golden.get((name, dataset)).foreach { want =>
               if (want != dg)

@@ -534,14 +534,30 @@ object Llm {
     * Fully oracle-checked (rows+schema+hash), false positives included:
     * shingle keys are the cross-engine tokenHash (see [[decontaminate]])
     * and Spark's BloomFilter V2 bit placement is a pure function of the
-    * 64-bit key and the (numBits=8·expected, k=round(8·ln2)) geometry —
+    * 64-bit key and the (numBits, k=round(numBits/n·ln2)) geometry —
     * two chained Murmur3_x86_32 rounds over the key's 32-bit halves,
     * then k probes of (h1·(2³¹−1) + i·h2) with a complement-flip and a
     * mod — all restated in DuckDB wrapping arithmetic, so the oracle
     * re-derives the bench bit set AND each corpus probe bit-for-bit
     * (SketchProps pins the restatement against the real BloomFilter on
     * fuzzed keys, false-positive agreement included). LlmSpec keeps the
-    * superset-of-exact + fp-rate-bound gates. */
+    * superset-of-exact + fp-rate-bound gates.
+    *
+    * The geometry is pinned EXPLICITLY via the 3-arg aggregate
+    * constructor: numBits = 8·expectedShingles (524288 for the default
+    * 1<<16, already a multiple of 64) → k = round(8·ln2) = 6. The
+    * 2-arg `BloomFilterAggregate(child, n)` constructor must NOT be
+    * used here: it derives numBits through
+    * `BloomFilter.optimalNumOfBits(n, maxNumItems, maxNumBits)` under
+    * the session's runtime-bloom-filter conf caps (1039168 bits / k=11
+    * for n=65536 under defaults), which would silently diverge from the
+    * oracle's restated geometry — members always agree under any
+    * geometry, so test-scale hash compares can pass while the
+    * false-positive sets diverge at load. SketchProps' geometry case
+    * pins the production aggregate's buffer against the oracle's
+    * (524288, k=6) restatement. Both values sit far below the default
+    * conf caps (4M items / 64M bits), so the aggregate's Math.min
+    * clamping is a no-op. */
   def decontaminateBloom(documents: DataFrame, benchDocs: Long = 10,
       expectedShingles: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -556,7 +572,8 @@ object Llm {
         graft.functions.Sketches.token_hash64(col("s")).as("h"))
     val bfBytes = ex.filter(col("doc_id") < benchDocs)
       .agg(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(col("h")), expectedShingles)
+        Bridge.expression(col("h")),
+        Literal(expectedShingles), Literal(8L * expectedShingles))
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val mightContain = Bridge.column(new BloomFilterMightContain(

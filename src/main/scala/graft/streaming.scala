@@ -666,7 +666,15 @@ object Streams extends Serializable {
     * The id is a SHA-256 path tag, not a 32-bit hashCode: a collision
     * between two checkpoint paths would alias their redelivery scopes,
     * letting one dataset's persisted mark suppress another's replay
-    * (the same collision class as the shared-drain sink prefixes). */
+    * (the same collision class as the shared-drain sink prefixes).
+    *
+    * FORMAT BREAK (round 15→16, see CHANGELOG): ids were previously
+    * `ckpt<8-hex-hashCode>`. A sink whose manifest persists ACROSS the
+    * upgrade carries a mark under the old id, so the first restarted
+    * batch takes the lineage-mismatch path and re-merges once
+    * (double-counting that one redelivered batch's sums). Persisted
+    * sinks upgrading in place should be rebuilt from source (or their
+    * manifest's lastRun cleared) before the first post-upgrade run. */
   private[graft] def runIdFor(checkpointDir: Option[String]): String =
     checkpointDir match {
       case Some(c) => "ckpt" + Tables.pathTag(new java.io.File(c).getAbsolutePath)

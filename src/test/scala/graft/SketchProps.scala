@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 import graft.functions.Sketches
 
@@ -172,5 +173,35 @@ object SketchProps extends Properties("Sketches") {
           bf.mightContainLong(p) ==
             refBloomPositions(p, k, bitSize).forall(setBits)
         }
+    }
+
+  property("decontaminate_bloom geometry: the PRODUCTION aggregate buffer matches the oracle's (524288, k=6) restatement") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.long), Gen.listOfN(64, Gen.long)) {
+      (items, probes) =>
+        // Build the buffer through the exact production path
+        // (Llm.decontaminateBloom's 3-arg constructor), not through
+        // BloomFilter.create directly — this is what guards the oracle's
+        // hardcoded geometry against a constructor/conf change.
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val n = 65536L
+        val bf = new BloomFilterAggregate(
+          Literal(0L), Literal(n), Literal(8L * n)).createAggregationBuffer()
+        items.foreach(bf.putLong)
+        val oracleBits = 524288L // what the DuckDB oracle hardcodes
+        val oracleK = 6 // range(1, 7) probes in the oracle
+        val setBits = items.flatMap(refBloomPositions(_, oracleK, oracleBits)).toSet
+        (bf.bitSize() == oracleBits) :| s"bitSize ${bf.bitSize()} != $oracleBits" &&
+        // k is pinned behaviorally: membership must equal the k=6 probe
+        // restatement on every item AND every random probe (a different
+        // k would change which false positives fire)
+        Prop.all((items ++ probes).map { p =>
+          (bf.mightContainLong(p) ==
+            refBloomPositions(p, oracleK, oracleBits).forall(setBits)) :| s"probe $p"
+        }: _*) &&
+        // and the DEFAULT 2-arg geometry is genuinely different — the
+        // explicit pin is load-bearing, not decorative
+        (org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
+          n, 4000000L, 67108864L) != oracleBits) :| "default geometry unexpectedly equals the pin"
     }
 }
