@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
   *
   * SPARK_GRAFT_QUERIES (comma-separated names) restricts the run — a dev
   * convenience for timing one operator without the whole suite.
+  *
+  * A `calib` block (raw + machine-drift-corrected vs-prev suite ratios,
+  * from tools/bench_context.json — see tools/bench_context.py) is
+  * stamped into both the stdout line and BENCH_FULL.json on
+  * full-registry runs at the context's SF, so the cross-round headline
+  * carries its own host-noise correction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,6 +77,27 @@ object Bench {
       }
 
     qs.foreach { case (name, fn) => materialize(name, fn) } // warmup, untimed
+    // Extra untimed warm-up for the JIT-band family (r15 judge item 4):
+    // the wedge-enumeration/graph codegen is big enough that HotSpot C2
+    // compile time bleeds into the timed passes even after one suite
+    // warm-up (copurchase_triangles min-of-3 landed anywhere in a
+    // 4.5-16 s band on identical code). Re-run these untimed until the
+    // JVM compiler goes quiet between rounds (total compilation time
+    // stops advancing), capped at 3 extra rounds (~15-30 s at sf0.1).
+    val jitWarm = Set("copurchase_triangles", "copurchase_triangles_approx",
+      "product_rank", "copurchase_distance", "dedup_ngram_prefix",
+      "dedup_clusters", "community_modularity")
+    val jitQs = qs.filter { case (n, _) => jitWarm.contains(n) }
+    if (jitQs.nonEmpty) {
+      val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+      var prevCt = -1L
+      var rounds = 0
+      while (rounds < 3 && comp.getTotalCompilationTime != prevCt) {
+        prevCt = comp.getTotalCompilationTime
+        jitQs.foreach { case (name, fn) => materialize(name, fn) }
+        rounds += 1
+      }
+    }
     def timedPass() = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = materialize(name, fn)
@@ -108,6 +135,42 @@ object Bench {
     val cacheMb = spark.sparkContext.getRDDStorageInfo
       .map(_.memSize).sum / (1024.0 * 1024.0)
     SparkEntry.unpersistShared()
+    // Cross-round context (r15 judge item 3): raw AND machine-drift-
+    // corrected vs-prev ratios stamped into THIS artifact, so a reader
+    // never has to open CALIBRATION.json to tell host drift from a code
+    // regression. tools/bench_context.json is written by
+    // tools/bench_context.py from the round's calibration bracket
+    // (prev round's committed full-suite total + the temporal
+    // artifact-median drift estimate); only embedded for a full-registry
+    // default-config run at the context's SF — a filtered or off-SF run
+    // would stamp a nonsense ratio.
+    val calibJson: Option[String] =
+      if (only.nonEmpty) None
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/bench_context.json")), "UTF-8")
+        def num(k: String): Option[Double] =
+          ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        def str(k: String): Option[String] =
+          ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        for {
+          ctxSf <- str("sf") if ctxSf == sfDir
+          prevTotal <- num("prev_total_sec") if prevTotal > 0
+          prev = str("prev").getOrElse("prev")
+        } yield {
+          val raw = total / prevTotal
+          val drift = num("temporal_drift_median").filter(_ > 0)
+          val corrected = drift.map(d => raw / d)
+          def r3(v: Double) = math.rint(v * 1000) / 1000.0
+          s""""calib":{"prev":${jstr(prev)},"prev_total_sec":$prevTotal""" +
+            s""","vs_prev_raw":${r3(raw)}""" +
+            drift.map(d => s""","host_drift_median":$d""").getOrElse("") +
+            corrected.map(c => s""","vs_prev_corrected":${r3(c)}""").getOrElse("") +
+            "}"
+        }
+      } catch { case _: Throwable => None }
     // Full-precision record for the judge — the harness only keeps the last
     // ~2 KB of stdout, so the stdout line below is kept compact (3-decimal
     // seconds, no prose fields) to survive that tail capture intact, and
@@ -128,7 +191,7 @@ object Bench {
         .filter { case (k, _) => qs.contains(k) }.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"conf":$conf,"posture":$posture,"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"spread":$sp,"errors":$errJson,"cache_mb":${math.round(cacheMb * 10) / 10.0},"conf":$conf,"posture":$posture,${calibJson.map(_ + ",").getOrElse("")}"timing":"noop-materialize min-of-3; spread = max-min over the 3 timed passes (r1-r6 were min-of-2 or single-pass)","sf":"$sfDir"}"""
     }
     // best-effort: a read-only/odd cwd must not kill the run after the
     // queries already completed — the stdout line below is the record
@@ -146,7 +209,7 @@ object Bench {
     // truncation is the map's tail plus the complete headline fields —
     // metric/value/sf stay readable in the captured artifact.
     // BENCH_FULL.json remains the authoritative full-precision record.
-    println(s"""{"queries":$qJson$errField,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qJson$errField,"metric":"total","value":${f3(total)},"unit":"sec",${calibJson.map(_ + ",").getOrElse("")}"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.nonEmpty)) sys.exit(1)
   }

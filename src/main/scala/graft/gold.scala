@@ -310,12 +310,14 @@ object Gold {
       iters: Int = 5): DataFrame =
     productRankFrom(copurchasePairs(orders, lineitem), k, iters)
 
-  def productRankFrom(cp: DataFrame, k: Int = 50, iters: Int = 5): DataFrame = {
+  def productRankFrom(cp: DataFrame, k: Int = 50, iters: Int = 5,
+      roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
     val edges = cp.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(cp.select(col("p").as("src"), col("c").as("dst")))
     // preDeduped: cp is distinct and the parity encoding makes the two
     // union branches disjoint (even->odd vs odd->even src)
-    Graph.pageRank(edges, iters, bothDirectionsEmitted = true, preDeduped = true)
+    Graph.pageRank(edges, iters, bothDirectionsEmitted = true,
+        preDeduped = true, roundProbe = roundProbe)
       .filter(pmod(col("id"), lit(2)) === 1)
       .select(((col("id") - 1) / 2).cast("long").as("p_partkey"),
         round(col("rank"), 9).as("rank"))

@@ -127,18 +127,21 @@ object Graph {
     * 3-digit stability) is predictable, which a 100 TB scheduler wants. */
   def pageRank(edges: DataFrame, iters: Int = 10,
       damping: Double = 0.85, bothDirectionsEmitted: Boolean = false,
-      preDeduped: Boolean = false): DataFrame = {
+      preDeduped: Boolean = false,
+      // test probe: sees each round's rank frame BEFORE localCheckpoint
+      // materializes it — PlanShapeSpec pins the per-round plan
+      // (broadcast regime: zero exchanges) against regression, which
+      // the final plan can't show because the checkpoint severs lineage
+      roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
     val cast = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    // hash-partition the edge frame on src — the distribution every
-    // round's contribution join and the degree aggregate both require —
-    // and let localCheckpoint's LogicalRDD carry that partitioning into
-    // the loop: the 2|E| frame is exchanged once HERE, not per round.
-    // distinct() alone (the previous shape) partitioned on (src, dst) —
-    // the right balance but the wrong key, so every round re-shuffled
-    // the full edge set. Callers whose construction already guarantees
-    // uniqueness (productRank's parity-encoded bipartite expansion) skip
-    // the dedup pass entirely via preDeduped.
+    // Checkpoint the (deduped) edge frame once; the loop-load-bearing
+    // layout — hash on the round key — is pinned further down on `ew`,
+    // where the degree-joined frame is explicitly repartitioned and the
+    // layout re-declared across the checkpoint. Callers whose
+    // construction already guarantees uniqueness (productRank's
+    // parity-encoded bipartite expansion) skip the dedup pass entirely
+    // via preDeduped.
     val e = (if (preDeduped) cast else cast.distinct())
       .localCheckpoint()
     // |V|-grain frames first: degree (partial agg collapses each task to
@@ -176,16 +179,24 @@ object Graph {
     // Broadcast regime: the rank join needs NO edge-side distribution
     // (the ranks are the broadcast side), so the one distribution a
     // round does need — the contribution sum's hash(dst) — is paid HERE,
-    // once, and localCheckpoint's LogicalRDD carries it into every
-    // round: the per-round plan is then a single exchange-free stage
+    // once: the per-round plan is then a single exchange-free stage
     // (scan ⋈ broadcast → project → partial+final agg on the pinned
     // hash(dst) layout). Shuffle regime keeps hash(src), which the
-    // per-round shuffle join requires instead.
-    val ew =
+    // per-round shuffle join requires instead. Two subtleties make the
+    // pin REAL rather than aspirational (PlanShapeSpec gates it):
+    // under AQE, localCheckpoint drops the physical plan's output
+    // partitioning (measured on 4.1.2 — the LogicalRDD comes back with
+    // UnknownPartitioning), so the layout is re-declared on the severed
+    // plan via Bridge.declareHashPartitioning; and the repartition uses
+    // an EXPLICIT partition count, which AQE never coalesces, so the
+    // declared hash(key) % n layout is exactly true of the RDD.
+    val nPart = cast.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ewKey = if (broadcastRanks) "dst" else "src"
+    val ew = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
       (if (broadcastRanks)
-         e.join(broadcast(outDeg), Seq("src")).repartition(col("dst"))
-       else e.repartition(col("src")).join(outDeg, Seq("src")))
-      .localCheckpoint()
+         e.join(broadcast(outDeg), Seq("src")).repartition(nPart, col("dst"))
+       else e.repartition(nPart, col("src")).join(outDeg, Seq("src")))
+      .localCheckpoint(), Seq(ewKey), nPart)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val rk = if (broadcastRanks) broadcast(ranks) else ranks
@@ -201,11 +212,12 @@ object Graph {
       val kept =
         if (bothDirectionsEmitted) contribs
         else nodes.join(contribs, Seq("id"), "left")
-      ranks = kept
+      val next = kept
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      roundProbe(next)
+      ranks = next.localCheckpoint()
     }
     ranks.orderBy(desc("rank"), col("id"))
   }
@@ -235,10 +247,15 @@ object Graph {
     // shuffle regime needs hash(a) for its frontier shuffle join
     // instead; that copy is built lazily IF the walk ever crosses the
     // gate, one extra exchange paid once at a scale where it vanishes.
-    val eB = edges
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .repartition(col("b"))
-      .localCheckpoint()
+    // explicit-N repartition + re-declared layout across the checkpoint:
+    // see pageRank's ew (AQE drops LogicalRDD partitioning otherwise and
+    // every round would re-shuffle the neighbor frame)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eB = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
+      edges
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+        .repartition(nPart, col("b"))
+        .localCheckpoint(), Seq("b"), nPart)
     var eA: DataFrame = null
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
@@ -254,7 +271,8 @@ object Graph {
       val small = reached <= 4000000L
       val fr = if (small) broadcast(frontier) else frontier
       if (!small && eA == null)
-        eA = eB.repartition(col("a")).localCheckpoint()
+        eA = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
+          eB.repartition(nPart, col("a")).localCheckpoint(), Seq("a"), nPart)
       val e = if (small) eB else eA
       // anti-join BEFORE distinct: the visited filter is map-side (under
       // the broadcast gate) while distinct is the round's one shuffle —
@@ -295,10 +313,16 @@ object Graph {
     * accreting lineage as in the other iterative operators. Weights are
     * integer counts, so the argmax is exact — no float accumulation. */
   def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
-    val sym = edges
-      .select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
+    // pinned hash(dst): every round's label join exchanges only the
+    // |V|-row label frame, never the 2|E| symmetric edge list (explicit
+    // N + re-declared layout across the checkpoint — see pageRank's ew)
+    val nPart = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
+      edges
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(nPart, col("dst"))
+        .localCheckpoint(), Seq("dst"), nPart)
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint()

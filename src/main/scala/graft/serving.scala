@@ -843,11 +843,28 @@ object Serving {
     * corpus is scanned exactly once however fine the slide. This is
     * also the incremental form: persist the hour sketches and a late
     * hour re-union 6 rows, not 6 hours of events. Rows-only gate +
-    * StreamsSpec error bound against the exact tier. */
+    * StreamsSpec error bound against the exact tier.
+    *
+    * lgConfigK is 20, not the default 12, and that choice is
+    * load-bearing for determinism: a DataSketches HLL sketch is an
+    * order-independent pure function of the data only while it stays
+    * in coupon (LIST/SET) mode — once promoted to dense HLL_4 the
+    * HIP estimator makes the VALUE insertion-order-sensitive
+    * (measured: 2.8% max delta across partition layouts at sf0.1
+    * under lgK=12, where ~650-user windows crossed the k/4=1024
+    * promotion threshold in the union). At lgK=20 promotion happens
+    * at 262144 coupons, so every realistic per-hour cardinality
+    * through the 10x scale soak stays exact and the digest golden
+    * pins (Digests.canon still rounds to 3 significant digits as the
+    * stated contract). Cost: a SET-mode sketch is ~4 B/coupon (a few
+    * KB per hour here); the dense worst case at true 100 TB
+    * cardinalities is 512 KB per hour-sketch x 24/day — noise — with
+    * ~0.1% RSE instead of lgK=12's ~1.6%. */
   def eventsSlidingUniquesApprox(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n_events"), hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_agg(col("user_id"), 20).as("sk"))
     hourly
       .select(explode(sequence(lit(0), lit(5))).as("off"),
         col("h"), col("n_events"), col("sk"))

@@ -50,4 +50,33 @@ object Bridge {
   /** Natural ascending ordering for an atomic column type. */
   def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** Re-declare the hash layout on a checkpointed frame. Under AQE,
+    * `Dataset.localCheckpoint` loses the physical plan's output
+    * partitioning (the LogicalRDD is built with UnknownPartitioning from
+    * the AdaptiveSparkPlanExec — measured on 4.1.2; with AQE off it is
+    * preserved), so every downstream consumer re-exchanges data that is
+    * already laid out correctly. Callers that just paid an EXPLICIT
+    * `repartition(n, key)` — a fixed-N layout AQE never coalesces, so
+    * the declaration is exactly true of the materialized RDD — use this
+    * to put the layout back on the severed plan. No-op on frames whose
+    * optimized plan is not a LogicalRDD. MUST only be called when the
+    * checkpointed RDD really is hash(keys) % n-laid-out: declaring a
+    * false layout silently mis-joins. */
+  def declareHashPartitioning(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], n: Int): org.apache.spark.sql.DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"declareHashPartitioning: no column $k in ${lr.output.map(_.name)}")))
+        // the curried second parameter list has no public accessors —
+        // re-supply the session and seed the copy with the original's
+        // (public) computed stats/constraints so estimates survive
+        dataFrame(df.sparkSession, lr.copy(outputPartitioning =
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, n))(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(lr.stats), Some(lr.constraints)))
+      case _ => df
+    }
 }

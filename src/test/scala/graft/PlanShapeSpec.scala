@@ -338,6 +338,81 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange rangepartitioning") >= 1, p)
   }
 
+  test("copurchase_triangles: oriented-wedge census — no cartesian, semi-join close, cached fan-out") {
+    // node-level census, stopping at cache boundaries: the plan STRING
+    // re-prints each InMemoryRelation's build plan, so substring counts
+    // would charge the (once-built) cache's exchanges to every consumer
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins._
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case s: InMemoryTableScanExec => Seq(s) // cache build runs once, not per consumer
+      case o => o +: (o.children.flatMap(nodes) ++ o.subqueries.flatMap(nodes))
+    }
+    val ns = nodes(SparkEntry.queries("copurchase_triangles")(spark, sf)
+      .queryExecution.executedPlan)
+    def n(f: SparkPlan => Boolean) = ns.count(f)
+    val census = ns.groupBy(_.getClass.getSimpleName).view.mapValues(_.size).toMap
+    // the wedge self-join and the closing check must stay equi-joins —
+    // a cartesian/nested-loop here is the deg² celebrity-node trap the
+    // degree orientation exists to prevent
+    assert(n(_.isInstanceOf[CartesianProductExec]) == 0, census)
+    assert(n(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 0, census)
+    // the close is a LEFT SEMI (no output amplification), exactly one
+    assert(n {
+      case j: SortMergeJoinExec => j.joinType.sql == "LEFT SEMI"
+      case j: ShuffledHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case _ => false
+    } == 1, census)
+    // the oriented frame is CacheOnce'd and consumed three times (both
+    // wedge sides + the close) — all three consumers must read the
+    // cache, not rebuild the edge frame (measured 3x the query cost
+    // when this regressed)
+    assert(n(_.isInstanceOf[InMemoryTableScanExec]) == 3, census)
+    // consumer-side shuffles only: wedge-join u-key, the semi's two
+    // (pair-key) sides, and the final count aggregate. The two wedge
+    // sides' u-exchanges are structurally IDENTICAL (same cache scan,
+    // same key) — AQE dedupes them into one reused stage at runtime,
+    // which the initial plan can't show, so the gate counts
+    // canonicalized-distinct exchanges: a refactor that breaks the
+    // x/y symmetry (killing the runtime reuse) pushes this to 5
+    val distinctEx = ns.collect {
+      case e: ShuffleExchangeExec => e.canonicalized }.distinct.size
+    assert(distinctEx <= 4, s"$distinctEx distinct exchanges; $census")
+  }
+
+  test("product_rank: broadcast-regime PageRank rounds are exchange-free single stages") {
+    // the final plan can't show the per-round shape (localCheckpoint
+    // severs lineage every round) — probe each round's frame instead.
+    // Broadcast regime (|V| <= 4M, always true at test SF): the rank
+    // join is map-side against the broadcast rank vector and the
+    // contribution sum lands on the hash(dst) layout pinned ONCE before
+    // the loop, so a round must plan ZERO exchanges — one stage per
+    // round. An exchange appearing here means the pinned-layout
+    // contract broke and every round pays a 2|E| shuffle at scale.
+    val cp = Gold.copurchasePairs(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    Gold.productRankFrom(cp, iters = 3,
+      roundProbe = df => plans += df.queryExecution.executedPlan.toString).collect()
+    assert(plans.size == 3)
+    for (p <- plans) {
+      // no DATA exchange: the hash layout declared across the checkpoint
+      // (Bridge.declareHashPartitioning) satisfies the contribution
+      // sum's distribution, so partial+final agg fuse into the scan
+      // stage; the one BroadcastExchange is the |V|-row rank vector
+      assert(count(p, "Exchange hashpartitioning") == 0, p)
+      assert(count(p, "Exchange rangepartitioning") == 0, p)
+      assert(count(p, "BroadcastExchange") == 1, p)
+      assert(count(p, "BroadcastHashJoin") == 1, p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
   test("merge_upsert: full-outer join rides the two aggregate exchanges, filters pushed") {
     val p = plan("merge_upsert")
     // one exchange per aggregated side; the key-unique full-outer join
