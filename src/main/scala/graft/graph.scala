@@ -230,11 +230,14 @@ object Graph {
     * — unlike the float power iteration — exactly oracle-checkable
     * (DuckDB reproduces it with a depth-bounded recursive CTE + min()).
     *
-    * Scale shape: edges are hash-partitioned on the probe key once and
-    * pinned via localCheckpoint (the pageRank discipline); each round
-    * shuffles only the frontier (≤ one BFS level) and the visited set,
-    * never re-exchanging the 2|E| frame. The per-round `count()` action
-    * is the termination probe — one scalar per level, the price of a
+    * Scale shape: in the broadcast regime (frontier + visited under the
+    * 4M gate) the edge frame is read but never exchanged per round —
+    * the frontier join and visited anti-join are map-side, and the one
+    * per-round shuffle is the neighbor distinct over the
+    * frontier-incident slice (≤ one BFS level of edges, small by
+    * construction). Past the gate, a hash(a) copy of the edges is built
+    * once for the shuffle join. The per-round `count()` action is the
+    * termination probe — one scalar per level, the price of a
     * data-dependent loop. */
   def bfsDistances(edges: DataFrame, source: Long, maxDepth: Int = 10): DataFrame = {
     val spark = edges.sparkSession
@@ -247,15 +250,19 @@ object Graph {
     // shuffle regime needs hash(a) for its frontier shuffle join
     // instead; that copy is built lazily IF the walk ever crosses the
     // gate, one extra exchange paid once at a scale where it vanishes.
-    // explicit-N repartition + re-declared layout across the checkpoint:
-    // see pageRank's ew (AQE drops LogicalRDD partitioning otherwise and
-    // every round would re-shuffle the neighbor frame)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val eB = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
-      edges
-        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-        .repartition(nPart, col("b"))
-        .localCheckpoint(), Seq("b"), nPart)
+    // NOT layout-pinned across the checkpoint (unlike pageRank's ew /
+    // labelPropagation's sym): in the broadcast regime the frontier
+    // join is map-side, so the edge frame is never exchanged per round
+    // regardless — the only per-round shuffle is the neighbor distinct,
+    // whose input is the frontier-incident slice (small by
+    // construction), and letting AQE coalesce those tiny exchanges
+    // beats a declared fixed-N layout (measured +77% wall at sf0.1 when
+    // the pin forced 32-partition granularity onto every round's
+    // frontier frames, r16)
+    val eB = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .repartition(col("b"))
+      .localCheckpoint()
     var eA: DataFrame = null
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
     var frontier = dist
@@ -271,8 +278,7 @@ object Graph {
       val small = reached <= 4000000L
       val fr = if (small) broadcast(frontier) else frontier
       if (!small && eA == null)
-        eA = org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
-          eB.repartition(nPart, col("a")).localCheckpoint(), Seq("a"), nPart)
+        eA = eB.repartition(col("a")).localCheckpoint()
       val e = if (small) eB else eA
       // anti-join BEFORE distinct: the visited filter is map-side (under
       // the broadcast gate) while distinct is the round's one shuffle —
