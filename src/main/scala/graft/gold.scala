@@ -832,12 +832,16 @@ object Gold {
       .agg(count(lit(1)).as("n"),
         sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
         sum(d38(col("z"))).as("sz"),
-        sum(d38(col("x") * col("x"))).as("sxx"),
-        sum(d38(col("y") * col("y"))).as("syy"),
-        sum(d38(col("z") * col("z"))).as("szz"),
-        sum(d38(col("x") * col("y"))).as("sxy"),
-        sum(d38(col("x") * col("z"))).as("sxz"),
-        sum(d38(col("y") * col("z"))).as("syz"))
+        // products in DECIMAL, not long: y is per-client cents — a
+        // whale client's y² passes Long.Max (the spendTrend overflow
+        // class, caught at sf1 by the r16 scale soak); x/z are small
+        // but kept uniform
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"),
+        sum(d38(col("z")) * d38(col("z"))).as("szz"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x")) * d38(col("z"))).as("sxz"),
+        sum(d38(col("y")) * d38(col("z"))).as("syz"))
     def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
       def dbl(c: String) = col(c).cast("double")
       // a constant feature zeroes its moment delta — correlation is
@@ -1090,7 +1094,11 @@ object Gold {
     val r = deg.join(intra, Seq("c"), "left")
       .na.fill(0L, Seq("win"))
       .agg(sum("win").as("a"),
-        sum((col("d") * col("d")).cast("decimal(38,0)")).as("b"),
+        // d is a per-COMMUNITY weighted degree (can approach 2|E|), so
+        // the square multiplies in decimal — the spendTrend long-
+        // overflow class caught by the r16 scale soak
+        sum(col("d").cast("decimal(38,0)") *
+          col("d").cast("decimal(38,0)")).as("b"),
         sum("d").as("d2")) // Σ_c d_c = 2m exactly (each edge adds w twice)
       .head()
     val nC = labels.select("label").distinct().count()

@@ -100,9 +100,14 @@ object Serving {
         Tables.cents(col("ca")).as("y"))
       .agg(count(lit(1)).as("n"),
         sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
-        sum(d38(col("x") * col("x"))).as("sxx"),
-        sum(d38(col("y") * col("y"))).as("syy"),
-        sum(d38(col("x") * col("y"))).as("sxy"))
+        // multiply in DECIMAL, not long: y is a DAILY cents aggregate,
+        // unbounded with scale — at sf1 (10x) y² already passes
+        // Long.Max and ANSI throws ARITHMETIC_OVERFLOW (caught by the
+        // r16 full-registry scale soak). Same exact integers, wider
+        // intermediate.
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"))
       .select({
         // nullif guards: a single-day series (n=1 ⇒ Σx² = (Σx)² = 0) or
         // a constant-revenue series (n·Σy² = (Σy)²) zeroes a moment
