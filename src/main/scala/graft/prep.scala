@@ -311,54 +311,53 @@ object Prep {
     * the oracle can replay it as an ordered recurrence and re-runs are
     * byte-identical regardless of cluster layout.
     *
-    * Scale shape: one shuffle (groupBy grp) of manifest-width rows; each
-    * group folds its chunk list in memory, so `groups` is the
-    * parallelism AND memory knob — size it so a group's manifest
-    * (~40 B/chunk) fits a task comfortably (at 100 TB / ~3G chunks,
-    * groups ≈ 50k gives ~2.5 MB/group). The fold appends to the
-    * accumulator array (O(k²) element copies per group of k chunks) —
-    * fine for the bounded group sizes the knob guarantees. */
+    * Scale shape: one shuffle (repartition on grp) of manifest-width
+    * rows, an EXTERNAL sort within partitions (spillable — no group is
+    * ever materialized in memory), and a LINEAR per-partition fold via
+    * mapPartitions: next-fit is a sequential recurrence over the sorted
+    * stream, exactly the "genuine per-partition imperative logic" case
+    * mapPartitions exists for. An earlier shape collected each group
+    * into an array and folded with the `aggregate` HOF, whose
+    * append-to-accumulator is O(k²) element copies per group of k
+    * chunks — the r16 full-registry 10x soak measured it 43.9x for 10x
+    * data (the worst query in the suite); the streaming fold is O(k)
+    * and soaks linear. `groups` remains the parallelism knob (streams
+    * stay independent and the grp hash feeds the oracle's replay), but
+    * it no longer bounds task MEMORY — only sort-run sizes, which
+    * spill. */
   def packSequences(documents: DataFrame, seqTokens: Int = 64,
       groups: Int = 8, chunkTokens: Int = 32, stride: Int = 24,
       seed: Long = 17L): DataFrame = {
     require(seqTokens >= chunkTokens,
       s"seqTokens=$seqTokens must fit a whole chunk of $chunkTokens")
-    val B = lit(seqTokens.toLong)
+    val spark = documents.sparkSession
+    import spark.implicits._
     val h = pmod((col("doc_id") + lit(seed)) * lit(KnuthC), lit(M32))
-    val grouped = chunkFrame(documents, chunkTokens, stride)
+    val budget = seqTokens.toLong
+    // (grp | h, doc_id, chunk_idx) order == the oracle's ORDER BY; a
+    // document's chunks stay contiguous and whole within a stream
+    chunkFrame(documents, chunkTokens, stride)
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), h.as("h"))
       .withColumn("grp",
         floor(col("h") * lit(groups.toLong) / lit(M32)).cast("long"))
-      .groupBy("grp")
-      // lexicographic struct sort == oracle's ORDER BY h, doc_id, chunk_idx
-      .agg(sort_array(collect_list(struct(
-        col("h"), col("doc_id"), col("chunk_idx"), col("n_tokens"))))
-        .as("chunks"))
-    val outType = "array<struct<doc_id:bigint,chunk_idx:bigint," +
-      "n_tokens:bigint,seq_id:bigint,tok_offset:bigint>>"
-    val zero = struct(lit(0L).as("seq"), lit(0L).as("fill"),
-      array().cast(outType).as("out"))
-    val folded = aggregate(
-      col("chunks"), zero,
-      (acc: Column, c: Column) => {
-        val n = c.getField("n_tokens")
-        val over = acc.getField("fill") + n > B
-        val seq = when(over, acc.getField("seq") + 1L)
-          .otherwise(acc.getField("seq"))
-        val fill = when(over, n).otherwise(acc.getField("fill") + n)
-        struct(seq.as("seq"), fill.as("fill"),
-          concat(acc.getField("out"), array(struct(
-            c.getField("doc_id").as("doc_id"),
-            c.getField("chunk_idx").as("chunk_idx"),
-            n.as("n_tokens"),
-            seq.as("seq_id"),
-            (fill - n).as("tok_offset")))).as("out"))
-      },
-      acc => acc.getField("out"))
-    grouped
-      .select(col("grp"), explode(folded).as("a"))
-      .select(col("grp"), col("a.seq_id"), col("a.doc_id"),
-        col("a.chunk_idx"), col("a.n_tokens"), col("a.tok_offset"))
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "h", "doc_id", "chunk_idx")
+      .select(col("grp"), col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        // several whole groups may share a partition (hash routing);
+        // the recurrence resets at each grp boundary
+        var curGrp = -1L
+        var seq = 0L
+        var fill = 0L
+        it.map { case (grp, docId, chunkIdx, n) =>
+          if (grp != curGrp) { curGrp = grp; seq = 0L; fill = 0L }
+          if (fill + n > budget) { seq += 1L; fill = n }
+          else fill += n
+          (grp, seq, docId, chunkIdx, n, fill - n)
+        }
+      }
+      .toDF("grp", "seq_id", "doc_id", "chunk_idx", "n_tokens", "tok_offset")
       .orderBy("grp", "seq_id", "tok_offset")
   }
 }
