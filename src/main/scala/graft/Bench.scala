@@ -149,14 +149,30 @@ object Bench {
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("tools/bench_context.json")), "UTF-8")
+        // Parsing contract (ADVICE r16 low): the file is MACHINE-written
+        // by tools/bench_context.py as json.dump(indent=1) — every key
+        // starts its own line. Anchoring at line start makes substring
+        // hits inside string values (the `note` mentions prev_total_sec)
+        // unmatchable, so key order / added prose can't bind the wrong
+        // value into the committed artifact.
         def num(k: String): Option[Double] =
-          ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
+          ("(?m)^\\s*\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
         def str(k: String): Option[String] =
-          ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
+          ("(?m)^\\s*\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
             .findFirstMatchIn(txt).map(_.group(1))
+        // Conf gate (ADVICE r16 low): vs_prev against the prev DEFAULT-
+        // conf total is only a meaningful headline when this run's
+        // session conf matches the conf the context was recorded under.
+        // The context records the prev run's cpus/minPartitionSize; a
+        // context written before conf was recorded falls back to
+        // requiring that no env override is in force here.
+        val confOverridden = sys.env.contains("SPARK_GRAFT_CPUS") ||
+          sys.env.contains("SPARK_GRAFT_MINPART")
         for {
           ctxSf <- str("sf") if ctxSf == sfDir
+          if str("cpus").map(_ == cpus).getOrElse(!confOverridden)
+          if str("minPartitionSize").map(_ == minPart).getOrElse(!confOverridden)
           prevTotal <- num("prev_total_sec") if prevTotal > 0
           prev = str("prev").getOrElse("prev")
         } yield {

@@ -649,6 +649,23 @@ object Streams extends Serializable {
     // same rows is naturally idempotent.)
     if (batchId >= 0) {
       val st = readManifestState(sinkDir)
+      // Upgrade guard (ADVICE r16 medium): a manifest written before the
+      // round-15→16 id-format break carries a legacy `ckpt<8-hex>` mark
+      // (32-bit hashCode; current ids are ckpt + 16-hex SHA-256 pathTag).
+      // Under the lineage-mismatch rule that mark can never match the new
+      // id, so the first redelivered batch would silently re-merge and
+      // double-count its sums. Refuse loudly instead: the sink must be
+      // rebuilt from source (or its #run mark cleared AND the stream
+      // checkpoint discarded together — clearing only the mark while the
+      // checkpoint survives reintroduces exactly the double-count).
+      if (isLegacyRunId(st.lastRun))
+        throw new IllegalStateException(
+          s"$sinkDir: manifest carries a pre-upgrade lineage mark " +
+            s"'${st.lastRun}' (legacy ckpt<8-hex-hashCode> format). " +
+            "Refusing to merge: a redelivered batch under the new id " +
+            "format would double-count. Rebuild the sink from source, or " +
+            "clear the manifest's #run mark together with the stream " +
+            "checkpoint (see CHANGELOG, round 16 BREAKING note).")
       if (st.lastRun == runId && st.lastBatch >= batchId) return
     }
     upsertCommit(sinkDir,
@@ -680,6 +697,14 @@ object Streams extends Serializable {
       case Some(c) => "ckpt" + Tables.pathTag(new java.io.File(c).getAbsolutePath)
       case None => s"tmp${writerToken}_${commitSeq.incrementAndGet()}"
     }
+
+  /** True iff a persisted lineage mark is in the pre-round-16 format:
+    * `ckpt` + exactly 8 lowercase-hex chars (the 32-bit hashCode id).
+    * Current checkpoint ids are `ckpt` + 16 hex (SHA-256 pathTag) and
+    * temp ids start with `tmp`, so the match is unambiguous. */
+  private[graft] def isLegacyRunId(id: String): Boolean =
+    id.length == 12 && id.startsWith("ckpt") &&
+      id.drop(4).forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
 
   /** Stage one partial merge: write the merged table as the next
     * generation in the store and return the staged one-entry manifest

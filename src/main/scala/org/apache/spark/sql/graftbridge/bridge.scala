@@ -77,6 +77,17 @@ object Bridge {
           org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, n))(
           df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
           Some(lr.stats), Some(lr.constraints)))
-      case _ => df
+      case other =>
+        // ADVICE r16: a SILENT no-op here would let a Spark upgrade that
+        // changes the checkpoint plan shape quietly drop the pin and
+        // reintroduce the per-consumer re-exchange (visible only when
+        // PlanShapeSpec runs). Warn loudly so a pin loss shows up in any
+        // run's logs, not just the plan-shape tests.
+        System.err.println(
+          s"[graft] declareHashPartitioning: expected a LogicalRDD after " +
+            s"localCheckpoint but saw ${other.getClass.getSimpleName}; " +
+            s"partitioning pin on keys=${keys.mkString(",")} DROPPED — " +
+            "downstream consumers will re-exchange (plan-shape regression)")
+        df
     }
 }

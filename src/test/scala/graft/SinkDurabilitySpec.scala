@@ -419,6 +419,31 @@ class SinkDurabilitySpec extends SparkSpec {
     Streams.deleteRec(new java.io.File(sink))
   }
 
+  test("a pre-upgrade ckpt<8-hex> lineage mark fails fast instead of double-counting the redelivered batch") {
+    val sink = tmp("graft_legacyid")
+    // seed a sink whose manifest carries the legacy 32-bit-hashCode id
+    // format (round <=15 wrote ckpt + 8 hex chars)
+    Streams.mergeKeyedPartial(spark, sink, Seq("mois"), Seq("ca_cents"), 3L,
+      "ckptdeadbeef")(months("m" -> 5L))
+    assert(mergeSnap(sink) == Map("m" -> 5L))
+    // the first post-upgrade run derives a 16-hex SHA-256 id; under the
+    // plain lineage-mismatch rule its redelivered batch would re-merge
+    // and double-count — the guard must refuse with the rebuild hint
+    val ex = intercept[IllegalStateException] {
+      Streams.mergeKeyedPartial(spark, sink, Seq("mois"), Seq("ca_cents"), 3L,
+        Streams.runIdFor(Some(s"$sink-ckpt")))(months("m" -> 5L))
+    }
+    assert(ex.getMessage.contains("pre-upgrade"))
+    assert(mergeSnap(sink) == Map("m" -> 5L)) // nothing merged
+    // format discrimination: current ids and temp ids never trip it
+    assert(Streams.isLegacyRunId("ckptdeadbeef"))
+    assert(!Streams.isLegacyRunId(Streams.runIdFor(Some(s"$sink-ckpt"))))
+    assert(!Streams.isLegacyRunId(Streams.runIdFor(None)))
+    assert(!Streams.isLegacyRunId(""))
+    assert(!Streams.isLegacyRunId("ckptDEADBEEF")) // legacy wrote lowercase hex
+    Streams.deleteRec(new java.io.File(sink))
+  }
+
   test("mixed-sink coexistence endurance: four sibling sinks, 20 interleaved rounds, no cross-contamination") {
     val root = tmp("graft_multi")
     val upsertSink = s"$root/upsert"

@@ -30,6 +30,11 @@ shown = subprocess.run(["git", "show", f"{prev_full}:BENCH_FULL.json"],
 if shown.returncode != 0:
     sys.exit(f"[bench_context] no BENCH_FULL.json at {prev_full[:12]}")
 prev_artifact = json.loads(shown.stdout)
+prev_conf = prev_artifact.get("conf", {})
+if prev_conf.get("queryFilter") is not None:
+    sys.exit("[bench_context] prev BENCH_FULL.json was a FILTERED run "
+             f"(queryFilter={prev_conf['queryFilter']!r}) — its total is "
+             "not a full-suite baseline; pick a full-registry round")
 
 calib = json.load(open("CALIBRATION.json"))
 if calib.get("prev_commit") != prev_full:
@@ -42,10 +47,18 @@ if not drift:
     print("[bench_context] WARNING: no temporal drift estimate in "
           "CALIBRATION.json; context will carry the raw ratio only")
 
+# OUTPUT CONTRACT (consumed by graft.Bench with line-anchored regexes):
+# flat-ish JSON via json.dump(indent=1) — every key starts its own line;
+# no key name may be duplicated at a different nesting level. Bench gates
+# the calib stamp on sf + conf.cpus + conf.minPartitionSize matching its
+# own session, so an env-overridden probe run never stamps a vs_prev
+# headline against the default-conf baseline.
 out = {
     "prev": f"round commit {prev_full[:12]}",
     "prev_total_sec": round(prev_artifact["value"], 3),
     "sf": prev_artifact.get("sf", "/root/testdata/sf0.1"),
+    "conf": {"cpus": prev_conf.get("cpus", "32"),
+             "minPartitionSize": prev_conf.get("minPartitionSize", "16k")},
     "temporal_drift_median": drift,
     "drift_estimator": ("artifact_median_query_ratio"
                         if calib.get("artifact_median_query_ratio")

@@ -40,6 +40,12 @@ FLAG_RATIO = 15.0
 # 5 s); a 0.03 -> 0.6 s scheduling blip does not. Rows above FLAG_RATIO
 # but under the floor are still recorded (noise_band) for eyeballs.
 ABS_FLOOR_SEC = 2.0
+# ADVICE r16: the floor alone would let a genuinely super-linear cheap
+# query (0.01 s -> 1.5 s = 150x) hide in noise_band forever. Every
+# noise_band query is RE-TIMED (a filtered min-of-3 bench at both SFs);
+# a ratio that survives the retime flags if it either crosses the floor
+# or exceeds this extreme bound even below it.
+EXTREME_RATIO = 50.0
 
 
 def run(cmd, **kw):
@@ -51,9 +57,12 @@ def run(cmd, **kw):
     return r
 
 
-def bench(sf_dir):
+def bench(sf_dir, names=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    env.pop("SPARK_GRAFT_QUERIES", None)  # full registry
+    if names:
+        env["SPARK_GRAFT_QUERIES"] = ",".join(names)
+    else:
+        env.pop("SPARK_GRAFT_QUERIES", None)  # full registry
     # Bench rewrites BENCH_FULL.json in cwd — save/restore (the committed
     # artifact must stay the full-sweep record)
     saved = open("BENCH_FULL.json", "rb").read() \
@@ -91,6 +100,25 @@ flagged = sorted(q for q, r in ratios.items()
 noise_band = sorted(q for q, r in ratios.items()
                     if r is not None and r > FLAG_RATIO
                     and big[q] < ABS_FLOOR_SEC)
+# Retime pass (ADVICE r16): noise_band must be EARNED, not assumed — each
+# sub-floor suspect is re-benched in isolation at both SFs; a ratio that
+# survives the retime flags when it crosses the floor, or exceeds
+# EXTREME_RATIO even below it (a 150x blip twice in a row is a defect).
+retimed = {}
+if noise_band:
+    print(f"[scale_soak] retiming {len(noise_band)} noise_band "
+          f"queries: {noise_band}", flush=True)
+    rb = bench(SF01, noise_band)
+    rg = bench(SF1, noise_band)
+    for q in noise_band:
+        if q in rb and q in rg and rb[q] > 0:
+            retimed[q] = {"sf0.1": round(rb[q], 3), "sf1": round(rg[q], 3),
+                          "ratio": round(rg[q] / rb[q], 2)}
+confirmed = sorted(q for q, r in retimed.items()
+                   if r["ratio"] > FLAG_RATIO and
+                   (r["sf1"] >= ABS_FLOOR_SEC or r["ratio"] > EXTREME_RATIO))
+flagged = sorted(set(flagged) | set(confirmed))
+noise_band = sorted(set(noise_band) - set(confirmed))
 head = run(["git", "rev-parse", "HEAD"]).stdout.strip()
 out = {
     "metric": "scale_soak_sf0.1_to_sf1",
@@ -100,6 +128,7 @@ out = {
     "data_growth": R,
     "flag_ratio": FLAG_RATIO,
     "abs_floor_sec": ABS_FLOOR_SEC,
+    "extreme_ratio": EXTREME_RATIO,
     "coverage": f"full registry ({len(queries)} queries)",
     "excluded_one_sided": only_one,
     "construction": f"sf1 = {R} statistically-identical shards of sf0.1 "
@@ -112,7 +141,10 @@ out = {
         "noise band (see CALIBRATION.json). flagged = ratio > flag_ratio "
         "AND sf1 >= abs_floor_sec (sub-floor fixed-cost scheduling blips "
         "on cheap queries go to noise_band instead — any genuinely "
-        "quadratic query crosses the floor trivially at 10x)",
+        "quadratic query crosses the floor trivially at 10x). Every "
+        "noise_band suspect is retimed in isolation (min-of-3 at both "
+        "SFs); a surviving ratio flags when it crosses the floor or "
+        "exceeds extreme_ratio even below it",
     "queries": {q: {"sf0.1": round(base[q], 3), "sf1": round(big[q], 3),
                     "ratio": ratios[q]} for q in queries},
     "total": {"sf0.1": round(sum(base[q] for q in queries), 3),
@@ -121,6 +153,7 @@ out = {
                              sum(base[q] for q in queries), 2)},
     "flagged_superlinear": flagged,
     "noise_band": noise_band,
+    "noise_band_retimes": retimed,
 }
 with open("BENCH_SCALE.json", "w") as f:
     json.dump(out, f, indent=1)
