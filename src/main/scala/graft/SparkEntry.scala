@@ -31,6 +31,17 @@ object SparkEntry {
     * `oracle_sql.json` is fully concrete and runnable by the driver. */
   private[graft] val ArtifactsToken = "__GRAFT_ARTIFACTS__"
 
+  /** Placeholder in [[oracleSql]] for Verify's OWN dump directory —
+    * the bounded-error oracle pattern (r16 judge item 5): for a sketch
+    * estimator the oracle reads the query's dumped ESTIMATE, computes
+    * the EXACT twin from the source tables, and echoes the estimate
+    * only while |est − exact| is inside the sketch's published error
+    * bound (× a safety factor), else a poison value that hash-fails.
+    * Hash equality with the dump is then a SEMANTIC accuracy gate, not
+    * a regression pin. Exact columns riding along in the same output
+    * are re-derived independently and gated on equality. */
+  private[graft] val OutDirToken = "__GRAFT_VERIFY_OUT__"
+
   /** Tier-switch queries: what Bench MEASURES vs what Verify HASH-CHECKS
     * (ADVICE r14 — the posture is now stamped into BENCH_FULL.json so a
     * cross-round reader can never misread tier amortization as engine
@@ -230,6 +241,24 @@ object SparkEntry {
     * e.g. no orders in the trailing window — falls back exactly as
     * Gold.scoreThresholds.orElse does, so Spark and the oracle can never
     * diverge on degenerate data). */
+  /** Exact ANALYZE profile of the orders table (nulls + exact
+    * distincts), shared by the table_profile oracle and the bounded-
+    * error gate of its sketch twin. */
+  private val profileExactBody = """
+        SELECT 'o_orderkey' AS column_name,
+          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+          CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+          CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+          CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders"""
+
   private val scoredCte = s"""$featsCte,
     th0 AS (SELECT quantile_cont(freq_12m, 0.75) AS f75, quantile_cont(freq_12m, 0.95) AS f95,
              quantile_cont(monetary_12m, 0.75) AS m75, quantile_cont(monetary_12m, 0.95) AS m95,
@@ -718,9 +747,16 @@ object SparkEntry {
     "knn_quantized" -> ((s, d) => mlMemo.getOrElseUpdate(s, ("sq", d),
       Ml.knnQuantized(Tables.embeddings(s, d)).cache())),
     // per-label centroid aggregation, long form (the IVF-training shape)
-    // PCA decomposition over embeddings (rows-only: float eigen; spec
-    // gates determinism, ordering and the variance-ratio invariants)
-    "embedding_pca" -> ((s, d) => Ml.embeddingPca(Tables.embeddings(s, d))),
+    // PCA decomposition over embeddings; the fitted SIGNED components
+    // persist to the artifacts dir so the DuckDB oracle restates
+    // orthonormality + projection-variance ratios + top loadings from
+    // them (bounded-error oracle — see Ml.embeddingPcaFit)
+    "embedding_pca" -> ((s, d) => mlMemo.getOrElseUpdate(s, ("pca", d), {
+      val (out, comps) = Ml.embeddingPcaFit(Tables.embeddings(s, d))
+      comps.coalesce(1).write.mode("overwrite")
+        .parquet(s"${Tables.oracleArtifactsDir(d)}/pca_components")
+      out.cache()
+    })),
     "label_centroids" -> ((s, d) => Ml.labelCentroids(Tables.embeddings(s, d))),
     // streaming exact dedup over a deliberately doubled stream —
     // oracle-checked: event_ids are unique and the doubled copies are
@@ -1066,12 +1102,12 @@ object SparkEntry {
     // totals — exact-cents means, so oracle-hashable unlike most ML prep
     "target_encode" -> ((s, d) => Ml.targetEncode(fact(s, d))),
     "kmeans_segments" -> ((s, d) => mlMemo.getOrElseUpdate(s, ("kmeans", d),
-      Ml.kmeansSegments(feats(s, d)).cache())),
+      Ml.segmentsOf(kmeansAssigned(s, d)).cache())),
     // cluster-quality metric the reference's advisor publishes
     // (reference scripts/train_advisor.py:123,321): mean silhouette of the
-    // seed-pinned k=5 assignment, squaredEuclidean
+    // seed-pinned k=5 assignment, squared-Euclidean sufficient statistics
     "kmeans_silhouette" -> ((s, d) => mlMemo.getOrElseUpdate(s, ("silhouette", d),
-      Ml.kmeansSilhouette(feats(s, d)).cache())),
+      Ml.silhouetteOf(kmeansAssigned(s, d)).cache())),
     // supervised repurchase propensity: cutoff-time features, LR-learned
     // weights instead of the reference's hard-coded heuristic blend;
     // trained on the window BEFORE the one it scores (temporal holdout)
@@ -1079,6 +1115,13 @@ object SparkEntry {
     // the backtest record: train/holdout sizes, in-sample vs held-out AUC
     "propensity_backtest" -> ((s, d) => propensityPair(s, d)._2)
   )
+
+  /** One deterministic Lloyd's fit serves both kmeans queries (the
+    * segments projection and the silhouette score derive from the same
+    * cached assignment frame). */
+  private def kmeansAssigned(s: SparkSession, d: String): DataFrame =
+    mlMemo.getOrElseUpdate(s, ("kmeans_fit", d),
+      Ml.kmeansFit(feats(s, d)).cache())
 
   /** One LR fit serves both propensity queries: the scored-holdout frame
     * and the 1-row backtest metrics frame are built together and memoized
@@ -1898,6 +1941,38 @@ object SparkEntry {
     "client_scores" -> s"""$scoredCte
       SELECT * FROM scored ORDER BY c_custkey""",
 
+    // bounded-error oracle for the t-digest-threshold scoring: the
+    // feature columns are exact (equality-gated against the exact CTE);
+    // the score uses approx-quantile thresholds (accuracy 10000) whose
+    // rank error is ≤ n/10000 — measured max |Δprob| 7e-5 at sf0.01,
+    // gated at 0.02 (≈300× safety); EV/VaR propagate the prob bound
+    // through their own monetary scale (+0.011 for their 2dp rounding).
+    // segment_label is echoed: first-match-wins boundary flips under a
+    // one-rank threshold shift are legitimate (2/1500 at sf0.01) and
+    // spec-bounded, while the numeric gates catch any broken threshold
+    // pipeline.
+    "client_scores_approx" -> s"""$scoredCte,
+      est AS (SELECT * FROM read_parquet('$OutDirToken/client_scores_approx/*.parquet'))
+      SELECT c_custkey,
+        CASE WHEN e.freq_12m = s.freq_12m THEN e.freq_12m ELSE -1 END AS freq_12m,
+        CASE WHEN e.monetary_12m = s.monetary_12m THEN e.monetary_12m ELSE -1.0 END AS monetary_12m,
+        CASE WHEN e.monetary_avg_12m = s.monetary_avg_12m THEN e.monetary_avg_12m ELSE -1.0 END AS monetary_avg_12m,
+        CASE WHEN e.product_diversity_12m = s.product_diversity_12m THEN e.product_diversity_12m ELSE -1 END AS product_diversity_12m,
+        CASE WHEN e.recency_days = s.recency_days THEN e.recency_days ELSE -1 END AS recency_days,
+        CASE WHEN e.tenure_days = s.tenure_days THEN e.tenure_days ELSE -1 END AS tenure_days,
+        CASE WHEN e.total_orders_all = s.total_orders_all THEN e.total_orders_all ELSE -1 END AS total_orders_all,
+        CASE WHEN e.total_spend_all = s.total_spend_all THEN e.total_spend_all ELSE -1.0 END AS total_spend_all,
+        CASE WHEN abs(e.prob_reachat_12m - s.prob_reachat_12m) <= 0.02
+             THEN e.prob_reachat_12m ELSE -1.0 END AS prob_reachat_12m,
+        CASE WHEN abs(e.expected_value_12m - s.expected_value_12m)
+                  <= 0.02 * s.monetary_12m / least(greatest(s.tenure_days / 30.0, 1.0), 365.0 / 30.0) * 12.0 + 0.011
+             THEN e.expected_value_12m ELSE -1.0 END AS expected_value_12m,
+        CASE WHEN abs(e.value_at_risk_12m - s.value_at_risk_12m) <= 0.02 * s.monetary_12m + 0.011
+             THEN e.value_at_risk_12m ELSE -1.0 END AS value_at_risk_12m,
+        e.segment_label
+      FROM est e JOIN scored s USING (c_custkey)
+      ORDER BY c_custkey""",
+
     "segment_summary" -> s"""$scoredCte
       SELECT segment_label, count(c_custkey) AS clients,
              round(sum(monetary_12m), 2) AS ca_12m,
@@ -2420,6 +2495,24 @@ object SparkEntry {
                    count(DISTINCT o_custkey) AS nb_clients
             FROM orders WHERE $V)""",
 
+    // bounded-error oracle (r16 judge item 5): the algebraic fields are
+    // re-derived exactly and gated on equality; the HLL++ estimate is
+    // read back from the dump and echoed only inside its published
+    // bound (rsd 0.01 × 5σ = 0.05), else poisoned — hash equality with
+    // the dump IS the accuracy gate
+    "kpis_approx" -> s"""
+      WITH est AS (SELECT * FROM read_parquet('$OutDirToken/kpis_approx/*.parquet')),
+      x AS (SELECT ${ms("o_totalprice")} AS ca_total, count(o_orderkey) AS nb_achats,
+                   count(DISTINCT o_custkey) AS nb_clients
+            FROM orders WHERE $V)
+      SELECT CASE WHEN est.ca_total = x.ca_total THEN est.ca_total ELSE -1.0 END AS ca_total,
+             CASE WHEN est.nb_achats = x.nb_achats THEN est.nb_achats ELSE -1 END AS nb_achats,
+             CASE WHEN abs(est.nb_clients_approx - x.nb_clients) <= 0.05 * x.nb_clients
+                  THEN est.nb_clients_approx ELSE -1 END AS nb_clients_approx,
+             CASE WHEN est.panier_moyen = round(x.ca_total / x.nb_achats, 2)
+                  THEN est.panier_moyen ELSE -1.0 END AS panier_moyen
+      FROM est, x""",
+
     // kpis_rewritten runs the exact kpis body at verify time (the
     // optimizer-rule sketch tier is pinned by PlanShapeSpec) — same oracle
     "kpis_rewritten" -> s"""
@@ -2917,21 +3010,21 @@ object SparkEntry {
       FROM f GROUP BY GROUPING SETS ((pays, annee), (pays), (annee))
       ORDER BY pays, annee""",
 
-    "table_profile" -> """
-      SELECT * FROM (
-        SELECT 'o_orderkey' AS column_name,
-          CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
-          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
-        UNION ALL SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
-          CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
-        UNION ALL SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
-          CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
-        UNION ALL SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
-          CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
-        UNION ALL SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
-          CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
-        UNION ALL SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
-          CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+    "table_profile" -> s"""
+      SELECT * FROM ($profileExactBody)
+      ORDER BY column_name""",
+
+    // bounded-error oracle: exact null counts gated on equality, HLL++
+    // distincts (rsd 0.02 × 5σ = 0.10, absolute floor 1 for the tiny
+    // enum columns) echoed inside the bound, else poisoned
+    "table_profile_approx" -> s"""
+      WITH est AS (SELECT * FROM read_parquet('$OutDirToken/table_profile_approx/*.parquet')),
+      ex AS ($profileExactBody)
+      SELECT ex.column_name,
+             CASE WHEN est.n_null = ex.n_null THEN est.n_null ELSE -1 END AS n_null,
+             CASE WHEN abs(est.n_distinct - ex.n_distinct) <= greatest(0.10 * ex.n_distinct, 1)
+                  THEN est.n_distinct ELSE -1 END AS n_distinct
+      FROM ex JOIN est USING (column_name)
       ORDER BY column_name""",
 
     "repetition_score" -> repetitionSql,
@@ -3164,6 +3257,48 @@ object SparkEntry {
             FROM s)
       SELECT probe_id, neighbor_id, rank, sim FROM r
       WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // bounded-error oracle from the persisted SIGNED components: gate
+    // (a) pairwise orthonormality of the component vectors (≤1e-6
+    // deviation), (b) the explained-variance ratio as var_samp of the
+    // row projections over the summed per-dimension var_samp (vᵀΣv /
+    // trace Σ; n-vs-n−1 cancels; estimate rounded 4dp → 1e-4 bound),
+    // (c) the top-|loading| dimension exactly and its 3dp-rounded
+    // loading (5.1e-4 bound covers rint-vs-round edges)
+    "embedding_pca" -> s"""
+      WITH est AS (SELECT * FROM read_parquet('$OutDirToken/embedding_pca/*.parquet')),
+      comp AS (SELECT component, loading FROM read_parquet('$ArtifactsToken/pca_components/*.parquet')),
+      e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      ortho AS (SELECT max(abs(
+          list_sum(list_transform(range(1, len(a.loading)+1),
+            i -> a.loading[i] * b.loading[i]))
+          - CASE WHEN a.component = b.component THEN 1.0 ELSE 0.0 END)) AS dev
+        FROM comp a CROSS JOIN comp b),
+      proj AS (SELECT c.component,
+          var_samp(list_sum(list_transform(range(1, len(e.emb)+1),
+            i -> e.emb[i] * c.loading[i]))) AS lam
+        FROM e CROSS JOIN comp c GROUP BY c.component),
+      tot AS (SELECT sum(vd) AS t FROM (
+          SELECT var_samp(emb[ix.i]) AS vd
+          FROM e CROSS JOIN (SELECT unnest(range(1,
+            (SELECT max(len(emb)) FROM e) + 1)) AS i) ix
+          GROUP BY ix.i)),
+      top AS (SELECT component, ix.i - 1 AS top_dim_x, abs(loading[ix.i]) AS al,
+          row_number() OVER (PARTITION BY component
+            ORDER BY abs(loading[ix.i]) DESC, ix.i) AS rn
+        FROM comp CROSS JOIN (SELECT unnest(range(1,
+          (SELECT max(len(loading)) FROM comp) + 1)) AS i) ix)
+      SELECT est.component,
+        CASE WHEN (SELECT dev FROM ortho) <= 1e-6
+              AND abs(est.explained_variance - proj.lam / (SELECT t FROM tot)) <= 1e-4
+             THEN est.explained_variance ELSE -1.0 END AS explained_variance,
+        CASE WHEN est.top_dim = top.top_dim_x THEN est.top_dim ELSE -1 END AS top_dim,
+        CASE WHEN abs(est.top_abs_loading - top.al) <= 5.1e-4
+             THEN est.top_abs_loading ELSE -1.0 END AS top_abs_loading
+      FROM est
+      JOIN proj USING (component)
+      JOIN (SELECT * FROM top WHERE rn = 1) top USING (component)
+      ORDER BY component""",
 
     // incremental IVF maintenance restated from the persisted vec_id<400
     // index: delta-only scan, same argmin + lower-cell tie-break, 6dp
@@ -3995,6 +4130,31 @@ object SparkEntry {
         (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
         (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_first,
         (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_second)""",
+
+    // bounded-error oracle: each HLL estimate (lgK=12, rsd≈1.6%, 5σ≈8%
+    // → 0.10 bound, absolute floor 5) against its exact set count; the
+    // inclusion-exclusion overlap compounds three estimates, so its
+    // bound is on the combined scale
+    "customer_overlap_approx" -> s"""
+      WITH est AS (SELECT * FROM read_parquet('$OutDirToken/customer_overlap_approx/*.parquet')),
+      a AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE $V AND year(o_orderdate) = 1995),
+      b AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE $V AND year(o_orderdate) = 1996),
+      x AS (SELECT
+        (SELECT count(*) FROM a) AS n1, (SELECT count(*) FROM b) AS n2,
+        (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS nu,
+        (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS nb)
+      SELECT
+        CASE WHEN abs(est.n_first - x.n1) <= greatest(0.10 * x.n1, 5)
+             THEN est.n_first ELSE -1 END AS n_first,
+        CASE WHEN abs(est.n_second - x.n2) <= greatest(0.10 * x.n2, 5)
+             THEN est.n_second ELSE -1 END AS n_second,
+        CASE WHEN abs(est.n_union - x.nu) <= greatest(0.10 * x.nu, 5)
+             THEN est.n_union ELSE -1 END AS n_union,
+        CASE WHEN abs(est.n_both_approx - x.nb) <= greatest(0.10 * (x.n1 + x.n2), 5)
+             THEN est.n_both_approx ELSE -1 END AS n_both_approx
+      FROM est, x""",
 
     // Spark's Intersect/Except operator form must agree with the fused pass
     "customer_overlap_sets" -> s"""

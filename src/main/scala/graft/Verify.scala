@@ -82,9 +82,13 @@ object Verify {
     // this dataset's stable artifacts path so the dumped SQL is
     // runnable by the driver's DuckDB after this JVM exits
     val art = Tables.oracleArtifactsDir(sfDir)
+    // bounded-error oracles additionally read this run's own dump (the
+    // estimate parquet) — concretize the out-dir token the same way
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(SparkEntry.ArtifactsToken, art))}" }
+        s"${q(k)}: ${q(v.replace(SparkEntry.ArtifactsToken, art)
+          .replace(SparkEntry.OutDirToken, outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // computed no-oracle digests (regeneration source for Digests.golden)

@@ -338,7 +338,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange rangepartitioning") >= 1, p)
   }
 
-  test("copurchase_triangles: oriented-wedge census — no cartesian, semi-join close, cached fan-out") {
+  test("copurchase_triangles: adjacency-intersect census — no cartesian, no close join, cached fan-out") {
     // node-level census, stopping at cache boundaries: the plan STRING
     // re-prints each InMemoryRelation's build plan, so substring counts
     // would charge the (once-built) cache's exchanges to every consumer
@@ -357,33 +357,32 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan)
     def n(f: SparkPlan => Boolean) = ns.count(f)
     val census = ns.groupBy(_.getClass.getSimpleName).view.mapValues(_.size).toMap
-    // the wedge self-join and the closing check must stay equi-joins —
-    // a cartesian/nested-loop here is the deg² celebrity-node trap the
-    // degree orientation exists to prevent
+    // the two adjacency attaches must stay equi-joins — a cartesian/
+    // nested-loop here is the deg² celebrity-node trap the degree
+    // orientation exists to prevent
     assert(n(_.isInstanceOf[CartesianProductExec]) == 0, census)
     assert(n(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 0, census)
-    // the close is a LEFT SEMI (no output amplification), exactly one
+    // r17 shape: the close is an IN-TASK array_intersect on the two
+    // endpoint adjacency lists — NO join of any kind may carry wedge
+    // rows, so the whole plan holds exactly the two equi-joins that
+    // attach nbu/nbv to the |E|-row edge stream (a third join means the
+    // wedge-materializing self-join + semi close crept back)
     assert(n {
-      case j: SortMergeJoinExec => j.joinType.sql == "LEFT SEMI"
-      case j: ShuffledHashJoinExec => j.joinType.sql == "LEFT SEMI"
-      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT SEMI"
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec
+           | _: BroadcastHashJoinExec => true
       case _ => false
-    } == 1, census)
-    // the oriented frame is CacheOnce'd and consumed three times (both
-    // wedge sides + the close) — all three consumers must read the
-    // cache, not rebuild the edge frame (measured 3x the query cost
-    // when this regressed)
+    } == 2, census)
+    // cached fan-out: the oriented frame feeds the edge stream + the
+    // adjacency build, the nbrs frame feeds both attaches — consumers
+    // must read the caches (3 scans total), never rebuild the edge
+    // frame (measured 3x the query cost when this regressed)
     assert(n(_.isInstanceOf[InMemoryTableScanExec]) == 3, census)
-    // consumer-side shuffles only: wedge-join u-key, the semi's two
-    // (pair-key) sides, and the final count aggregate. The two wedge
-    // sides' u-exchanges are structurally IDENTICAL (same cache scan,
-    // same key) — AQE dedupes them into one reused stage at runtime,
-    // which the initial plan can't show, so the gate counts
-    // canonicalized-distinct exchanges: a refactor that breaks the
-    // x/y symmetry (killing the runtime reuse) pushes this to 5
+    // consumer-side shuffles only: the u-attach pair, the v-attach
+    // pair, and the final membership aggregate — nothing wedge-
+    // proportional beyond the packed arrays riding the v-attach
     val distinctEx = ns.collect {
       case e: ShuffleExchangeExec => e.canonicalized }.distinct.size
-    assert(distinctEx <= 4, s"$distinctEx distinct exchanges; $census")
+    assert(distinctEx <= 5, s"$distinctEx distinct exchanges; $census")
   }
 
   test("product_rank: broadcast-regime PageRank rounds are exchange-free single stages") {
