@@ -29,6 +29,13 @@ Usage: python3 tools/preflight.py [--skip-tests] [sf ...]
    reuses the most recent suite run ONLY if you just watched it pass at
    this exact tree — the receipt records the skip.)
 Expected runtime: ~10 min suite + ~25-40 min sweep.
+
+GATE MODE (r16 judge item 1 — the inverse check): `--gate` runs NO
+tests; it verifies that the COMMITTED receipts certify exactly the
+tree at HEAD (src subtree, build.sbt blob, tools subtree when
+recorded) and exits non-zero otherwise. Run it before any end-of-round
+snapshot or artifact commit: r16 shipped receipts three src commits
+stale, which this refusal makes structurally impossible to repeat.
 """
 import datetime, json, os, re, subprocess, sys
 
@@ -48,6 +55,53 @@ def fail(msg):
 skip_tests = "--skip-tests" in sys.argv
 sf_args = [a for a in sys.argv[1:] if not a.startswith("--")]
 
+# -- GATE MODE: refuse stale receipts, verify-only, no test runs ------------
+if "--gate" in sys.argv:
+    dirty = git("status", "--porcelain", "--", "src", "build.sbt", "tools")
+    if dirty:
+        fail("gate: uncommitted changes under src/, build.sbt, or tools/ — "
+             f"the committed receipts cannot describe this tree:\n{dirty}")
+    head = git("rev-parse", "HEAD")
+    src_tree = git("rev-parse", "HEAD:src")
+    build_blob = git("rev-parse", "HEAD:build.sbt")
+    tools_tree = git("rev-parse", "HEAD:tools")
+    committed = git("show", "HEAD:PREFLIGHT.json")
+    if not committed:
+        fail("gate: PREFLIGHT.json is not committed at HEAD — run "
+             "tools/preflight.py and commit its receipts first")
+    rec = json.loads(committed)
+    if rec.get("src_tree") != src_tree:
+        fail(f"gate: STALE receipt — committed PREFLIGHT.json certifies src "
+             f"tree {rec.get('src_tree', '?')[:12]} but HEAD:src is "
+             f"{src_tree[:12]}; source commits landed after certification. "
+             "Re-run tools/preflight.py at this tree, commit the fresh "
+             "receipts, then snapshot.")
+    if rec.get("build_sbt_blob") != build_blob:
+        fail(f"gate: STALE receipt — build.sbt changed after certification "
+             f"({rec.get('build_sbt_blob', '?')[:12]} != {build_blob[:12]})")
+    # tools_tree is recorded from r17 on; absent in older receipts means
+    # the receipt predates the gate and must be regenerated anyway
+    if rec.get("tools_tree") is None:
+        fail("gate: receipt predates the tools-tree record (r17) — re-run "
+             "tools/preflight.py to regenerate it")
+    if rec.get("tools_tree") != tools_tree:
+        fail(f"gate: STALE receipt — tools/ changed after certification "
+             f"({rec.get('tools_tree', '?')[:12]} != {tools_tree[:12]})")
+    ccommitted = git("show", "HEAD:CROSSCHECK.json")
+    if not ccommitted:
+        fail("gate: CROSSCHECK.json is not committed at HEAD")
+    crec = json.loads(ccommitted)
+    if crec.get("head_commit") != rec.get("head_commit"):
+        fail(f"gate: receipt pair mismatch — CROSSCHECK head_commit "
+             f"{crec.get('head_commit', '?')[:12]} != PREFLIGHT "
+             f"{rec.get('head_commit', '?')[:12]}")
+    if not (rec.get("all_green") and crec.get("all_pass")):
+        fail("gate: committed receipts are not green")
+    print(f"[preflight] gate OK: committed receipts certify HEAD's exact "
+          f"tree (src {src_tree[:12]}, tools {tools_tree[:12]}, "
+          f"build.sbt {build_blob[:12]})")
+    sys.exit(0)
+
 # -- 1. the tree being certified must BE a commit's tree -------------------
 dirty = git("status", "--porcelain", "--", "src", "build.sbt", "tools")
 if dirty:
@@ -58,6 +112,7 @@ if dirty:
 head = git("rev-parse", "HEAD")
 src_tree = git("rev-parse", "HEAD:src")
 build_blob = git("rev-parse", "HEAD:build.sbt")
+tools_tree = git("rev-parse", "HEAD:tools")
 print(f"[preflight] certifying HEAD {head[:12]} (src tree {src_tree[:12]})")
 
 # -- 2a. full test suite ----------------------------------------------------
@@ -123,6 +178,7 @@ receipt = {
     "head_commit": head,
     "src_tree": src_tree,
     "build_sbt_blob": build_blob,
+    "tools_tree": tools_tree,
     "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
     "sbt_test": tests,
     "posture_gate": "StreamsSpec derived==genuine present + suite green",
