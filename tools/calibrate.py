@@ -23,8 +23,17 @@ import json, os, subprocess, sys, datetime
 # files). REVISE THIS LIST in any round that code-touches a probe,
 # before running the bracket — the staleness guard below refuses stale
 # sets automatically.
+# Widened to a standing set of 10 (r16 judge item 7: the r16 bracket
+# dropped 2 of 5 probes as stale and the median sat on 3 queries; with
+# 10 heavies spread over four round-over-round-stable files, >= 8 live
+# probes survive a typical round's code touches). Selection criteria:
+# >= ~0.8 s at sf0.1 (floor-amortized), implementing file untouched in
+# recent rounds, no tier-switch posture (Bench measures the same body
+# every round).
 QUERIES = ["session_overlaps", "bm25_search", "customer_churn_monthly",
-           "source_top_terms", "table_profile"]
+           "source_top_terms", "table_profile", "dedup_ngram",
+           "vocab_top_approx", "bpe_tokenize", "spend_psi",
+           "events_sliding_uniques"]
 SF_DIR = "/root/testdata/sf0.1"
 
 args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
@@ -59,6 +68,11 @@ PROBE_FILES = {
     "customer_churn_monthly": ["src/main/scala/graft/serving.scala"],
     "source_top_terms": ["src/main/scala/graft/search.scala"],
     "table_profile": ["src/main/scala/graft/catalog.scala"],
+    "dedup_ngram": ["src/main/scala/graft/llm.scala"],
+    "vocab_top_approx": ["src/main/scala/graft/llm.scala"],
+    "bpe_tokenize": ["src/main/scala/graft/llm.scala"],
+    "spend_psi": ["src/main/scala/graft/serving.scala"],
+    "events_sliding_uniques": ["src/main/scala/graft/serving.scala"],
 }
 unmapped = [q for q in QUERIES if q not in PROBE_FILES]
 if unmapped:
@@ -73,9 +87,10 @@ if stale:
     print(f"[calibrate] STALE probes dropped (implementing file changed "
           f"{prev_full[:12]}..{head[:12]}): {stale}")
 QUERIES = [q for q in QUERIES if q not in stale]
-if len(QUERIES) < 3:
+if len(QUERIES) < 5:
     sys.exit(f"[calibrate] only {len(QUERIES)} code-untouched probes remain "
              f"— re-draw QUERIES/PROBE_FILES before running the bracket")
+print(f"[calibrate] {len(QUERIES)} live probes: {QUERIES}")
 
 
 def bench(workdir):

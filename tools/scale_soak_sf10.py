@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Second soak decade (r16 judge item 4): generate sf10 = 10x sf1 with
+graft.GenScale (a 100x cumulative scale-up over the bench SF) and bench
+the HEAVY TAIL — the top ~25 queries by committed sf1 cost — at both
+sf1 and sf10. The sf0.1->sf1 soak caught a Long-overflow class and a
+quadratic-fold class; this decade is the cheapest remaining bug-finder
+for the 100-TB claim: anything with hidden super-linear behavior that
+survived 10x shows up unmistakably at 100x.
+
+Query selection is data-driven from BENCH_SCALE.json (the committed
+sf0.1->sf1 record) rather than hand-picked, so the heavy tail tracks
+whatever the suite's actual cost distribution is.
+
+Usage: python3 tools/scale_soak_sf10.py [--reuse-sf10] [--top N]
+Expected runtime ~60-100 min (generation ~10 min + two filtered bench
+passes, each warmup + 3 timed runs; sf10 dominates).
+"""
+import datetime, json, os, subprocess, sys
+
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SF1 = "/tmp/graft_sf1"
+SF10 = "/tmp/graft_sf10"
+R = 10
+TOP = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 25
+# Same defect thresholds as the first decade (tools/scale_soak.py):
+# linear 10x growth plus floor amortization keeps honest ratios well
+# under 10; 15x flags; the floor filters scheduling blips on queries
+# cheap even at sf10 (rare in a top-25-by-cost set), and the extreme
+# bound flags a surviving blowup regardless of the floor.
+FLAG_RATIO = 15.0
+ABS_FLOOR_SEC = 2.0
+EXTREME_RATIO = 50.0
+
+
+def run(cmd, **kw):
+    r = subprocess.run(cmd, capture_output=True, text=True, **kw)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-2000:])
+        sys.exit(f"[scale_soak_sf10] failed: {' '.join(cmd)}")
+    return r
+
+
+def bench(sf_dir, names):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_QUERIES=",".join(names))
+    saved = open("BENCH_FULL.json", "rb").read() \
+        if os.path.exists("BENCH_FULL.json") else None
+    try:
+        run(["sbt", "-batch", "runMain graft.Bench"], env=env)
+        with open("BENCH_FULL.json") as f:
+            full = json.load(f)
+    finally:
+        if saved is not None:
+            with open("BENCH_FULL.json", "wb") as f:
+                f.write(saved)
+    if full.get("errors"):
+        sys.exit(f"[scale_soak_sf10] bench at {sf_dir} errors: {full['errors']}")
+    return dict(full["queries"])
+
+
+prev = json.load(open("BENCH_SCALE.json"))["queries"]
+heavy = [q for q, _ in sorted(prev.items(),
+                              key=lambda kv: -kv[1]["sf1"])[:TOP]]
+print(f"[scale_soak_sf10] heavy tail (top {TOP} by committed sf1 cost): "
+      f"{heavy}", flush=True)
+
+if not os.path.isdir(SF1):
+    print(f"[scale_soak_sf10] regenerating {SF1} ...", flush=True)
+    run(["sbt", "-batch", f"runMain graft.GenScale /root/testdata/sf0.1 {SF1} {R}"])
+if not ("--reuse-sf10" in sys.argv and os.path.isdir(SF10)):
+    print(f"[scale_soak_sf10] generating sf10 = {R}x {SF1} -> {SF10} ...",
+          flush=True)
+    run(["sbt", "-batch", f"runMain graft.GenScale {SF1} {SF10} {R}"])
+
+print("[scale_soak_sf10] bench sf1 ...", flush=True)
+base = bench(SF1, heavy)
+print("[scale_soak_sf10] bench sf10 (10x) ...", flush=True)
+big = bench(SF10, heavy)
+
+queries = sorted(set(base) & set(big) & set(heavy))
+ratios = {q: (round(big[q] / base[q], 2) if base[q] > 0 else None)
+          for q in queries}
+flagged = sorted(q for q, r in ratios.items()
+                 if r is not None and r > FLAG_RATIO
+                 and (big[q] >= ABS_FLOOR_SEC or r > EXTREME_RATIO))
+head = run(["git", "rev-parse", "HEAD"]).stdout.strip()
+out = {
+    "metric": "scale_soak_sf1_to_sf10",
+    "unit": "sec",
+    "run_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ"),
+    "head_commit": head,
+    "data_growth": R,
+    "cumulative_vs_bench_sf": 100,
+    "flag_ratio": FLAG_RATIO,
+    "abs_floor_sec": ABS_FLOOR_SEC,
+    "extreme_ratio": EXTREME_RATIO,
+    "coverage": f"top {TOP} queries by committed sf1 cost (BENCH_SCALE.json)",
+    "construction": "sf10 = GenScale(GenScale(sf0.1, 10), 10): interleaved "
+        "keys compose, per-shard text rotations and embedding sign-flips "
+        "compose bijectively/orthogonally, so internal statistics stay "
+        "identical and expected growth is <= ~linear per decade",
+    "timing": "graft.Bench noop-materialize min-of-3 per SF, back-to-back "
+        "same machine; flagged = ratio > flag_ratio AND (sf10 >= "
+        "abs_floor_sec OR ratio > extreme_ratio)",
+    "queries": {q: {"sf1": round(base[q], 3), "sf10": round(big[q], 3),
+                    "ratio": ratios[q]} for q in queries},
+    "total": {"sf1": round(sum(base[q] for q in queries), 3),
+              "sf10": round(sum(big[q] for q in queries), 3),
+              "ratio": round(sum(big[q] for q in queries) /
+                             sum(base[q] for q in queries), 2)},
+    "flagged_superlinear": flagged,
+}
+with open("BENCH_SCALE_SF10.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out["total"]))
+if flagged:
+    print(f"[scale_soak_sf10] SUPER-LINEAR (> {FLAG_RATIO}x): {flagged}")
+print("[scale_soak_sf10] BENCH_SCALE_SF10.json written")
+sys.exit(1 if flagged else 0)
