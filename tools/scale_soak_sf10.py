@@ -43,8 +43,16 @@ def run(cmd, **kw):
 
 
 def bench(sf_dir, names):
+    # 100x the bench SF in ONE local-mode JVM needs a bigger driver heap
+    # than the 24g default: on a cluster the same state is spread over
+    # executors, but here every shuffle partition, broadcast, and
+    # stream-state store shares a single heap. The first sf10 attempt
+    # died ~74 min in at 24g with exit 52 = SparkExitCode.OOM (Spark's
+    # uncaught-exception handler System.exits on OutOfMemoryError);
+    # 64g leaves half the machine's 128 GiB for page cache.
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_QUERIES=",".join(names))
+               SPARK_GRAFT_QUERIES=",".join(names),
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "64g"))
     saved = open("BENCH_FULL.json", "rb").read() \
         if os.path.exists("BENCH_FULL.json") else None
     try:
