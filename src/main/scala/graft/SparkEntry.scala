@@ -1947,11 +1947,43 @@ object SparkEntry {
     // rank error is ≤ n/10000 — measured max |Δprob| 7e-5 at sf0.01,
     // gated at 0.02 (≈300× safety); EV/VaR propagate the prob bound
     // through their own monetary scale (+0.011 for their 2dp rounding).
+    // The gate accepts the estimate against EITHER standard quantile
+    // semantic: the interpolating twin (`scored`, quantile_cont — the
+    // exact `percentile` the batch tier uses) or the discrete twin
+    // (`scored_d`, quantile_disc — a data ELEMENT, which is what
+    // approx_percentile's GK sketch returns in its exact regime). The
+    // two semantics legitimately diverge by a whole inter-element gap
+    // at small n — at sf0.001 (150 clients) freq95 is 3.55 interpolated
+    // vs the element 4, a |Δprob| of 0.043 for every freq-3 client —
+    // while a broken threshold pipeline still fails BOTH twins.
     // segment_label is echoed: first-match-wins boundary flips under a
     // one-rank threshold shift are legitimate (2/1500 at sf0.01) and
     // spec-bounded, while the numeric gates catch any broken threshold
     // pipeline.
     "client_scores_approx" -> s"""$scoredCte,
+      thd0 AS (SELECT CAST(quantile_disc(freq_12m, 0.75) AS DOUBLE) AS f75,
+               CAST(quantile_disc(freq_12m, 0.95) AS DOUBLE) AS f95,
+               CAST(quantile_disc(monetary_12m, 0.75) AS DOUBLE) AS m75,
+               CAST(quantile_disc(monetary_12m, 0.95) AS DOUBLE) AS m95,
+               greatest(CAST(max(product_diversity_12m) AS DOUBLE), 1.0) AS maxdiv
+             FROM feats),
+      thd AS (SELECT
+               CASE WHEN coalesce(f95, 0) = 0 THEN 1.0 ELSE f95 END AS f95,
+               CASE WHEN coalesce(m95, 0) = 0 THEN 1.0 ELSE m95 END AS m95,
+               maxdiv
+             FROM thd0),
+      scored_d AS (SELECT f.c_custkey,
+               round(0.45 * (least(CAST(f.freq_12m AS DOUBLE), t.f95) / t.f95)
+                   + 0.30 * (1.0 - least(CAST(f.recency_days AS DOUBLE), 365.0) / 365.0)
+                   + 0.15 * (least(f.monetary_12m, t.m95) / t.m95)
+                   + 0.10 * (CAST(f.product_diversity_12m AS DOUBLE) / t.maxdiv), 6) AS prob_d,
+               f.monetary_12m,
+               least(greatest(f.tenure_days / 30.0, 1.0), 365.0 / 30.0) AS months_active
+             FROM feats f, thd t),
+      scored_d2 AS (SELECT c_custkey, prob_d,
+               round(monetary_12m / months_active * 12.0 * prob_d, 2) AS ev_d,
+               round(monetary_12m * (1.0 - prob_d), 2) AS var_d
+             FROM scored_d),
       est AS (SELECT * FROM read_parquet('$OutDirToken/client_scores_approx/*.parquet'))
       SELECT c_custkey,
         CASE WHEN e.freq_12m = s.freq_12m THEN e.freq_12m ELSE -1 END AS freq_12m,
@@ -1963,14 +1995,18 @@ object SparkEntry {
         CASE WHEN e.total_orders_all = s.total_orders_all THEN e.total_orders_all ELSE -1 END AS total_orders_all,
         CASE WHEN e.total_spend_all = s.total_spend_all THEN e.total_spend_all ELSE -1.0 END AS total_spend_all,
         CASE WHEN abs(e.prob_reachat_12m - s.prob_reachat_12m) <= 0.02
+               OR abs(e.prob_reachat_12m - d.prob_d) <= 0.02
              THEN e.prob_reachat_12m ELSE -1.0 END AS prob_reachat_12m,
         CASE WHEN abs(e.expected_value_12m - s.expected_value_12m)
                   <= 0.02 * s.monetary_12m / least(greatest(s.tenure_days / 30.0, 1.0), 365.0 / 30.0) * 12.0 + 0.011
+               OR abs(e.expected_value_12m - d.ev_d)
+                  <= 0.02 * s.monetary_12m / least(greatest(s.tenure_days / 30.0, 1.0), 365.0 / 30.0) * 12.0 + 0.011
              THEN e.expected_value_12m ELSE -1.0 END AS expected_value_12m,
         CASE WHEN abs(e.value_at_risk_12m - s.value_at_risk_12m) <= 0.02 * s.monetary_12m + 0.011
+               OR abs(e.value_at_risk_12m - d.var_d) <= 0.02 * s.monetary_12m + 0.011
              THEN e.value_at_risk_12m ELSE -1.0 END AS value_at_risk_12m,
         e.segment_label
-      FROM est e JOIN scored s USING (c_custkey)
+      FROM est e JOIN scored s USING (c_custkey) JOIN scored_d2 d USING (c_custkey)
       ORDER BY c_custkey""",
 
     "segment_summary" -> s"""$scoredCte
