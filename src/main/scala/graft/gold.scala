@@ -1500,18 +1500,26 @@ object Gold {
     * complement to [[Serving.revenueGini]]'s inequality curve: Gini
     * ranks customers, HHI watches supply-side dependency. */
   def supplierHhi(lineitem: DataFrame): DataFrame = {
+    // group on an INT month index at the line grain — date_format is a
+    // per-row formatter allocation and the string widens the shuffle key
+    // (r17, guide §2.3 narrower types); the yyyy-MM string is rebuilt
+    // AFTER the month-grain aggregate (≤ tens of rows), where the two
+    // renderings are equal for every real date (zero-padded %04d-%02d)
     val bySupp = lineitem
-      .select(date_format(col("l_shipdate"), "yyyy-MM").as("mois"),
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("mi"),
         col("l_suppkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
           .cast("long").as("rev4"))
-      .groupBy("mois", "l_suppkey")
+      .groupBy("mi", "l_suppkey")
       .agg(sum("rev4").as("rev4"))
-    bySupp.groupBy("mois")
+    bySupp.groupBy("mi")
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("rev4").cast("decimal(38,0)") * col("rev4")).as("sq"),
         sum("rev4").as("tot"))
-      .select(col("mois"), col("n_suppliers"),
+      .select(
+        format_string("%04d-%02d", (col("mi") / 12).cast("int"),
+          (col("mi") % 12 + 1).cast("int")).as("mois"),
+        col("n_suppliers"),
         round(col("sq").cast("double") /
           (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"))
       .orderBy("mois")

@@ -352,17 +352,24 @@ object Llm {
       minJaccard: Double = 0.5): DataFrame = {
     val dfCounts = shingleH.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = shingleH.join(dfCounts, "h")
+    // CacheOnce: the prefix frame feeds BOTH sides of the candidate
+    // self-join, and exchange reuse cannot unify them (the window/filter
+    // output is not an exchange boundary) — without the cache the df
+    // aggregation + rarity window run twice (r17 plan: two identical
+    // Exchange→Window subtrees)
+    val prefix = CacheOnce(shingleH.join(dfCounts, "h")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <=
         (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))
-      .select("doc_id", "h")
+      .select("doc_id", "h"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleH.groupBy("doc_id", "n")
-      .agg(sort_array(collect_list("h")).as("hs"))
+    // CacheOnce: consumed by the doc_a AND doc_b verification joins —
+    // without it the collect_list aggregation runs twice
+    val sets = CacheOnce(shingleH.groupBy("doc_id", "n")
+      .agg(sort_array(collect_list("h")).as("hs")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"),
         col("hs").as("ha")), "doc_a")

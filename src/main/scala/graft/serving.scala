@@ -758,10 +758,13 @@ object Serving {
     * gap). Identities n_active = retained + new and n_churned =
     * prev_active − retained hold by construction. */
   def customerChurnMonthly(orders: DataFrame): DataFrame = {
-    val act = Gold.validOrders(orders)
+    // CacheOnce: act feeds THREE consumers (the per-month count and both
+    // sides of the mi−1 self-join); without the cache the scan + distinct
+    // shuffle run three times (r17 plan: 3 identical aggregate subtrees)
+    val act = CacheOnce(Gold.validOrders(orders)
       .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
-      .distinct()
+      .distinct())
     val a = act.groupBy("mi").agg(count(lit(1)).as("n_active"))
     val r = act.as("cur")
       .join(act.as("prv"),
@@ -834,10 +837,24 @@ object Serving {
     * [[eventsSlidingUniquesApprox]] is the tier that deletes that
     * multiplier. */
   def eventsSlidingUniques(events: DataFrame): DataFrame =
+    // EXACT, but pre-aggregated (r17): collapse to the (hour, user) grain
+    // FIRST — one map-side-combinable shuffle over the event stream —
+    // then expand each hour-grain row into its 6 covering windows. The
+    // window/slide multiplier now applies to the hour×user frame, not
+    // the raw events (the same move the sketch tier makes, without
+    // giving up exactness: n_events = Σ per-(hour,user) counts and
+    // n_users = COUNT(DISTINCT user) are grain-invariant). The 6×
+    // expansion shuffle carries (window, user, cnt) — bounded by
+    // 6·|hour×user| ≪ 6·|events| whenever users average >1 event/hour.
     events
-      .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
-      .select(col("w.start").as("w_start"), col("n_events"), col("n_users"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(explode(sequence(lit(0), lit(5))).as("off"),
+        col("h"), col("user_id"), col("cnt"))
+      .select(expr("timestampadd(HOUR, -off, h)").as("w_start"),
+        col("user_id"), col("cnt"))
+      .groupBy("w_start")
+      .agg(sum("cnt").as("n_events"), countDistinct("user_id").as("n_users"))
       .orderBy("w_start")
 
   /** Sketch tier of [[eventsSlidingUniques]]: ONE pass builds an

@@ -964,4 +964,45 @@ class GoldSpec extends SparkSpec {
     val r1 = Gold.chi2CountryTicket(assoc).head()
     assert(r1.getAs[Double]("chi2") == 4.0)
   }
+
+  test("supplierHhi: int-month grouping renders date_format months; exact HHI on literal shares") {
+    import spark.implicits._
+    // r17: grouping moved to an int month index with the yyyy-MM string
+    // rebuilt AFTER the month-grain aggregate — this pins (a) the
+    // rendered string equals date_format's for every row's month, and
+    // (b) the HHI arithmetic: one supplier -> 1.0, two equal -> 0.5,
+    // 3:1 split -> (9+1)/16 = 0.625
+    val li = Seq(
+      ("1996-01-15", 1L, 100.0),                      // Jan: single supplier
+      ("1996-02-01", 1L, 50.0), ("1996-02-20", 2L, 50.0), // Feb: equal split
+      ("1997-12-31", 1L, 75.0), ("1997-12-31", 2L, 25.0)) // Dec'97: 3:1
+      .toDF("d", "l_suppkey", "gross")
+      .select(col("d").cast("timestamp").as("l_shipdate"), col("l_suppkey"),
+        col("gross").as("l_extendedprice"), lit(0.0).as("l_discount"))
+    val out = Gold.supplierHhi(li).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1996-01", "1996-02", "1997-12"))
+    val expected = li.select(date_format(col("l_shipdate"), "yyyy-MM")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out.map(_.getString(0)).toSeq == expected)
+    assert(out.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1.0), (2L, 0.5), (2L, 0.625)))
+  }
+
+  test("eventsSlidingUniques: hour-grain pre-aggregation equals the naive window() expansion") {
+    // r17: the exact tier now collapses to (hour, user) before the 6x
+    // window expansion; this pins bit-equality against the naive
+    // window(ts, 6h, 1h) form it replaced, over the real test events
+    val e = Tables.events(spark, sf)
+    def key(a: Any): java.time.LocalDateTime = a match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case l: java.time.LocalDateTime => l
+    }
+    val naive = e.groupBy(window(col("ts"), "6 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("n_users"))
+      .collect().map(r => key(r.get(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    val opt = Serving.eventsSlidingUniques(e).collect()
+      .map(r => key(r.get(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(opt == naive)
+  }
 }
