@@ -720,7 +720,10 @@ object SparkEntry {
     // -- text relevance ranking (TF-IDF keyword extraction, BM25 search) --
     "tfidf_top_terms" -> ((s, d) =>
       Search.tfidfTopTermsFrom(docTf(s, d), Tables.documents(s, d).count())),
-    "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d))),
+    // r17: fed from the shared tf frame — doc length, postings, and df
+    // are all (doc, word)-grain derivations, so the operator's own two
+    // corpus token passes are gone (bit-identical scores)
+    "bm25_search" -> ((s, d) => Search.bm25From(docTf(s, d))),
 
     // -- similarity search over embeddings --
     "knn_bruteforce" -> ((s, d) => Llm.knnBruteforce(Tables.embeddings(s, d))),
@@ -838,7 +841,9 @@ object SparkEntry {
           max("o_orderdate").as("last_date"))
         .orderBy("o_orderstatus")
     }),
-    "vocab_top" -> ((s, d) => Llm.vocabTop(Tables.documents(s, d))),
+    // r17: re-aggregates the shared tf frame (n = Σ tf, docs = row
+    // count) instead of running its own corpus explode — same counts
+    "vocab_top" -> ((s, d) => Llm.vocabTopFrom(docTf(s, d))),
     // bounded-memory heavy-hitters tier: Misra-Gries candidates + exact
     // broadcast-filtered recount — same oracle as the exact tier
     "vocab_top_approx" -> ((s, d) => Llm.vocabTopApprox(Tables.documents(s, d))),

@@ -723,9 +723,12 @@ object Gold {
     * the co-occurrence-matrix shape (same algebra as basket_pairs, on
     * the time axis). */
   def customerOverlapMatrix(orders: DataFrame): DataFrame = {
-    val yc = validOrders(orders)
+    // CacheOnce: yc feeds the per-year totals and BOTH sides of the
+    // customer-key self-join — without the cache the scan + distinct
+    // shuffle run three times (r17, same move as customerChurnMonthly)
+    val yc = CacheOnce(validOrders(orders)
       .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
-      .distinct()
+      .distinct())
     val totals = yc.groupBy("yr").agg(count(lit(1)).as("n"))
     yc.as("a").join(yc.as("b"),
         col("a.o_custkey") === col("b.o_custkey") && col("a.yr") < col("b.yr"))

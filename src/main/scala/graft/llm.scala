@@ -784,6 +784,18 @@ object Llm {
       .orderBy(desc("n"), col("word"))
       .limit(k)
 
+  /** [[vocabTop]] over a prebuilt [[Search.docTermFreq]] frame (r17):
+    * n = Σ tf and docs = row count per word at the (doc, word) grain —
+    * bit-identical counts, but the corpus explode is the session-shared
+    * tf pass instead of this operator's own, and the distinct-doc count
+    * collapses to a plain row count (the tf frame is already distinct
+    * on (doc, word) by construction). */
+  def vocabTopFrom(tf: DataFrame, k: Int = 50): DataFrame =
+    tf.groupBy("word")
+      .agg(sum("tf").as("n"), count(lit(1)).as("docs"))
+      .orderBy(desc("n"), col("word"))
+      .limit(k)
+
   /** First BPE merge round: adjacent character-pair frequencies over the
     * corpus, each word's pairs weighted by the word's total occurrence
     * count — the statistic a byte-pair-encoding tokenizer build computes

@@ -76,16 +76,28 @@ object Search {
     */
   def bm25(documents: DataFrame,
       query: Seq[String] = Seq("spark", "shuffle", "join"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25From(docTermFreq(documents), query, k, k1, b)
+
+  /** [[bm25]] over a prebuilt [[docTermFreq]] frame (r17): every BM25
+    * input is derivable at the (doc, word) grain — doc length is the
+    * per-doc tf sum, the query postings are a filter of the tf frame,
+    * df counts its rows — so the raw token explode never runs here at
+    * all; SparkEntry feeds the session-shared tf frame and the two
+    * corpus passes this operator used to pay (doc-length count + query
+    * tf aggregation over raw tokens) become re-aggregates of one cached
+    * frame. Scores are bit-identical: tf, len, n, and avglen are the
+    * same integers/means under either derivation. */
+  def bm25From(tfAll: DataFrame,
+      query: Seq[String] = Seq("spark", "shuffle", "join"),
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(documents)
-    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val docLen = tfAll.groupBy("doc_id").agg(sum("tf").as("len"))
     val stats = docLen.agg(count(lit(1)).as("n"), avg("len").as("avglen")).head()
     val n = stats.getLong(0)
     // empty corpus → NULL avg length; the scoring frame below is empty
     // either way, any positive stand-in yields the same empty top-k
     val avglen = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
-    val tf = toks.filter(col("word").isin(query: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = tfAll.filter(col("word").isin(query: _*))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "word")
       .join(docLen, "doc_id")
@@ -113,8 +125,11 @@ object Search {
     * the per-source top-k window partitions on |sources| keys. */
   def sourceTopTerms(tf: DataFrame, documents: DataFrame,
       k: Int = 5): DataFrame = {
-    val srcTf = tf.join(documents.select("doc_id", "source"), "doc_id")
-      .groupBy("source", "word").agg(sum("tf").as("tf"))
+    // CacheOnce: srcTf feeds its own df re-aggregate AND the scored
+    // join — without the cache the doc→source attach + (source, word)
+    // aggregation run twice (r17)
+    val srcTf = CacheOnce(tf.join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "word").agg(sum("tf").as("tf")))
     val s = documents.select("source").distinct().count()
     val df = srcTf.groupBy("word").agg(count(lit(1)).as("df"))
     val bySrc = Window.partitionBy("source").orderBy(desc("score"), col("word"))
