@@ -57,6 +57,14 @@ object Bench {
       // them on all cores; at production scale partitions are >= 64 MB so
       // this floor never binds.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+      // AQE-gated sort-merge -> shuffled-hash conversion (guide §3.1):
+      // fires only when EVERY post-shuffle partition of the build side is
+      // under the threshold, so it is scale-adaptive by construction —
+      // local joins skip both sorts, while at production partition sizes
+      // (>= 64 MB by §2.2 sizing) the plan stays sort-merge and spills
+      // gracefully. Env-overridable; 0 disables (Spark default).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

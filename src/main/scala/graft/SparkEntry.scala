@@ -160,6 +160,11 @@ object SparkEntry {
     * aggregate per session. */
   private def docTf(s: SparkSession, d: String): DataFrame =
     memoFrame("docTf", s, d)(Search.docTermFreq(Tables.documents(s, d)))
+  /** The unigram-LM quality frame doc_logprob serves and corpus_filter
+    * joins — one vocab re-aggregate + postings join per session instead
+    * of one per consumer (r17). */
+  private def docLogProb(s: SparkSession, d: String): DataFrame =
+    memoFrame("docLogProb", s, d)(Llm.unigramLogProbFrom(docTf(s, d)))
 
   /** The (doc_id, w1, w2, cnt) order-1 sequence frame the collocation
     * and bigram-LM queries share — one corpus zip/explode/aggregate
@@ -700,7 +705,7 @@ object SparkEntry {
     // degenerate-text filter: per-doc 3-gram self-repetition
     "repetition_score" -> ((s, d) => repetitionF(s, d)),
     // unigram-LM mean token log-prob (the classic cheap corpus-quality filter)
-    "doc_logprob" -> ((s, d) => Llm.unigramLogProbFrom(docTf(s, d))),
+    "doc_logprob" -> ((s, d) => docLogProb(s, d)),
     // order-1 sequence family over the shared bigram frame: PMI
     // collocations (phrase detection) + add-k bigram-LM quality scoring
     "term_pmi" -> ((s, d) => Search.termPmiFrom(docBigrams(s, d))),
@@ -712,7 +717,7 @@ object SparkEntry {
     // capstone keep/drop decisions with first-match-wins reasons, all
     // three component frames shared with their per-metric queries
     "corpus_filter" -> ((s, d) => Llm.corpusFilterFrom(
-      textStatsF(s, d), repetitionF(s, d), Llm.unigramLogProbFrom(docTf(s, d)))),
+      textStatsF(s, d), repetitionF(s, d), docLogProb(s, d))),
     // winnowing fingerprints — oracle-checked: the native expression's
     // xxhash64 is restated bit-exactly in DuckDB wrapping arithmetic
     "doc_fingerprint" -> ((s, d) => Llm.docFingerprint(Tables.documents(s, d))),

@@ -19,6 +19,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // same AQE-gated SMJ->SHJ conversion as Bench (r17): the oracle
+      // sweep must hash-check results under the exact conf the bench
+      // times, proving join-strategy flips can never change a result
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
