@@ -165,6 +165,14 @@ object SparkEntry {
     * of one per consumer (r17). */
   private def docLogProb(s: SparkSession, d: String): DataFrame =
     memoFrame("docLogProb", s, d)(Llm.unigramLogProbFrom(docTf(s, d)))
+  /** The gap-filled daily revenue series four serving queries reshape
+    * (dense, both anomaly tiers, spend_trend) — day-grain, bounded (r17). */
+  private def dailyDenseF(s: SparkSession, d: String): DataFrame =
+    memoFrame("dailyDense", s, d)(Serving.dailyDense(fact(s, d)))
+  /** The cohort-retention triangle its pivot and melt reshape —
+    * (cohort, offset)-grain, bounded (r17). */
+  private def cohortRet(s: SparkSession, d: String): DataFrame =
+    memoFrame("cohortRet", s, d)(Gold.cohortRetention(Tables.orders(s, d)))
 
   /** The (doc_id, w1, w2, cnt) order-1 sequence frame the collocation
     * and bigram-LM queries share — one corpus zip/explode/aggregate
@@ -494,13 +502,13 @@ object SparkEntry {
     "cohort_first_purchase" -> ((s, d) => Gold.cohort(fact(s, d))),
     // retention triangle: per acquisition month, distinct clients active
     // at each month offset (window-min cohort key, one client shuffle)
-    "cohort_retention" -> ((s, d) => Gold.cohortRetention(Tables.orders(s, d))),
+    "cohort_retention" -> ((s, d) => cohortRet(s, d)),
     // the same triangle PIVOTed wide (explicit value list — no
     // discovery pass, fixed schema at any scale)
-    "cohort_retention_pivot" -> ((s, d) => Gold.cohortRetentionPivot(Tables.orders(s, d))),
+    "cohort_retention_pivot" -> ((s, d) => Gold.cohortRetentionPivotFrom(cohortRet(s, d))),
     // ...and UNPIVOTed back: hash-matches cohort_retention's own oracle,
     // proving the reshapes are mutual inverses
-    "cohort_retention_melt" -> ((s, d) => Gold.cohortRetentionMelt(Tables.orders(s, d))),
+    "cohort_retention_melt" -> ((s, d) => Gold.cohortRetentionMeltFrom(cohortRet(s, d))),
     // market-basket association: same-order part pairs scored by lift
     "basket_pairs" -> ((s, d) =>
       Gold.basketPairsFrom(orderItemsF(s, d), itemCooc(s, d))),
@@ -582,9 +590,9 @@ object SparkEntry {
     // -- serving aggregates (A10-A15, W1, W3, O1-O5) --
     "gold_daily" -> ((s, d) => Serving.daily(fact(s, d))),
     // gap-filled dense daily series (generated scaffold, zero-filled)
-    "gold_daily_dense" -> ((s, d) => Serving.dailyDense(fact(s, d))),
+    "gold_daily_dense" -> ((s, d) => dailyDenseF(s, d)),
     // rolling 7-day mean/stddev/z-score anomaly flags over the dense series
-    "gold_daily_anomaly" -> ((s, d) => Serving.dailyAnomaly(fact(s, d))),
+    "gold_daily_anomaly" -> ((s, d) => Serving.dailyAnomalyFrom(dailyDenseF(s, d))),
     "gold_weekly" -> ((s, d) => Serving.weekly(fact(s, d))),
     "gold_distribution" -> ((s, d) => Serving.distribution(fact(s, d))),
     // pd.cut-style interval labels (the serving contract's bucket keys)
@@ -941,14 +949,14 @@ object SparkEntry {
     "sample_mix_temperature" -> ((s, d) =>
       Prep.sampleMixTemperature(Tables.documents(s, d))),
     // OLS trend from exact mergeable moments (no solver, one pass)
-    "spend_trend" -> ((s, d) => Serving.spendTrend(fact(s, d))),
+    "spend_trend" -> ((s, d) => Serving.spendTrendFrom(dailyDenseF(s, d))),
     // Pearson correlations from exact decimal moment sums (mergeable form)
     "feature_corr" -> ((s, d) => Gold.featureCorr(feats(s, d))),
     // deterministic 50/50 experiment read-out with Welch's t
     "ab_metrics" -> ((s, d) => Gold.abMetrics(Tables.orders(s, d))),
     // robust (median/MAD) twin of gold_daily_anomaly
     "gold_daily_anomaly_robust" -> ((s, d) =>
-      Serving.dailyAnomalyRobust(fact(s, d))),
+      Serving.dailyAnomalyRobustFrom(dailyDenseF(s, d))),
     // drift check: PSI of the 1997 amount distribution against 1996's
     // exact decile edges, per-bucket terms from exact counts
     "spend_psi" -> ((s, d) => Serving.spendPsi(Tables.orders(s, d))),

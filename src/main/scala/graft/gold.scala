@@ -528,7 +528,13 @@ object Gold {
     * no discovery job). Zero-filled like any retention report: an
     * absent (cohort, offset) cell means nobody came back, not null. */
   def cohortRetentionPivot(orders: DataFrame, maxOffset: Int = 12): DataFrame =
-    cohortRetention(orders, maxOffset)
+    cohortRetentionPivotFrom(cohortRetention(orders, maxOffset), maxOffset)
+
+  /** [[cohortRetentionPivot]] over a prebuilt [[cohortRetention]] frame
+    * (r17): the reshape is pure — SparkEntry feeds the session-shared
+    * triangle so pivot and melt stop re-running the window-min pass. */
+  def cohortRetentionPivotFrom(retention: DataFrame, maxOffset: Int = 12): DataFrame =
+    retention
       .groupBy("cohort")
       .pivot("month_offset", (0 to maxOffset).map(Integer.valueOf))
       .sum("active_clients")
@@ -544,7 +550,11 @@ object Gold {
     * this query against the SAME oracle — a machine-checked proof the
     * two reshapes are mutual inverses. */
   def cohortRetentionMelt(orders: DataFrame, maxOffset: Int = 12): DataFrame =
-    cohortRetentionPivot(orders, maxOffset)
+    cohortRetentionMeltFrom(cohortRetention(orders, maxOffset), maxOffset)
+
+  /** [[cohortRetentionMelt]] over a prebuilt [[cohortRetention]] frame. */
+  def cohortRetentionMeltFrom(retention: DataFrame, maxOffset: Int = 12): DataFrame =
+    cohortRetentionPivotFrom(retention, maxOffset)
       .unpivot(Array(col("cohort")),
         (0 to maxOffset).map(i => col(s"m$i")).toArray,
         "off", "active_clients")

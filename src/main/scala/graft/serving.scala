@@ -32,8 +32,13 @@ object Serving {
     * bounds aggregate — generated, never collected — and the join is at
     * the serving grain (days), which stays bounded no matter how large
     * the fact table grows. */
-  def dailyDense(fact: DataFrame): DataFrame = {
-    val d = daily(fact)
+  def dailyDense(fact: DataFrame): DataFrame = dailyDenseFrom(daily(fact))
+
+  /** [[dailyDense]] over a prebuilt [[daily]] frame (r17): SparkEntry
+    * shares ONE dense series across gold_daily_dense and both anomaly
+    * tiers instead of re-running the day aggregate + scaffold join per
+    * consumer. */
+  def dailyDenseFrom(d: DataFrame): DataFrame = {
     val scaffold = d.agg(min("jour").as("lo"), max("jour").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("jour"))
@@ -65,8 +70,11 @@ object Serving {
     * constant series has MAD 0 → null z and no flag, mirrored via
     * nullif on both engines. 1.4826·MAD is the normal-consistency
     * sigma; 3.5 the standard robust-z cut (Iglewicz-Hoaglin). */
-  def dailyAnomalyRobust(fact: DataFrame, threshold: Double = 3.5): DataFrame = {
-    val d = dailyDense(fact)
+  def dailyAnomalyRobust(fact: DataFrame, threshold: Double = 3.5): DataFrame =
+    dailyAnomalyRobustFrom(dailyDense(fact), threshold)
+
+  /** [[dailyAnomalyRobust]] over a prebuilt dense series. */
+  def dailyAnomalyRobustFrom(d: DataFrame, threshold: Double = 3.5): DataFrame = {
     // empty fact → NULL median; (0,0) keeps the nullif-guarded z NULL
     // over the (empty) dense series instead of throwing off getDouble
     val med = Option(d.select(expr("percentile(ca, 0.5)")).first().get(0))
@@ -90,10 +98,14 @@ object Serving {
     * intercept in dollars at the epoch-day origin of the series' first
     * day (x is re-based to day 0 so the intercept is interpretable and
     * the moments stay small). */
-  def spendTrend(fact: DataFrame): DataFrame = {
+  def spendTrend(fact: DataFrame): DataFrame =
+    spendTrendFrom(dailyDense(fact))
+
+  /** [[spendTrend]] over a prebuilt dense series. */
+  def spendTrendFrom(dense: DataFrame): DataFrame = {
     def d38(c: Column) = c.cast("decimal(38,0)")
     def dbl(c: String) = col(c).cast("double")
-    dailyDense(fact)
+    dense
       .select(
         (datediff(col("jour"), min(col("jour"))
           .over(Window.rowsBetween(Long.MinValue, Long.MaxValue)))).as("x"),
@@ -125,7 +137,11 @@ object Serving {
       }: _*)
   }
 
-  def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame = {
+  def dailyAnomaly(fact: DataFrame, threshold: Double = 3.0): DataFrame =
+    dailyAnomalyFrom(dailyDense(fact), threshold)
+
+  /** [[dailyAnomaly]] over a prebuilt dense series. */
+  def dailyAnomalyFrom(dense: DataFrame, threshold: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("jour").rowsBetween(-7, -1)
     // rolling mean/stddev from EXACT integer-cents moments (the
@@ -136,7 +152,7 @@ object Serving {
     // the suite's ONLY sf0.1 hash miss: one of 2405 rows landed on a
     // rounding boundary. Bonus: the exact numerator is provably ≥ 0 —
     // no negative-variance ulp to clamp.
-    dailyDense(fact)
+    dense
       .withColumn("c", round(col("ca") * 100).cast("long"))
       .withColumn("n7", count("c").over(w))
       .withColumn("s7", sum("c").over(w))
