@@ -173,6 +173,15 @@ object SparkEntry {
     * (cohort, offset)-grain, bounded (r17). */
   private def cohortRet(s: SparkSession, d: String): DataFrame =
     memoFrame("cohortRet", s, d)(Gold.cohortRetention(Tables.orders(s, d)))
+  /** The shingle token-hash frame both decontamination tiers scan —
+    * one corpus shingle pass per session (r17). */
+  private def decontamEx(s: SparkSession, d: String): DataFrame =
+    memoFrame("decontamEx", s, d)(Llm.decontamHashes(Tables.documents(s, d)))
+  /** The batch sessionization frame event_sessions serves and
+    * session_overlaps interval-joins — one two-window pass per
+    * session (r17). */
+  private def eventSessionsF(s: SparkSession, d: String): DataFrame =
+    memoFrame("eventSessions", s, d)(Serving.eventSessions(Tables.events(s, d)))
 
   /** The (doc_id, w1, w2, cnt) order-1 sequence frame the collocation
     * and bigram-LM queries share — one corpus zip/explode/aggregate
@@ -687,10 +696,12 @@ object SparkEntry {
     "text_stats" -> ((s, d) => textStatsF(s, d)),
     // training-data hygiene: benchmark 3-gram decontamination (broadcast
     // bench set, corpus never shuffled) + PII detection/redaction stats
-    "decontaminate" -> ((s, d) => Llm.decontaminate(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) =>
+      Llm.decontaminateFrom(Tables.documents(s, d), decontamEx(s, d))),
     // constant-memory bloom tier of the same decontamination (native
     // BloomFilterAggregate sketch + map-side might_contain probe)
-    "decontaminate_bloom" -> ((s, d) => Llm.decontaminateBloom(Tables.documents(s, d))),
+    "decontaminate_bloom" -> ((s, d) =>
+      Llm.decontaminateBloomFrom(Tables.documents(s, d), decontamEx(s, d))),
     // training-data prep: deterministic source mixing, hash splits, and
     // token-window chunking (all map-side, rand()-free)
     "sample_mix" -> ((s, d) => Prep.sampleMix(Tables.documents(s, d),
@@ -859,7 +870,8 @@ object SparkEntry {
     "vocab_top" -> ((s, d) => Llm.vocabTopFrom(docTf(s, d))),
     // bounded-memory heavy-hitters tier: Misra-Gries candidates + exact
     // broadcast-filtered recount — same oracle as the exact tier
-    "vocab_top_approx" -> ((s, d) => Llm.vocabTopApprox(Tables.documents(s, d))),
+    "vocab_top_approx" -> ((s, d) =>
+      Llm.vocabTopApproxFrom(Tables.documents(s, d), docTf(s, d))),
     // deterministic epoch shuffle + shard manifest (rand()-free, resumable)
     "shuffle_deterministic" -> ((s, d) => Prep.shuffleDeterministic(Tables.documents(s, d))),
     // edit-distance-1 similarity join over product-name vocabulary via
@@ -879,7 +891,7 @@ object SparkEntry {
     // iterative graph op (exact distances vs a recursive CTE)
     "copurchase_distance" -> ((s, d) =>
       Gold.copurchaseDistanceFrom(copurchase(s, d))),
-    "event_sessions" -> ((s, d) => Serving.eventSessions(Tables.events(s, d))),
+    "event_sessions" -> ((s, d) => eventSessionsF(s, d)),
     // strict ordered funnel: view -> first later click -> first later purchase
     "event_funnel" -> ((s, d) => Serving.eventFunnel(Tables.events(s, d))),
     // first-order event-type transition matrix (Markov bigrams)
@@ -1020,7 +1032,7 @@ object SparkEntry {
     // interval-overlap self-join: concurrent user-session pairs via
     // hour-bin candidates + exact overlap verify + pair-key dedup
     "session_overlaps" -> ((s, d) =>
-      Serving.sessionOverlaps(Tables.events(s, d))),
+      Serving.sessionOverlapsFrom(eventSessionsF(s, d))),
     // growth accounting: first-month contribution + running total
     "customers_cumulative" -> ((s, d) =>
       Serving.customersCumulative(Tables.orders(s, d))),

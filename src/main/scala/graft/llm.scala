@@ -506,13 +506,24 @@ object Llm {
     * lets the bloom tier's DuckDB oracle re-derive the filter's bit
     * positions from the raw text (and what a production corpus wants
     * anyway — hashes recomputable by a different engine, bit-for-bit). */
-  def decontaminate(documents: DataFrame, benchDocs: Long = 10): DataFrame = {
+  /** The (doc_id, shingle token_hash64) frame BOTH decontamination
+    * tiers scan — split out so SparkEntry can share one corpus shingle
+    * pass between them (r17). */
+  def decontamHashes(documents: DataFrame): DataFrame = {
     val base = spread(documents)
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), shingles(col("ws")).as("sh"))
-    val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
+    explodeOnce(base, col("sh"), "s", col("doc_id"))
       .select(col("doc_id"),
         graft.functions.Sketches.token_hash64(col("s")).as("h"))
+  }
+
+  def decontaminate(documents: DataFrame, benchDocs: Long = 10): DataFrame =
+    decontaminateFrom(documents, decontamHashes(documents), benchDocs)
+
+  /** [[decontaminate]] over a prebuilt [[decontamHashes]] frame. */
+  def decontaminateFrom(documents: DataFrame, ex: DataFrame,
+      benchDocs: Long = 10): DataFrame = {
     val bench = ex.filter(col("doc_id") < benchDocs).select("h").distinct()
     val hits = ex.filter(col("doc_id") >= benchDocs)
       .join(broadcast(bench), Seq("h"))
@@ -566,17 +577,17 @@ object Llm {
     * conf caps (4M items / 64M bits), so the aggregate's Math.min
     * clamping is a no-op. */
   def decontaminateBloom(documents: DataFrame, benchDocs: Long = 10,
-      expectedShingles: Long = 1L << 16): DataFrame = {
+      expectedShingles: Long = 1L << 16): DataFrame =
+    decontaminateBloomFrom(documents, decontamHashes(documents),
+      benchDocs, expectedShingles)
+
+  /** [[decontaminateBloom]] over a prebuilt [[decontamHashes]] frame. */
+  def decontaminateBloomFrom(documents: DataFrame, ex: DataFrame,
+      benchDocs: Long = 10, expectedShingles: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.BinaryType
-    val base = spread(documents)
-      .withColumn("ws", words(col("text")))
-      .select(col("doc_id"), shingles(col("ws")).as("sh"))
-    val ex = explodeOnce(base, col("sh"), "s", col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.Sketches.token_hash64(col("s")).as("h"))
     val bfBytes = ex.filter(col("doc_id") < benchDocs)
       .agg(Bridge.column(new BloomFilterAggregate(
         Bridge.expression(col("h")),
@@ -921,7 +932,21 @@ object Llm {
     * vocabulary and m ≫ k that precondition holds by orders of
     * magnitude (LlmSpec pins the guarantee itself on adversarial literal
     * data with m = 3). */
-  def vocabTopApprox(documents: DataFrame, k: Int = 50, m: Int = 4096): DataFrame = {
+  def vocabTopApprox(documents: DataFrame, k: Int = 50, m: Int = 4096): DataFrame =
+    vocabTopApproxFrom(documents,
+      Search.docTermFreq(documents), k, m)
+
+  /** [[vocabTopApprox]] with the RECOUNT side fed from a prebuilt
+    * [[Search.docTermFreq]] frame (r17): the Misra-Gries candidate pass
+    * still reads the raw token stream (the summary is defined over
+    * occurrences), but the exact recount — per-candidate n and docs —
+    * is grain-invariant, so it re-aggregates the (doc, word, tf) frame
+    * instead of joining candidates against every token occurrence. The
+    * broadcast recount join now probes |doc×word| rows, not |tokens|,
+    * and SparkEntry feeds the session-shared tf frame. Candidates and
+    * final counts are unchanged. */
+  def vocabTopApproxFrom(documents: DataFrame, tf: DataFrame,
+      k: Int = 50, m: Int = 4096): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val toks = explodeOnce(spread(documents), words(col("text")), "word", col("doc_id"))
@@ -929,9 +954,9 @@ object Llm {
     val candidates = toks.select("word").as[String]
       .mapPartitions(it => misraGries(it, m))
       .toDF("word").distinct()
-    toks.join(broadcast(candidates), Seq("word"))
+    tf.join(broadcast(candidates), Seq("word"))
       .groupBy("word")
-      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
+      .agg(sum("tf").as("n"), count(lit(1)).as("docs"))
       .orderBy(desc("n"), col("word"))
       .limit(k)
   }

@@ -817,8 +817,14 @@ object Serving {
     * candidate density (concurrent sessions × width); an hour suits
     * 30-min-gap sessions. */
   def sessionOverlaps(events: DataFrame, gapSeconds: Long = 1800,
-      k: Int = 20): DataFrame = {
-    val s = eventSessions(events, gapSeconds)
+      k: Int = 20): DataFrame =
+    sessionOverlapsFrom(eventSessions(events, gapSeconds), k)
+
+  /** [[sessionOverlaps]] over a prebuilt [[eventSessions]] frame (r17):
+    * SparkEntry shares one sessionization pass between event_sessions
+    * and this interval join. */
+  def sessionOverlapsFrom(sessions: DataFrame, k: Int = 20): DataFrame = {
+    val s = sessions
       .select(col("user_id"), col("session_seq"),
         col("session_start"), col("session_end"))
     // cache the binned frame: it feeds BOTH sides of the interval join,
