@@ -182,6 +182,11 @@ object SparkEntry {
     * session (r17). */
   private def eventSessionsF(s: SparkSession, d: String): DataFrame =
     memoFrame("eventSessions", s, d)(Serving.eventSessions(Tables.events(s, d)))
+  /** The edit-distance-1 candidate pairs typo_pairs serves and
+    * typo_clusters closes transitively — one deletion-neighborhood
+    * join + levenshtein verify per session (r17). */
+  private def typoPairsF(s: SparkSession, d: String): DataFrame =
+    memoFrame("typoPairs", s, d)(Llm.typoPairs(Tables.part(s, d), "p_name"))
 
   /** The (doc_id, w1, w2, cnt) order-1 sequence frame the collocation
     * and bigram-LM queries share — one corpus zip/explode/aggregate
@@ -876,10 +881,10 @@ object SparkEntry {
     "shuffle_deterministic" -> ((s, d) => Prep.shuffleDeterministic(Tables.documents(s, d))),
     // edit-distance-1 similarity join over product-name vocabulary via
     // deletion-neighborhood candidates + exact levenshtein verify
-    "typo_pairs" -> ((s, d) => Llm.typoPairs(Tables.part(s, d), "p_name")),
+    "typo_pairs" -> ((s, d) => typoPairsF(s, d)),
     // entity-resolution transitive closure over the typo candidate graph:
     // string-keyed connected components, cluster = min member
-    "typo_clusters" -> ((s, d) => Llm.typoClusters(Tables.part(s, d), "p_name")),
+    "typo_clusters" -> ((s, d) => Llm.typoClustersFrom(typoPairsF(s, d))),
     // C4-style duplicated-span removal: keep-first across the corpus,
     // documents re-assembled from surviving blocks
     "span_dedup" -> ((s, d) => Llm.spanDedup(Tables.documents(s, d))),

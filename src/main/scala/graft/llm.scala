@@ -981,8 +981,11 @@ object Llm {
     val dels = transform(sequence(lit(1), length(col("word"))),
       i => concat(col("word").substr(lit(1), i - 1),
         col("word").substr(i + 1, length(col("word")))))
-    val variants = vocab.select(col("word"),
-      explode(array_union(array(col("word")), dels)).as("v"))
+    // CacheOnce: both sides of the candidate self-join consume the
+    // variant frame — without the cache the vocab distinct + deletion
+    // explode run twice (r17)
+    val variants = CacheOnce(vocab.select(col("word"),
+      explode(array_union(array(col("word")), dels)).as("v")))
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.word") < col("b.word"))
       .select(col("a.word").as("w1"), col("b.word").as("w2"))
@@ -1003,8 +1006,14 @@ object Llm {
     * cluster label, never a global order. Only edge-participating words
     * appear: a word with no ≤1-distance neighbor is its own trivial
     * cluster and is left implicit. */
-  def typoClusters(df: DataFrame, textCol: String, minLen: Int = 3): DataFrame = {
-    val edges = typoPairs(df, textCol, minLen)
+  def typoClusters(df: DataFrame, textCol: String, minLen: Int = 3): DataFrame =
+    typoClustersFrom(typoPairs(df, textCol, minLen))
+
+  /** [[typoClusters]] over a prebuilt [[typoPairs]] frame (r17):
+    * SparkEntry shares one candidates-then-verify pass between
+    * typo_pairs and this transitive closure. */
+  def typoClustersFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs
       .select(col("w1").as("a"), col("w2").as("b"))
     Graph.connectedComponentsBy(edges)
       .withColumn("cluster_size",
