@@ -962,11 +962,14 @@ object Serving {
     * never the log. */
   def eventTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = events
+    // CacheOnce: the pair frame feeds its own totals re-aggregate AND
+    // the share join — without the cache the user-keyed window pass
+    // over the log runs twice (r17)
+    val pairs = CacheOnce(events
       .withColumn("prev_type", lag("event_type", 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = pairs.groupBy("prev_type").agg(sum("n").as("total"))
     pairs.join(totals, "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"),
@@ -1041,11 +1044,15 @@ object Serving {
     * a single partition. Output: one row of step counts + conversion
     * rates. */
   def eventFunnel(events: DataFrame): DataFrame = {
-    val v = events.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t_view"))
-    val c = events.filter(col("event_type") === "click")
+    // CacheOnce on the step frames: each step feeds the NEXT step's
+    // join AND its own count aggregate — without the caches every
+    // downstream consumer re-runs the whole prefix of the funnel
+    // (the view filter+agg ran 3x, click 2x) (r17)
+    val v = CacheOnce(events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view")))
+    val c = CacheOnce(events.filter(col("event_type") === "click")
       .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min("ts").as("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_click")))
     val p = events.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("ts") > col("t_click"))
       .groupBy("user_id").agg(min("ts").as("t_purchase"))
@@ -1148,10 +1155,13 @@ object Serving {
     * the 10-row bucket frame. */
   def spendPsi(orders: DataFrame, yearA: Int = 1996, yearB: Int = 1997,
       buckets: Int = 10): DataFrame = {
-    val a = orders.filter(year(col("o_orderdate")) === yearA)
-      .select(col("o_totalprice").as("amount"))
-    val b = orders.filter(year(col("o_orderdate")) === yearB)
-      .select(col("o_totalprice").as("amount"))
+    // CacheOnce: `a` feeds the percentile-edge action, its count, and
+    // the bucket aggregate (3 scans without the cache); `b` its count
+    // and aggregate (r17)
+    val a = CacheOnce(orders.filter(year(col("o_orderdate")) === yearA)
+      .select(col("o_totalprice").as("amount")))
+    val b = CacheOnce(orders.filter(year(col("o_orderdate")) === yearB)
+      .select(col("o_totalprice").as("amount")))
     val probs = (1 until buckets).map(_.toDouble / buckets)
     // percentile over an empty baseline is NULL: no edges ⇒ everything
     // lands in one catch-all bucket with NULL psi_terms (n_a=0 keeps
