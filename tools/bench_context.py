@@ -41,8 +41,18 @@ if calib.get("prev_commit") != prev_full:
     sys.exit(f"[bench_context] CALIBRATION.json prev_commit "
              f"{calib.get('prev_commit', '?')[:12]} != {prev_full[:12]} — "
              "run tools/calibrate.py against the same commit first")
-drift = calib.get("artifact_median_query_ratio") \
-    or calib.get("temporal_drift_ratio")
+# The artifact-median estimator compares the prev commit's committed
+# BENCH_FULL against HEAD's committed one — when the round has not yet
+# committed its own full record (HEAD still carries prev's artifact),
+# the two are the SAME file and the "median ratio" is a degenerate 1.0.
+# Detect that and fall back to the temporal probe median, which re-times
+# the prev commit NOW against its own committed record (r17).
+wide = calib.get("artifact_median_query_ratio")
+if wide is not None and abs(wide - 1.0) < 1e-9 \
+        and calib.get("bench_full_total", {}).get("prev") \
+            == calib.get("bench_full_total", {}).get("head"):
+    wide = None
+drift = wide or calib.get("temporal_drift_ratio")
 if not drift:
     print("[bench_context] WARNING: no temporal drift estimate in "
           "CALIBRATION.json; context will carry the raw ratio only")
@@ -60,8 +70,7 @@ out = {
     "conf": {"cpus": prev_conf.get("cpus", "32"),
              "minPartitionSize": prev_conf.get("minPartitionSize", "16k")},
     "temporal_drift_median": drift,
-    "drift_estimator": ("artifact_median_query_ratio"
-                        if calib.get("artifact_median_query_ratio")
+    "drift_estimator": ("artifact_median_query_ratio" if wide
                         else "temporal_drift_ratio (probe median)")
                        if drift else None,
     "calibration_run_utc": calib.get("run_utc"),
